@@ -1,0 +1,204 @@
+"""Typed configuration for bitnet_tpu.
+
+One dataclass-based config layer with environment-variable overrides replaces
+the reference's three-tier system (cargo features / env vars / clap+TOML —
+see SURVEY.md §5 "Config / flag system").  There is a single platform (TPU),
+so no compile-time feature matrix is needed.
+
+Reference parity:
+- ``BitNetConfig``      ≙ ``crates/bitnet-common/src/config.rs``
+- ``GenerationConfig``  ≙ ``crates/bitnet-common/src/types.rs:127`` and
+  ``crates/bitnet-generation/src/lib.rs:173``
+- ``StrictMode``        ≙ ``crates/bitnet-common/src/strict_mode.rs:15-166``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from .errors import ConfigError
+
+# --------------------------------------------------------------------------
+# Environment variables (catalog mirrors docs/environment-variables.md in the
+# reference, renamed BITNET_* -> BITNET_TPU_* kept identical where sensible).
+# --------------------------------------------------------------------------
+ENV_STRICT_MODE = "BITNET_STRICT_MODE"
+ENV_ALLOW_MOCK = "BITNET_ALLOW_MOCK"
+ENV_DETERMINISTIC = "BITNET_DETERMINISTIC"
+ENV_TRACE = "BITNET_TRACE"
+ENV_DEBUG_LOGITS = "BITNET_DEBUG_LOGITS"
+ENV_KERNEL_PATH = "BITNET_KERNEL_PATH"  # force 'pallas' | 'xla' | 'interpret'
+
+
+def _env_flag(name: str, default: bool = False) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+@dataclass(frozen=True)
+class StrictMode:
+    """Honest-compute guard flags.
+
+    Strict mode bans any mock/fallback path that could silently produce fake
+    results — the reference uses it to guarantee "real compute" receipts
+    (``bitnet-common/src/strict_mode.rs:28-72``).
+    """
+
+    enabled: bool = False
+    allow_mock: bool = True       # mock tokenizer / synthetic weights allowed?
+    allow_fallback: bool = True   # XLA dequant fallback (vs fused Pallas) allowed?
+    deterministic: bool = False   # fixed PRNG key, no autotuning
+
+    @classmethod
+    def from_env(cls) -> "StrictMode":
+        strict = _env_flag(ENV_STRICT_MODE)
+        return cls(
+            enabled=strict,
+            allow_mock=_env_flag(ENV_ALLOW_MOCK, default=not strict),
+            allow_fallback=not strict or _env_flag("BITNET_STRICT_ALLOW_FALLBACK"),
+            deterministic=_env_flag(ENV_DETERMINISTIC),
+        )
+
+
+# --------------------------------------------------------------------------
+# Model architecture config
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class ModelConfig:
+    """Transformer hyperparameters.
+
+    Populated from GGUF metadata keys (``<arch>.embedding_length`` etc.) by
+    :mod:`bitnet_tpu.models.loader`; mirrors the reference's ``BitNetConfig``
+    (``crates/bitnet-common/src/config.rs``) and the GGUF key handling in
+    ``crates/bitnet-models/src/formats/gguf/loader.rs``.
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 2560
+    intermediate_size: int = 6912
+    num_layers: int = 30
+    num_heads: int = 20
+    num_kv_heads: int = 5
+    head_dim: int = 128
+    max_seq_len: int = 4096
+    rope_base: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = True
+    architecture: str = "bitnet-b1.58"
+    # activation function of the FFN gate path; BitNet b1.58 uses squared relu
+    # in some variants and silu in others — GGUF metadata decides.
+    hidden_act: str = "silu"
+    # BitNet b1.58 layernorm variant: attention sub-norm used by 2B-4T model.
+    use_sub_norm: bool = False
+
+    def __post_init__(self) -> None:
+        if self.num_heads % max(self.num_kv_heads, 1) != 0:
+            raise ConfigError(
+                f"num_heads ({self.num_heads}) must be divisible by "
+                f"num_kv_heads ({self.num_kv_heads})"
+            )
+        if self.head_dim <= 0 or self.hidden_size <= 0:
+            raise ConfigError("head_dim and hidden_size must be positive")
+
+    @property
+    def gqa_groups(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    def validate(self) -> None:
+        """Sanity gates mirroring InferenceEngine::new hyperparameter checks
+        (``bitnet-inference/src/engine.rs:786-792``)."""
+        if self.vocab_size <= 0:
+            raise ConfigError("vocab_size must be positive")
+        if self.num_layers <= 0:
+            raise ConfigError("num_layers must be positive")
+        if self.max_seq_len <= 0:
+            raise ConfigError("max_seq_len must be positive")
+
+    def replace(self, **kw: Any) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --------------------------------------------------------------------------
+# Generation config
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Sampling / decoding parameters.
+
+    Field set mirrors the reference CLI flags
+    (``crates/bitnet-cli/src/main.rs:178-260``) and ``GenerationConfig``
+    (``crates/bitnet-common/src/types.rs:127``).
+    """
+
+    max_new_tokens: int = 128
+    temperature: float = 1.0
+    top_k: int = 0                 # 0 = disabled
+    top_p: float = 1.0             # 1.0 = disabled
+    min_p: float = 0.0             # 0.0 = disabled
+    typical_p: float = 1.0         # 1.0 = disabled
+    repetition_penalty: float = 1.0
+    repetition_window: int = 64
+    mirostat: int = 0              # 0 = off, 1 = v1, 2 = v2
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
+    seed: int | None = None
+    greedy: bool = False
+    stop_sequences: tuple[str, ...] = ()
+    stop_token_ids: tuple[int, ...] = ()
+    add_bos: bool = True
+
+    def __post_init__(self) -> None:
+        if self.max_new_tokens <= 0:
+            raise ConfigError("max_new_tokens must be positive")
+        if self.temperature < 0.0:
+            raise ConfigError("temperature must be >= 0")
+        if not (0.0 <= self.top_p <= 1.0):
+            raise ConfigError("top_p must be in [0, 1]")
+        if self.top_k < 0:
+            raise ConfigError("top_k must be >= 0")
+        if self.repetition_penalty <= 0.0:
+            raise ConfigError("repetition_penalty must be > 0")
+        if self.mirostat not in (0, 1, 2):
+            raise ConfigError("mirostat must be 0, 1 or 2")
+
+    @property
+    def is_greedy(self) -> bool:
+        return self.greedy or self.temperature == 0.0
+
+    def replace(self, **kw: Any) -> "GenerationConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --------------------------------------------------------------------------
+# Engine config
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class EngineConfig:
+    """Runtime engine knobs (KV cache sizing, batching, kernel path)."""
+
+    max_seq_len: int = 2048          # KV-cache capacity (static shape)
+    max_batch_size: int = 1
+    kv_cache_dtype: str = "bf16"     # 'bf16' | 'int8' | 'fp8'
+    # 'auto' picks fused Pallas kernels on TPU, XLA dequant elsewhere.
+    kernel_path: str = "auto"        # 'auto' | 'pallas' | 'xla'
+    # dtype used for dequantized weights on the XLA fallback path
+    compute_dtype: str = "bf16"      # 'bf16' | 'f32'
+    prefill_chunk: int = 512         # prefill bucketing granularity
+    donate_cache: bool = True
+    strict: StrictMode = field(default_factory=StrictMode)
+
+    def __post_init__(self) -> None:
+        if self.kv_cache_dtype not in ("bf16", "f32", "int8", "fp8"):
+            raise ConfigError(f"bad kv_cache_dtype {self.kv_cache_dtype!r}")
+        if self.kernel_path not in ("auto", "pallas", "xla"):
+            raise ConfigError(f"bad kernel_path {self.kernel_path!r}")
+        if self.compute_dtype not in ("bf16", "f32"):
+            raise ConfigError(f"bad compute_dtype {self.compute_dtype!r}")
+
+    def replace(self, **kw: Any) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)

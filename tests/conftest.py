@@ -1,0 +1,57 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the *real* collective code paths
+are exercised without TPU hardware (SURVEY.md §4 item 8).  This must happen
+before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def mini_gguf_f32(tmp_path_factory):
+    from bitnet_tpu.gguf.fixtures import MiniModelSpec, generate_mini_gguf
+
+    path = tmp_path_factory.mktemp("models") / "mini_f32.gguf"
+    return generate_mini_gguf(str(path), MiniModelSpec(quant="f32"))
+
+
+@pytest.fixture(scope="session")
+def mini_gguf_qk256(tmp_path_factory):
+    from bitnet_tpu.gguf.fixtures import MiniModelSpec, generate_mini_gguf
+
+    path = tmp_path_factory.mktemp("models") / "mini_qk256.gguf"
+    # hidden must produce K >= 256 columns for at least some matrices to
+    # exercise multi-block rows: intermediate 512 over hidden 256
+    spec = MiniModelSpec(
+        hidden_size=256, intermediate_size=512, num_heads=4, num_kv_heads=2,
+        quant="qk256",
+    )
+    return generate_mini_gguf(str(path), spec)
+
+
+@pytest.fixture(scope="session")
+def mini_gguf_bitnet32(tmp_path_factory):
+    from bitnet_tpu.gguf.fixtures import MiniModelSpec, generate_mini_gguf
+
+    path = tmp_path_factory.mktemp("models") / "mini_b32.gguf"
+    return generate_mini_gguf(str(path), MiniModelSpec(quant="bitnet32"))
