@@ -113,6 +113,13 @@ def generate_mini_gguf(path: str, spec: MiniModelSpec | None = None) -> MiniMode
 
     weights: dict[str, np.ndarray] = {}
 
+    # Quantized fixtures have weight values on the raw LUT scale (±1, ±2 —
+    # QK256 has no per-block scales), which would saturate attention softmax
+    # and make f32-vs-f64 parity flaky.  Shrink the norm gains so activations
+    # stay in a numerically tame range; real checkpoints are trained with
+    # this balance built in.
+    norm_gain = 1.0 if spec.quant == "f32" else 0.05
+
     def add_float(name: str, arr: np.ndarray) -> None:
         weights[name] = arr.astype(np.float32)
         w.add_tensor(name, arr.astype(np.float32), GGMLType.F32)
@@ -142,17 +149,17 @@ def generate_mini_gguf(path: str, spec: MiniModelSpec | None = None) -> MiniMode
     add_float("token_embd.weight", emb)
 
     for i in range(spec.num_layers):
-        add_float(f"blk.{i}.attn_norm.weight", np.ones(H) + rng.standard_normal(H) * 0.01)
+        add_float(f"blk.{i}.attn_norm.weight", (np.ones(H) + rng.standard_normal(H) * 0.01) * norm_gain)
         add_linear(f"blk.{i}.attn_q.weight", nh * Hd, H)
         add_linear(f"blk.{i}.attn_k.weight", nkv * Hd, H)
         add_linear(f"blk.{i}.attn_v.weight", nkv * Hd, H)
         add_linear(f"blk.{i}.attn_output.weight", H, nh * Hd)
-        add_float(f"blk.{i}.ffn_norm.weight", np.ones(H) + rng.standard_normal(H) * 0.01)
+        add_float(f"blk.{i}.ffn_norm.weight", (np.ones(H) + rng.standard_normal(H) * 0.01) * norm_gain)
         add_linear(f"blk.{i}.ffn_gate.weight", F, H)
         add_linear(f"blk.{i}.ffn_up.weight", F, H)
         add_linear(f"blk.{i}.ffn_down.weight", H, F)
 
-    add_float("output_norm.weight", np.ones(H) + rng.standard_normal(H) * 0.01)
+    add_float("output_norm.weight", (np.ones(H) + rng.standard_normal(H) * 0.01) * norm_gain)
     if not spec.tie_embeddings:
         add_linear("output.weight", V, H)
 

@@ -1,0 +1,195 @@
+"""Functional BitNet transformer forward pass (pure JAX).
+
+Architecture parity with ``TransformerModel``
+(``crates/bitnet-transformer/src/lib.rs:1259-1650``): embed → N × (RMSNorm →
+GQA attention with RoPE → residual → RMSNorm → SwiGLU FFN → residual) →
+RMSNorm → logits (tied embeddings or separate ``output.weight``).
+
+TPU-first design decisions (vs the reference's per-layer object graph):
+- layer parameters are **stacked** on a leading L axis and the layer loop is
+  a single ``lax.scan`` — one compiled block body regardless of depth;
+- the KV cache rides through the scan as per-layer xs/ys, so each layer's
+  cache update stays on-chip with its block;
+- everything is static-shape: queries are padded to a bucket, the cache is a
+  fixed [S] ring buffer, padded cache writes are dropped via an
+  out-of-bounds index (position == S).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.attention import attention
+from ..ops.linear import TernaryLinear, linear_apply
+from ..ops.rmsnorm import rms_norm
+from ..ops.rope import apply_rope
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "attn_norm", "wq", "wk", "wv", "wo",
+        "ffn_norm", "w_gate", "w_up", "w_down",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class BlockParams:
+    """Per-layer parameters, stacked on a leading [L] axis."""
+
+    attn_norm: jnp.ndarray     # [L, H]
+    wq: TernaryLinear          # [L, H, nh*D]
+    wk: TernaryLinear          # [L, H, nkv*D]
+    wv: TernaryLinear          # [L, H, nkv*D]
+    wo: TernaryLinear          # [L, nh*D, H]
+    ffn_norm: jnp.ndarray      # [L, H]
+    w_gate: TernaryLinear      # [L, H, F]
+    w_up: TernaryLinear        # [L, H, F]
+    w_down: TernaryLinear      # [L, F, H]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["embed", "blocks", "final_norm", "lm_head",
+                 "rope_sin", "rope_cos"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class BitNetParams:
+    embed: jnp.ndarray                 # [V, H]
+    blocks: BlockParams
+    final_norm: jnp.ndarray            # [H]
+    lm_head: Optional[TernaryLinear]   # None when tied
+    rope_sin: jnp.ndarray              # [S_rope, D/2]
+    rope_cos: jnp.ndarray              # [S_rope, D/2]
+
+
+def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name == "relu2":
+        r = jax.nn.relu(x)
+        return r * r
+    if name == "gelu":
+        return jax.nn.gelu(x)
+    raise ValueError(f"unknown hidden_act {name!r}")
+
+
+def embed_tokens(params: BitNetParams, tokens: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] int32 → [B, T, H] activations (reference: embed, lib.rs:1278)."""
+    return jnp.take(params.embed, tokens, axis=0)
+
+
+def block_forward(
+    cfg: ModelConfig,
+    x: jnp.ndarray,              # [B, T, H]
+    bp: BlockParams,             # single layer (no L axis)
+    rope_sin: jnp.ndarray,
+    rope_cos: jnp.ndarray,
+    q_positions: jnp.ndarray,    # [B, T]; padded slots hold S (OOB)
+    k_cache: jnp.ndarray,        # [B, S, nkv, D]
+    v_cache: jnp.ndarray,        # [B, S, nkv, D]
+    kv_valid_len: jnp.ndarray,   # [B]
+    kernel_path: str = "xla",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One transformer block; returns (y, new_k_cache, new_v_cache)."""
+    B, T, H = x.shape
+    nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    lap = partial(linear_apply, path=kernel_path)
+
+    # --- attention ---
+    h = rms_norm(x, bp.attn_norm, cfg.rms_norm_eps)
+    q = lap(bp.wq, h).reshape(B, T, nh, D)
+    k = lap(bp.wk, h).reshape(B, T, nkv, D)
+    v = lap(bp.wv, h).reshape(B, T, nkv, D)
+
+    # RoPE at absolute positions (clamp padded S-positions into table range)
+    rope_pos = jnp.minimum(q_positions, rope_sin.shape[0] - 1)
+    q = apply_rope(q, rope_sin, rope_cos, rope_pos)
+    k = apply_rope(k, rope_sin, rope_cos, rope_pos)
+
+    # cache write: scatter at absolute positions; position==S drops (padding)
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    k_cache = k_cache.at[b_idx, q_positions].set(
+        k.astype(k_cache.dtype), mode="drop")
+    v_cache = v_cache.at[b_idx, q_positions].set(
+        v.astype(v_cache.dtype), mode="drop")
+
+    new_len = kv_valid_len + T  # engine guarantees T real tokens ≤ T
+    attn = attention(q, k_cache, v_cache, q_positions, new_len)
+    x = x + lap(bp.wo, attn.reshape(B, T, nh * D))
+
+    # --- FFN (SwiGLU; reference lib.rs:751-793) ---
+    h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
+    gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
+    up = lap(bp.w_up, h)
+    x = x + lap(bp.w_down, gate * up)
+    return x, k_cache, v_cache
+
+
+def forward(
+    cfg: ModelConfig,
+    params: BitNetParams,
+    tokens: jnp.ndarray,         # [B, T]
+    q_positions: jnp.ndarray,    # [B, T]
+    k_cache: jnp.ndarray,        # [L, B, S, nkv, D]
+    v_cache: jnp.ndarray,        # [L, B, S, nkv, D]
+    kv_valid_len: jnp.ndarray,   # [B] valid length BEFORE this call
+    num_real_tokens: jnp.ndarray | int | None = None,  # per-batch new tokens
+    kernel_path: str = "xla",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full forward: returns (hidden [B, T, H], new_k_cache, new_v_cache).
+
+    ``kv_valid_len`` advances by the number of *real* (non-padded) new
+    tokens, which the engine passes via ``num_real_tokens`` ([B] or scalar;
+    defaults to T).
+    """
+    x = embed_tokens(params, tokens)
+    B, T, H = x.shape
+    if num_real_tokens is None:
+        num_real_tokens = T
+
+    def body(carry, xs):
+        h = carry
+        bp, kc, vc = xs
+        # block_forward advances valid_len by T internally for masking; we
+        # feed it the pre-call length.
+        y, kc, vc = block_forward(
+            cfg, h, bp, params.rope_sin, params.rope_cos,
+            q_positions, kc, vc, _pre_len, kernel_path,
+        )
+        return y, (kc, vc)
+
+    # attention masking needs the post-write valid length; block_forward
+    # computes new_len = pre_len + T, so hand it pre_len adjusted so that
+    # pre_len + T == kv_valid_len + num_real_tokens.
+    _pre_len = kv_valid_len + jnp.asarray(num_real_tokens, jnp.int32) - T
+
+    x, (k_cache, v_cache) = jax.lax.scan(
+        body, x, (params.blocks, k_cache, v_cache)
+    )
+    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    return x, k_cache, v_cache
+
+
+def logits(
+    cfg: ModelConfig,
+    params: BitNetParams,
+    hidden: jnp.ndarray,          # [B, T, H] (already final-normed)
+    kernel_path: str = "xla",
+) -> jnp.ndarray:
+    """Project hidden states to vocab logits (reference: lib.rs:1599)."""
+    if params.lm_head is not None:
+        return linear_apply(params.lm_head, hidden, path=kernel_path)
+    # tied embeddings: x @ E^T in f32 for logit stability
+    return jnp.einsum(
+        "bth,vh->btv",
+        hidden.astype(jnp.float32),
+        params.embed.astype(jnp.float32),
+    )

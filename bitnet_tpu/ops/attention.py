@@ -1,0 +1,57 @@
+"""Attention (GQA, causal, KV-cache aware) — XLA path.
+
+Functional equivalent of ``MultiHeadAttention::forward``
+(``bitnet-transformer/src/lib.rs:275-520``): scale 1/sqrt(d), GQA expansion
+of KV heads, causal masking, f32 softmax with max-subtraction.
+
+TPU notes: the GQA "expansion" is done with a reshape of Q onto
+[B, n_kv, group, T, D] so the K/V tensors are never materialized expanded
+(the reference repeats KV in memory, ``lib.rs:410-424`` — wasteful on HBM).
+XLA fuses mask+softmax into the matmuls; a fused flash/pallas variant for
+long-context prefill lives in :mod:`bitnet_tpu.ops.flash`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attention(
+    q: jnp.ndarray,          # [B, Tq, n_heads, D]
+    k: jnp.ndarray,          # [B, S, n_kv, D]   (full cache buffer)
+    v: jnp.ndarray,          # [B, S, n_kv, D]
+    q_positions: jnp.ndarray,  # [B, Tq] absolute position of each query
+    kv_valid_len: jnp.ndarray,  # [B] number of valid cache slots
+) -> jnp.ndarray:
+    """Causal GQA attention over a (possibly padded) KV buffer.
+
+    A key at slot ``s`` attends iff ``s < kv_valid_len`` and
+    ``s <= q_position`` (causality).  Returns [B, Tq, n_heads, D].
+    """
+    B, Tq, H, D = q.shape
+    S, KV = k.shape[1], k.shape[2]
+    G = H // KV
+
+    scale = jnp.float32(1.0 / (D ** 0.5))
+    qf = q.astype(jnp.float32).reshape(B, Tq, KV, G, D)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    # scores: [B, KV, G, Tq, S]
+    scores = jnp.einsum("btkgd,bskd->bkgts", qf, kf) * scale
+
+    slot = jnp.arange(S, dtype=jnp.int32)
+    causal = slot[None, None, :] <= q_positions[:, :, None]        # [B, Tq, S]
+    valid = slot[None, None, :] < kv_valid_len[:, None, None]       # [B, 1→Tq, S]
+    mask = (causal & valid)[:, None, None, :, :]                    # [B,1,1,Tq,S]
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    # numerically-stable softmax (max-subtract like the reference :492)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    out = jnp.einsum("bkgts,bskd->btkgd", p, vf)
+    return out.reshape(B, Tq, H, D).astype(q.dtype)

@@ -1,0 +1,192 @@
+"""Ternary linear layers: parameter pytree + apply dispatch.
+
+Replaces the reference's ``QuantizedLinear`` + ``KernelProvider`` dispatch
+(``bitnet-inference/src/layers/quantized_linear.rs:502``,
+``bitnet-kernels/src/lib.rs:39-58``) with a single TPU design:
+
+- weights live in HBM **packed** (2-bit codes, 4/byte) in a tile-local
+  interleaved layout chosen so Pallas kernels (and the XLA fallback) unpack
+  with nothing but shifts/masks + one reshape;
+- ``apply`` dispatches between the fused Pallas kernel and a pure-XLA
+  dequant path (the correctness fallback, like the reference's dequant
+  route in ``bitnet-models/src/bitnet.rs:37-81``).
+
+Packed layout ("tile-local interleave", tile KT=256 rows of K):
+for K-tile ``t`` and in-tile row ``r = j*(KT/4) + i``,
+``code(t*KT + r, n)`` is bits ``[2j+1:2j]`` of ``packed[t*(KT/4) + i, n]``.
+Unpacking a packed K-tile therefore yields the *contiguous* K-tile of the
+logical weight: ``concat_j (tile >> 2j) & 3``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import QuantizationError
+
+# K-tile granularity of the interleaved layout; BitNet dims (2560, 6912,
+# head_dim multiples of 128) are all multiples of 256.
+KT_PACK = 256
+
+
+# --------------------------------------------------------------------------
+# Host-side repacking (numpy, load time)
+# --------------------------------------------------------------------------
+def pad_k(k: int, kt: int = KT_PACK) -> int:
+    return -(-k // kt) * kt
+
+
+def repack_codes_for_tpu(codes_kn: np.ndarray, kt: int = KT_PACK) -> np.ndarray:
+    """Repack logical codes [K, N] (uint2 in uint8) into [Kp/4, N] bytes.
+
+    Rows are zero-padded to a multiple of ``kt``; padded rows hold code 0
+    (value -2) — harmless because callers zero-pad activations along K.
+    """
+    K, N = codes_kn.shape
+    Kp = pad_k(K, kt)
+    if Kp != K:
+        codes_kn = np.concatenate(
+            [codes_kn, np.zeros((Kp - K, N), dtype=np.uint8)], axis=0
+        )
+    tiles = codes_kn.reshape(Kp // kt, 4, kt // 4, N).astype(np.uint8)
+    packed = (
+        tiles[:, 0]
+        | (tiles[:, 1] << 2)
+        | (tiles[:, 2] << 4)
+        | (tiles[:, 3] << 6)
+    )
+    return packed.reshape(Kp // 4, N)
+
+
+def unpack_codes_host(packed: np.ndarray, k: int, kt: int = KT_PACK) -> np.ndarray:
+    """Inverse of :func:`repack_codes_for_tpu` (host/numpy, for tests)."""
+    Kp4, N = packed.shape
+    ntiles = Kp4 // (kt // 4)
+    p = packed.reshape(ntiles, kt // 4, N)
+    parts = np.stack([(p >> (2 * j)) & 3 for j in range(4)], axis=1)
+    return parts.reshape(ntiles * kt, N)[:k]
+
+
+# --------------------------------------------------------------------------
+# Parameter pytree
+# --------------------------------------------------------------------------
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["weight", "packed", "scales"],
+    meta_fields=["kind", "k", "n"],
+)
+@dataclasses.dataclass
+class TernaryLinear:
+    """One linear layer's parameters (or a [L, ...]-stacked set of them).
+
+    kind:
+      'dense'    — ``weight`` [K, N] floats, plain matmul
+      'qk256'    — ``packed`` [Kp/4, N]; value = LUT[code] (scales is a
+                   broadcastable per-tensor scalar array, usually 1.0)
+      'bitnet32' — ``packed`` [Kp/4, N]; ``scales`` [K/32, N] f32;
+                   value = LUT[code] * scale
+    """
+
+    kind: str
+    k: int
+    n: int
+    weight: Optional[jnp.ndarray] = None
+    packed: Optional[jnp.ndarray] = None
+    scales: Optional[jnp.ndarray] = None
+
+
+# code → value via arithmetic (no gather): v = c + (c >= 2) - 2
+# maps {0,1,2,3} → {-2,-1,1,2}, the GGML-verified LUT (quant/ternary.py).
+def _codes_to_values(codes: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    c = codes.astype(jnp.int8)
+    return (c + (c >= 2).astype(jnp.int8) - 2).astype(dtype)
+
+
+def _unpack_packed(packed: jnp.ndarray, kt: int = KT_PACK) -> jnp.ndarray:
+    """[Kp/4, N] bytes → [Kp, N] uint8 codes (tile-local interleave)."""
+    Kp4, N = packed.shape
+    ntiles = Kp4 // (kt // 4)
+    p = packed.reshape(ntiles, kt // 4, N)
+    parts = jnp.stack(
+        [(p >> (2 * j)) & 3 for j in range(4)], axis=1
+    )  # [ntiles, 4, kt/4, N]
+    return parts.reshape(ntiles * kt, N)
+
+
+def dequantize_weight(lin: TernaryLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Materialize the dense [K, N] weight (XLA fallback path)."""
+    if lin.kind == "dense":
+        return lin.weight.astype(dtype)
+    codes = _unpack_packed(lin.packed)[: lin.k]
+    vals = _codes_to_values(codes, jnp.float32)
+    if lin.kind == "bitnet32":
+        # scales [K/32, N] broadcast over 32-row blocks
+        s = jnp.repeat(lin.scales.astype(jnp.float32), 32, axis=0)[: lin.k]
+        vals = vals * s
+    elif lin.kind == "qk256":
+        if lin.scales is not None:
+            vals = vals * lin.scales.astype(jnp.float32)
+    else:
+        raise QuantizationError(f"unknown TernaryLinear kind {lin.kind!r}")
+    return vals.astype(dtype)
+
+
+def linear_apply(
+    lin: TernaryLinear,
+    x: jnp.ndarray,
+    path: str = "xla",
+) -> jnp.ndarray:
+    """``y = x @ W`` for [..., K] activations.
+
+    ``path``: 'xla' = dequantize-then-matmul (XLA fuses the unpack);
+    'pallas' = fused unpack+MXU kernel (see ops/ternary_matmul.py).
+    """
+    if lin.kind == "dense":
+        return jnp.matmul(
+            x, lin.weight.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    if path == "pallas":
+        from .ternary_matmul import ternary_matmul_pallas
+
+        return ternary_matmul_pallas(lin, x)
+    w = dequantize_weight(lin, x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Constructors
+# --------------------------------------------------------------------------
+def dense_linear(weight_kn: np.ndarray | jnp.ndarray) -> TernaryLinear:
+    k, n = weight_kn.shape
+    return TernaryLinear(kind="dense", k=k, n=n, weight=jnp.asarray(weight_kn))
+
+
+def qk256_linear_from_codes(
+    codes_kn: np.ndarray, scale: float | np.ndarray = 1.0
+) -> TernaryLinear:
+    k, n = codes_kn.shape
+    packed = jnp.asarray(repack_codes_for_tpu(codes_kn))
+    return TernaryLinear(
+        kind="qk256", k=k, n=n, packed=packed,
+        scales=jnp.asarray(np.float32(scale)),
+    )
+
+
+def bitnet32_linear_from_codes(
+    codes_kn: np.ndarray, scales_blocks_kn: np.ndarray
+) -> TernaryLinear:
+    """``codes_kn`` [K, N]; ``scales_blocks_kn`` [K/32, N] f32."""
+    k, n = codes_kn.shape
+    if k % 32 != 0:
+        raise QuantizationError(f"bitnet32 needs K % 32 == 0, got {k}")
+    packed = jnp.asarray(repack_codes_for_tpu(codes_kn))
+    return TernaryLinear(
+        kind="bitnet32", k=k, n=n, packed=packed,
+        scales=jnp.asarray(scales_blocks_kn, dtype=jnp.float32),
+    )

@@ -7,12 +7,20 @@ before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the environment exports JAX_PLATFORMS=axon (real TPU tunnel)
+# and a sitecustomize imports jax at interpreter startup, latching that
+# value — so the env var alone is NOT enough; jax.config.update is.
+# Tests must be deterministic and must not hold the TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
