@@ -1,0 +1,398 @@
+"""bitnet-tpu command-line interface.
+
+Command-surface parity with the reference CLI
+(``crates/bitnet-cli/src/main.rs:153-290``): run/generate, tokenize,
+inspect, chat REPL, score (perplexity), benchmark, serve, convert,
+compat-check, list-architectures, list-templates — one ``argparse`` tree
+instead of clap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_gen_flags(p: argparse.ArgumentParser) -> None:
+    """Generation flags (main.rs:178-260)."""
+    p.add_argument("--model", "-m", required=True, help="GGUF model path")
+    p.add_argument("--tokenizer", help="tokenizer.json path (optional)")
+    p.add_argument("--prompt", "-p", default="Hello")
+    p.add_argument("--max-new-tokens", "-n", type=int, default=128)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--min-p", type=float, default=0.0)
+    p.add_argument("--repetition-penalty", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--prompt-template", default=None,
+                   help="raw|instruct|llama3-chat|chatml|mistral-instruct|alpaca")
+    p.add_argument("--system-prompt", default=None)
+    p.add_argument("--max-seq-len", type=int, default=2048)
+    p.add_argument("--kv-cache-dtype", default="bf16",
+                   choices=["bf16", "f32", "int8", "fp8"])
+    p.add_argument("--kernel-path", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--compute-dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--strict", action="store_true",
+                   help="strict mode: no mock tokenizer, no fallback kernels")
+    p.add_argument("--no-stream", action="store_true")
+    p.add_argument("--receipt", default=None,
+                   help="write an honest-compute receipt JSON here")
+
+
+def _build_engine(args):
+    from .config import EngineConfig, StrictMode
+    from .engine import InferenceEngine
+    from .tokenizer import HFTokenizer, load_tokenizer
+
+    strict = StrictMode(enabled=args.strict, allow_mock=not args.strict,
+                        allow_fallback=not args.strict,
+                        deterministic=getattr(args, "deterministic", False))
+    ecfg = EngineConfig(
+        max_seq_len=args.max_seq_len,
+        kv_cache_dtype=args.kv_cache_dtype,
+        kernel_path=args.kernel_path,
+        compute_dtype=args.compute_dtype,
+        strict=strict,
+    )
+    tokenizer = None
+    if args.tokenizer:
+        tokenizer = HFTokenizer(args.tokenizer)
+    else:
+        tokenizer = load_tokenizer(args.model, allow_mock=strict.allow_mock)
+    if strict.enabled and tokenizer.is_mock:
+        from .errors import StrictModeViolation
+
+        raise StrictModeViolation("strict mode: mock tokenizer banned")
+    return InferenceEngine.from_gguf(args.model, ecfg, tokenizer=tokenizer)
+
+
+def _gen_config(args, extra_stops=()):
+    from .config import GenerationConfig
+
+    return GenerationConfig(
+        max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        min_p=args.min_p,
+        repetition_penalty=args.repetition_penalty,
+        seed=args.seed if not args.deterministic else (args.seed or 42),
+        greedy=args.greedy or args.deterministic,
+        stop_sequences=tuple(extra_stops),
+    )
+
+
+def _prepare_prompt(args, engine):
+    """Template detect/apply (engine.rs:880 prepare_prompt_for_model)."""
+    from . import templates
+    from .gguf.reader import GGUFReader
+
+    if args.prompt_template:
+        t = templates.TemplateType.parse(args.prompt_template)
+    else:
+        try:
+            with GGUFReader(args.model) as r:
+                t = templates.detect(r.metadata)
+        except Exception:
+            t = templates.TemplateType.RAW
+    spec = templates.spec_for(t)
+    text = templates.apply(t, args.prompt, args.system_prompt)
+    return text, spec
+
+
+# --------------------------------------------------------------------------
+# commands
+# --------------------------------------------------------------------------
+def cmd_run(args) -> int:
+    engine = _build_engine(args)
+    text, spec = _prepare_prompt(args, engine)
+    gcfg = _gen_config(args, extra_stops=spec.stop_sequences)
+    gcfg = gcfg.replace(add_bos=spec.add_bos)
+
+    if args.no_stream:
+        r = engine.generate(text, gcfg)
+        print(r.text)
+    else:
+        ids = engine.tokenizer.encode(text, add_bos=gcfg.add_bos)
+        out_ids = []
+        for ev in engine.generate_stream(ids, gcfg):
+            sys.stdout.write(ev.text)
+            sys.stdout.flush()
+            out_ids.append(ev.token_id)
+        print()
+        r = None
+    m = engine._last_metrics.as_dict()
+    print(f"[{m['generated_tokens']} tokens, "
+          f"ttft {m['ttft_s']*1000:.0f} ms, "
+          f"{m['decode_tok_s']:.2f} tok/s decode]", file=sys.stderr)
+    if args.receipt:
+        from .verify.receipts import generate_receipt
+
+        rec = generate_receipt(engine, metrics=m)
+        with open(args.receipt, "w") as f:
+            json.dump(rec.to_dict(), f, indent=2)
+        print(f"receipt written to {args.receipt}", file=sys.stderr)
+    return 0
+
+
+def cmd_tokenize(args) -> int:
+    from .tokenizer import load_tokenizer
+
+    tk = load_tokenizer(args.model)
+    ids = tk.encode(args.prompt, add_bos=not args.no_bos)
+    print(json.dumps({
+        "text": args.prompt,
+        "ids": ids,
+        "pieces": [tk.token_to_piece(i) or f"<{i}>" for i in ids],
+        "count": len(ids),
+    }, indent=2))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    """GGUF metadata dump (engine.rs:290 inspect_model)."""
+    from .gguf.constants import GGMLType
+    from .gguf.reader import GGUFReader
+
+    with GGUFReader(args.model) as r:
+        quant_hist: dict[str, int] = {}
+        tensors = []
+        for info in r:
+            tname = info.ggml_type.name
+            quant_hist[tname] = quant_hist.get(tname, 0) + 1
+            tensors.append({
+                "name": info.name, "shape": list(info.logical_shape),
+                "type": tname, "bytes": info.nbytes,
+            })
+        out = {
+            "path": args.model,
+            "version": r.version,
+            "n_tensors": len(r.tensors),
+            "n_kv": len(r.metadata),
+            "architecture": r.architecture,
+            "alignment": r.alignment,
+            "quantization_histogram": quant_hist,
+            "metadata": {
+                k: (v if isinstance(v, (int, float, str, bool))
+                    else f"<{type(v).__name__}[{len(v)}]>")
+                for k, v in r.metadata.items()
+            },
+        }
+        if args.tensors:
+            out["tensors"] = tensors
+        print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
+def cmd_chat(args) -> int:
+    """Interactive REPL (commands/chat.rs): /help /clear /metrics /exit."""
+    from . import templates
+
+    engine = _build_engine(args)
+    t = (templates.TemplateType.parse(args.prompt_template)
+         if args.prompt_template else templates.TemplateType.INSTRUCT)
+    spec = templates.spec_for(t)
+    history: list[templates.Message] = []
+    if args.system_prompt:
+        history.append(templates.Message("system", args.system_prompt))
+    print("bitnet-tpu chat — /help for commands", file=sys.stderr)
+    while True:
+        try:
+            line = input("> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        if line.strip() == "/exit":
+            break
+        if line.strip() == "/help":
+            print("/help /clear /metrics /exit", file=sys.stderr)
+            continue
+        if line.strip() == "/clear":
+            history = history[:1] if args.system_prompt else []
+            print("(history cleared)", file=sys.stderr)
+            continue
+        if line.strip() == "/metrics":
+            m = getattr(engine, "_last_metrics", None)
+            print(json.dumps(m.as_dict() if m else {}), file=sys.stderr)
+            continue
+        history.append(templates.Message("user", line))
+        prompt = templates.render_chat(t, history)
+        gcfg = _gen_config(args, extra_stops=spec.stop_sequences)
+        ids = engine.tokenizer.encode(prompt, add_bos=spec.add_bos)
+        reply = []
+        for ev in engine.generate_stream(ids, gcfg):
+            sys.stdout.write(ev.text)
+            sys.stdout.flush()
+            reply.append(ev.text)
+        print()
+        history.append(templates.Message("assistant", "".join(reply)))
+    return 0
+
+
+def cmd_score(args) -> int:
+    """Perplexity scoring (bitnet-cli/src/score.rs)."""
+    import numpy as np
+
+    engine = _build_engine(args)
+    text = args.prompt
+    if args.file:
+        with open(args.file) as f:
+            text = f.read()
+    ids = engine.tokenizer.encode(text, add_bos=True)
+    if len(ids) < 2:
+        print("need at least 2 tokens", file=sys.stderr)
+        return 1
+    ids = ids[: args.max_seq_len]
+    logits = engine.eval_ids(ids)  # [T, V]
+    logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(
+        -1, keepdims=True)) - logits.max(-1, keepdims=True)
+    nll = -np.mean([logp[t, ids[t + 1]] for t in range(len(ids) - 1)])
+    print(json.dumps({
+        "tokens": len(ids),
+        "nll": float(nll),
+        "perplexity": float(np.exp(nll)),
+    }, indent=2))
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    """Deterministic throughput bench (xtask benchmark: temp=0, fixed seed)."""
+    engine = _build_engine(args)
+    from .config import GenerationConfig
+
+    gcfg = GenerationConfig(max_new_tokens=args.max_new_tokens, greedy=True,
+                            seed=42)
+    ids = engine.tokenizer.encode(args.prompt, add_bos=True)
+    # warmup (compile)
+    list(engine.generate_stream(ids, gcfg.replace(max_new_tokens=2)))
+    t0 = time.perf_counter()
+    n = 0
+    for _ in engine.generate_stream(ids, gcfg):
+        n += 1
+    dt = time.perf_counter() - t0
+    m = engine._last_metrics.as_dict()
+    print(json.dumps({
+        "prompt_tokens": len(ids),
+        "generated_tokens": n,
+        "wall_s": round(dt, 3),
+        "decode_tok_s": m["decode_tok_s"],
+        "ttft_s": m["ttft_s"],
+        "kernel_path": engine._kernel_path,
+    }))
+    return 0
+
+
+def cmd_list_templates(args) -> int:
+    from . import templates
+
+    for t in templates.TemplateType:
+        spec = templates.spec_for(t)
+        print(f"{t.value:20s} stops={list(spec.stop_sequences)} "
+              f"bos={spec.add_bos}")
+    return 0
+
+
+def cmd_list_architectures(args) -> int:
+    print("bitnet-b1.58 (llama-family GGUF: blk.N.* tensors)")
+    print("llama (generic llama-family GGUF)")
+    return 0
+
+
+def cmd_compat_check(args) -> int:
+    from .verify.compat import diagnose
+
+    report = diagnose(args.model)
+    print(json.dumps(report, indent=2))
+    return 0 if not report["errors"] else 1
+
+
+def cmd_convert(args) -> int:
+    from .tools.st2gguf import convert_safetensors_to_gguf
+
+    convert_safetensors_to_gguf(
+        args.input, args.output, quant=args.quant,
+    )
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .server import serve
+
+    serve(model_path=args.model, host=args.host, port=args.port,
+          max_seq_len=args.max_seq_len,
+          kv_cache_dtype=args.kv_cache_dtype,
+          kernel_path=args.kernel_path)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bitnet-tpu",
+                                 description="TPU-native BitNet inference")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="single-shot generation")
+    _add_gen_flags(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("tokenize", help="tokenize a prompt")
+    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--prompt", "-p", required=True)
+    p.add_argument("--no-bos", action="store_true")
+    p.set_defaults(fn=cmd_tokenize)
+
+    p = sub.add_parser("inspect", help="dump GGUF metadata")
+    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--tensors", action="store_true")
+    p.set_defaults(fn=cmd_inspect)
+
+    p = sub.add_parser("chat", help="interactive chat REPL")
+    _add_gen_flags(p)
+    p.set_defaults(fn=cmd_chat)
+
+    p = sub.add_parser("score", help="perplexity scoring")
+    _add_gen_flags(p)
+    p.add_argument("--file", help="text file to score")
+    p.set_defaults(fn=cmd_score)
+
+    p = sub.add_parser("benchmark", help="deterministic throughput bench")
+    _add_gen_flags(p)
+    p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("serve", help="HTTP inference server")
+    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-seq-len", type=int, default=2048)
+    p.add_argument("--kv-cache-dtype", default="bf16")
+    p.add_argument("--kernel-path", default="auto")
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("convert", help="SafeTensors → GGUF")
+    p.add_argument("--input", "-i", required=True)
+    p.add_argument("--output", "-o", required=True)
+    p.add_argument("--quant", default="f16",
+                   choices=["f16", "f32", "bitnet32", "qk256"])
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("compat-check", help="diagnose GGUF compatibility")
+    p.add_argument("--model", "-m", required=True)
+    p.set_defaults(fn=cmd_compat_check)
+
+    p = sub.add_parser("list-templates")
+    p.set_defaults(fn=cmd_list_templates)
+
+    p = sub.add_parser("list-architectures")
+    p.set_defaults(fn=cmd_list_architectures)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

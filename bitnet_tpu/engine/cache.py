@@ -1,0 +1,94 @@
+"""KV cache pytree.
+
+Replaces the reference's cache stack (simple cache ``bitnet-inference/src/
+cache.rs:89``, per-layer ``LayerKVCache`` ``bitnet-transformer/src/lib.rs:
+1138-1210``, optimized/paged ``kv_cache_optimized.rs``) with one static-shape
+design: preallocated [L, B, S, KV, D] buffers donated through the jitted
+step functions, so XLA updates them in place — the TPU-native answer to the
+reference's Arc<RwLock<KVCache>>.
+
+Supports bf16/f32 storage and int8 (per-slot-per-head absmax quantized)
+for half the HBM traffic during decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+_DTYPES = {
+    "f32": jnp.float32,
+    "bf16": jnp.bfloat16,
+    "int8": jnp.int8,
+    "fp8": jnp.float8_e4m3fn,
+}
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "k_scale", "v_scale", "lengths"],
+    meta_fields=["quantized"],
+)
+@dataclasses.dataclass
+class KVCache:
+    """k/v: [L, B, S, KV, D]; lengths: [B] valid slots per sequence.
+
+    When ``quantized`` is True, k/v are int8/fp8 and k_scale/v_scale hold
+    per-[L, B, S, KV] absmax scales (applied on read in attention).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    lengths: jnp.ndarray
+    k_scale: jnp.ndarray | None = None
+    v_scale: jnp.ndarray | None = None
+    quantized: bool = False
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k.shape[1]
+
+
+def allocate_cache(
+    cfg: ModelConfig,
+    batch_size: int,
+    max_seq_len: int,
+    dtype: str = "bf16",
+) -> KVCache:
+    L, KV, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    shape = (L, batch_size, max_seq_len, KV, D)
+    jdtype = _DTYPES[dtype]
+    quantized = dtype in ("int8", "fp8")
+    zeros = jnp.zeros(shape, jdtype)
+    scale_shape = (L, batch_size, max_seq_len, KV)
+    return KVCache(
+        k=zeros,
+        v=jnp.zeros_like(zeros),
+        lengths=jnp.zeros((batch_size,), jnp.int32),
+        k_scale=jnp.ones(scale_shape, jnp.float32) if quantized else None,
+        v_scale=jnp.ones(scale_shape, jnp.float32) if quantized else None,
+        quantized=quantized,
+    )
+
+
+def reset_cache(cache: KVCache) -> KVCache:
+    """Logical reset: zero the lengths (buffers are overwritten on use)."""
+    return dataclasses.replace(
+        cache, lengths=jnp.zeros_like(cache.lengths)
+    )
+
+
+def reset_slot(cache: KVCache, slot: int) -> KVCache:
+    """Reset one batch slot (continuous batching: request eviction)."""
+    return dataclasses.replace(
+        cache, lengths=cache.lengths.at[slot].set(0)
+    )

@@ -1,0 +1,377 @@
+"""InferenceEngine: jitted prefill/decode with streaming generation.
+
+Capability parity with ``InferenceEngine``
+(``bitnet-inference/src/engine.rs:710-1312``): model+tokenizer binding,
+hyperparameter sanity gates at init, prompt → prefill → per-token decode
+with KV cache, last-position logit extraction, stop handling, streaming,
+``eval_ids`` for cross-validation, and performance metrics.
+
+TPU-first differences from the reference design:
+- prefill and decode are two **compiled programs** (static shapes); prompts
+  are padded to power-of-two buckets so recompiles are rare
+  (``prefill_buckets``);
+- the KV cache is donated through the jit boundary → XLA in-place updates,
+  no host-side lock (the reference wraps its cache in tokio RwLock);
+- sampling runs **on device** inside the decode step (reference samples on
+  host from a Vec<f32>);
+- one host sync per token only to run tokenizer/stop logic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, GenerationConfig, ModelConfig
+from ..errors import ConfigError, InferenceError
+from ..models.bitnet import BitNetParams, forward, logits as model_logits
+from .cache import KVCache, allocate_cache, reset_cache
+from .sampling import MirostatState, SamplerChain
+from .stop import StopCriteria, StopReason
+
+
+@dataclasses.dataclass
+class TokenEvent:
+    """One streamed token (reference: ``bitnet-generation/src/lib.rs:196``)."""
+
+    token_id: int
+    text: str
+    index: int
+    logprob: float | None = None
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    text: str
+    token_ids: list[int]
+    stop_reason: StopReason
+    prompt_tokens: int
+    metrics: dict
+
+
+@dataclasses.dataclass
+class PerformanceMetrics:
+    """tok/s, TTFT, timing breakdown (engine.rs:541-707)."""
+
+    prompt_tokens: int = 0
+    generated_tokens: int = 0
+    prefill_s: float = 0.0
+    decode_s: float = 0.0
+    ttft_s: float = 0.0
+
+    @property
+    def decode_tok_s(self) -> float:
+        return self.generated_tokens / self.decode_s if self.decode_s > 0 else 0.0
+
+    @property
+    def prefill_tok_s(self) -> float:
+        return self.prompt_tokens / self.prefill_s if self.prefill_s > 0 else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "prompt_tokens": self.prompt_tokens,
+            "generated_tokens": self.generated_tokens,
+            "prefill_s": round(self.prefill_s, 4),
+            "decode_s": round(self.decode_s, 4),
+            "ttft_s": round(self.ttft_s, 4),
+            "decode_tok_s": round(self.decode_tok_s, 2),
+            "prefill_tok_s": round(self.prefill_tok_s, 2),
+        }
+
+
+def prefill_buckets(max_seq_len: int, smallest: int = 8) -> list[int]:
+    out, b = [], smallest
+    while b < max_seq_len:
+        out.append(b)
+        b *= 2
+    out.append(max_seq_len)
+    return out
+
+
+class InferenceEngine:
+    """Single-host engine (batch dim present; multi-host lives in parallel/)."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: BitNetParams,
+        engine_cfg: EngineConfig | None = None,
+        tokenizer=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.engine_cfg = engine_cfg or EngineConfig()
+        self.tokenizer = tokenizer
+        # hyperparameter sanity gates (engine.rs:786-792)
+        cfg.validate()
+        if self.engine_cfg.max_seq_len > cfg.max_seq_len:
+            raise ConfigError(
+                f"engine max_seq_len {self.engine_cfg.max_seq_len} exceeds "
+                f"model context {cfg.max_seq_len}"
+            )
+        self._kernel_path = self._resolve_kernel_path()
+        self._buckets = prefill_buckets(self.engine_cfg.max_seq_len)
+        self._prefill_jit = {}
+        self._decode_jit = None
+        self._sample_jit = {}
+        self.cache = allocate_cache(
+            cfg, self.engine_cfg.max_batch_size, self.engine_cfg.max_seq_len,
+            self.engine_cfg.kv_cache_dtype,
+        )
+        self.kernel_recorder: list[str] = []
+
+    # -- kernel path --------------------------------------------------------
+    def _resolve_kernel_path(self) -> str:
+        kp = self.engine_cfg.kernel_path
+        if kp != "auto":
+            return kp
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    # -- compiled steps ------------------------------------------------------
+    def _get_prefill(self, T: int) -> Callable:
+        if T not in self._prefill_jit:
+            kp = self._kernel_path
+
+            @partial(jax.jit, donate_argnums=(3,))
+            def _prefill(params, tokens, positions, cache, n_real, last_idx):
+                from ..models.bitnet import forward_cache
+
+                h, cache = forward_cache(
+                    self.cfg, params, tokens, positions, cache, n_real, kp)
+                # last-real-position logits, fused into the compiled program
+                B = h.shape[0]
+                h_last = h[jnp.arange(B), last_idx][:, None, :]  # [B, 1, H]
+                lg = model_logits(self.cfg, params, h_last, kp)[:, 0, :]
+                return lg, h, cache
+
+            self._prefill_jit[T] = _prefill
+        return self._prefill_jit[T]
+
+    def _get_decode(self) -> Callable:
+        if self._decode_jit is None:
+            kp = self._kernel_path
+
+            @partial(jax.jit, donate_argnums=(2,))
+            def _decode(params, token, cache, positions):
+                from ..models.bitnet import forward_cache
+
+                h, cache = forward_cache(
+                    self.cfg, params, token, positions, cache, 1, kp)
+                lg = model_logits(self.cfg, params, h, kp)  # [B, 1, V]
+                return lg[:, -1, :], cache
+
+            self._decode_jit = _decode
+        return self._decode_jit
+
+    def _get_sampler(self, gen_cfg: GenerationConfig) -> Callable:
+        key = (gen_cfg.temperature, gen_cfg.top_k, gen_cfg.top_p,
+               gen_cfg.min_p, gen_cfg.typical_p, gen_cfg.repetition_penalty,
+               gen_cfg.is_greedy)
+        if key not in self._sample_jit:
+            chain = SamplerChain(gen_cfg)
+            self._sample_jit[key] = jax.jit(chain.sample)
+        return self._sample_jit[key]
+
+    # -- helpers -------------------------------------------------------------
+    def _bucket(self, T: int) -> int:
+        for b in self._buckets:
+            if T <= b:
+                return b
+        raise InferenceError(
+            f"prompt of {T} tokens exceeds max_seq_len "
+            f"{self.engine_cfg.max_seq_len}"
+        )
+
+    # -- prefill -------------------------------------------------------------
+    def prefill(self, token_ids: list[int]) -> jnp.ndarray:
+        """Run the prompt through the model; returns last-token logits [B, V].
+
+        Resets the cache (single-sequence engine semantics, like
+        ``InferenceEngine::prefill`` engine.rs:1022).
+        """
+        T = len(token_ids)
+        if T == 0:
+            raise InferenceError("empty prompt")
+        S = self.engine_cfg.max_seq_len
+        if T > S:
+            raise InferenceError(f"prompt {T} tokens > max_seq_len {S}")
+        self.cache = reset_cache(self.cache)
+        B = self.engine_cfg.max_batch_size
+        Tp = self._bucket(T)
+        toks = np.zeros((B, Tp), np.int32)
+        toks[0, :T] = token_ids
+        pos = np.full((B, Tp), S, np.int32)  # padding → OOB drop
+        pos[0, :T] = np.arange(T)
+        fn = self._get_prefill(Tp)
+        lg, _h, self.cache = fn(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            jnp.asarray([T] + [0] * (B - 1), jnp.int32),
+            jnp.asarray([T - 1] + [0] * (B - 1), jnp.int32),
+        )
+        self.kernel_recorder.append(
+            f"prefill_{self._kernel_path}_T{Tp}")
+        return lg
+
+    # -- generation ----------------------------------------------------------
+    def generate_stream(
+        self,
+        token_ids: list[int],
+        gen_cfg: GenerationConfig | None = None,
+    ) -> Iterator[TokenEvent]:
+        """Stream tokens (reference: ``bitnet-inference/src/streaming.rs``)."""
+        gen_cfg = gen_cfg or GenerationConfig()
+        metrics = PerformanceMetrics(prompt_tokens=len(token_ids))
+        self._last_metrics = metrics
+
+        eos_id = None
+        if self.tokenizer is not None:
+            eos_id = getattr(self.tokenizer, "eos_token_id", None)
+        stop = StopCriteria(
+            max_new_tokens=gen_cfg.max_new_tokens,
+            eos_token_id=eos_id,
+            stop_token_ids=frozenset(gen_cfg.stop_token_ids),
+            stop_sequences=tuple(gen_cfg.stop_sequences),
+        )
+        self._last_stop_reason = StopReason.MAX_TOKENS
+
+        seed = gen_cfg.seed if gen_cfg.seed is not None else (
+            0 if self.engine_cfg.strict.deterministic else time.time_ns() % (2**31)
+        )
+        key = jax.random.PRNGKey(seed)
+        sampler = self._get_sampler(gen_cfg)
+        mirostat = (MirostatState.from_config(gen_cfg)
+                    if gen_cfg.mirostat else None)
+
+        t0 = time.perf_counter()
+        logits = self.prefill(token_ids)
+        logits.block_until_ready()
+        metrics.prefill_s = time.perf_counter() - t0
+        metrics.ttft_s = metrics.prefill_s
+
+        B = self.engine_cfg.max_batch_size
+        S = self.engine_cfg.max_seq_len
+        W = gen_cfg.repetition_window
+        history = np.full((B, W), -1, np.int32)
+        hist_ids = token_ids[-W:]
+        history[0, : len(hist_ids)] = hist_ids
+        history_dev = jnp.asarray(history)
+
+        decode = self._get_decode()
+        pos = len(token_ids)
+        t_dec = time.perf_counter()
+        generated = 0
+        while True:
+            if pos >= S:
+                self._last_stop_reason = StopReason.CONTEXT_FULL
+                break
+            key, sub = jax.random.split(key)
+            if mirostat is not None:
+                tok_id = mirostat.sample(logits[0], sub)
+                token = jnp.full((B, 1), tok_id, jnp.int32)
+            else:
+                sampled = sampler(logits, history_dev, sub)  # [B]
+                token = sampled[:, None]
+                tok_id = int(sampled[0])
+            generated += 1
+            metrics.generated_tokens = generated
+
+            text = ""
+            if self.tokenizer is not None:
+                text = self.tokenizer.token_to_piece(tok_id)
+            ev = TokenEvent(token_id=tok_id, text=text, index=generated - 1)
+            reason = stop.check(tok_id, text)
+            if reason in (StopReason.STOP_TOKEN, StopReason.EOS):
+                # stop tokens are not emitted (engine.rs stop handling)
+                self._last_stop_reason = reason
+                break
+            yield ev
+            if reason is not None:
+                self._last_stop_reason = reason
+                break
+
+            positions = np.full((B, 1), S, np.int32)
+            positions[0, 0] = pos
+            logits, self.cache = decode(
+                self.params, token, self.cache, jnp.asarray(positions))
+            history_dev = jnp.roll(history_dev, -1, axis=1).at[:, -1].set(
+                token[:, 0])
+            pos += 1
+        metrics.decode_s = time.perf_counter() - t_dec
+        self.kernel_recorder.append(f"decode_{self._kernel_path}_x{generated}")
+
+    def generate(
+        self,
+        prompt: str | list[int],
+        gen_cfg: GenerationConfig | None = None,
+    ) -> GenerationResult:
+        """Tokenize → generate → decode (engine.rs:866 generate_with_config)."""
+        gen_cfg = gen_cfg or GenerationConfig()
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise InferenceError("string prompt requires a tokenizer")
+            token_ids = self.tokenizer.encode(prompt, add_bos=gen_cfg.add_bos)
+        else:
+            token_ids = list(prompt)
+
+        out_ids: list[int] = []
+        for ev in self.generate_stream(token_ids, gen_cfg):
+            out_ids.append(ev.token_id)
+        text = (self.tokenizer.decode(out_ids)
+                if self.tokenizer is not None else "")
+        return GenerationResult(
+            text=text,
+            token_ids=out_ids,
+            stop_reason=self._last_stop_reason,
+            prompt_tokens=len(token_ids),
+            metrics=self._last_metrics.as_dict(),
+        )
+
+    # -- cross-validation ------------------------------------------------------
+    def eval_ids(self, token_ids: list[int]) -> np.ndarray:
+        """Per-position logits for the whole sequence (engine.rs:852
+        ``eval_ids`` — the crossval entry point). Returns [T, V] float32."""
+        T = len(token_ids)
+        S = self.engine_cfg.max_seq_len
+        self.cache = reset_cache(self.cache)
+        B = self.engine_cfg.max_batch_size
+        Tp = self._bucket(T)
+        toks = np.zeros((B, Tp), np.int32)
+        toks[0, :T] = token_ids
+        pos = np.full((B, Tp), S, np.int32)
+        pos[0, :T] = np.arange(T)
+        fn = self._get_prefill(Tp)
+        _lg, h, self.cache = fn(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            jnp.asarray([T] + [0] * (B - 1), jnp.int32),
+            jnp.asarray([T - 1] + [0] * (B - 1), jnp.int32),
+        )
+        lg = model_logits(self.cfg, self.params, h, self._kernel_path)
+        return np.asarray(lg[0, :T], dtype=np.float32)
+
+    @classmethod
+    def from_gguf(
+        cls,
+        path: str,
+        engine_cfg: EngineConfig | None = None,
+        tokenizer=None,
+        mode: str = "auto",
+    ) -> "InferenceEngine":
+        from ..models.loader import load_model
+        from ..tokenizer import load_tokenizer
+
+        engine_cfg = engine_cfg or EngineConfig()
+        dtype = jnp.float32 if engine_cfg.compute_dtype == "f32" else jnp.bfloat16
+        cfg, params, report = load_model(path, mode=mode, param_dtype=dtype)
+        if engine_cfg.max_seq_len > cfg.max_seq_len:
+            engine_cfg = engine_cfg.replace(max_seq_len=cfg.max_seq_len)
+        if tokenizer is None:
+            tokenizer = load_tokenizer(path)
+        eng = cls(cfg, params, engine_cfg, tokenizer)
+        eng.load_report = report
+        return eng

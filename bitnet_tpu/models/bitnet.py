@@ -86,6 +86,20 @@ def embed_tokens(params: BitNetParams, tokens: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(params.embed, tokens, axis=0)
 
 
+def _quantize_kv(x: jnp.ndarray, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-vector absmax quantization for the int8/fp8 KV cache.
+
+    x: [B, T, KV, D] → (q same shape in ``dtype``, scale [B, T, KV] f32).
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    qmax = 127.0 if dtype == jnp.int8 else 448.0  # fp8_e4m3 max
+    scale = jnp.maximum(absmax, 1e-8) / qmax
+    q = x.astype(jnp.float32) / scale[..., None]
+    if dtype == jnp.int8:
+        q = jnp.clip(jnp.round(q), -127, 127)
+    return q.astype(dtype), scale
+
+
 def block_forward(
     cfg: ModelConfig,
     x: jnp.ndarray,              # [B, T, H]
@@ -97,8 +111,11 @@ def block_forward(
     v_cache: jnp.ndarray,        # [B, S, nkv, D]
     kv_valid_len: jnp.ndarray,   # [B]
     kernel_path: str = "xla",
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One transformer block; returns (y, new_k_cache, new_v_cache)."""
+    k_scale: jnp.ndarray | None = None,   # [B, S, nkv] (quantized cache)
+    v_scale: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray | None, jnp.ndarray | None]:
+    """One transformer block; returns (y, k_cache, v_cache, k_scale, v_scale)."""
     B, T, H = x.shape
     nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     lap = partial(linear_apply, path=kernel_path)
@@ -116,13 +133,25 @@ def block_forward(
 
     # cache write: scatter at absolute positions; position==S drops (padding)
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    k_cache = k_cache.at[b_idx, q_positions].set(
-        k.astype(k_cache.dtype), mode="drop")
-    v_cache = v_cache.at[b_idx, q_positions].set(
-        v.astype(v_cache.dtype), mode="drop")
+    quantized = k_scale is not None
+    if quantized:
+        kq, ks = _quantize_kv(k, k_cache.dtype)
+        vq, vs = _quantize_kv(v, v_cache.dtype)
+        k_cache = k_cache.at[b_idx, q_positions].set(kq, mode="drop")
+        v_cache = v_cache.at[b_idx, q_positions].set(vq, mode="drop")
+        k_scale = k_scale.at[b_idx, q_positions].set(ks, mode="drop")
+        v_scale = v_scale.at[b_idx, q_positions].set(vs, mode="drop")
+        k_read = k_cache.astype(jnp.float32) * k_scale[..., None]
+        v_read = v_cache.astype(jnp.float32) * v_scale[..., None]
+    else:
+        k_cache = k_cache.at[b_idx, q_positions].set(
+            k.astype(k_cache.dtype), mode="drop")
+        v_cache = v_cache.at[b_idx, q_positions].set(
+            v.astype(v_cache.dtype), mode="drop")
+        k_read, v_read = k_cache, v_cache
 
     new_len = kv_valid_len + T  # engine guarantees T real tokens ≤ T
-    attn = attention(q, k_cache, v_cache, q_positions, new_len)
+    attn = attention(q, k_read, v_read, q_positions, new_len)
     x = x + lap(bp.wo, attn.reshape(B, T, nh * D))
 
     # --- FFN (SwiGLU; reference lib.rs:751-793) ---
@@ -130,7 +159,7 @@ def block_forward(
     gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
     up = lap(bp.w_up, h)
     x = x + lap(bp.w_down, gate * up)
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, k_scale, v_scale
 
 
 def forward(
@@ -143,9 +172,13 @@ def forward(
     kv_valid_len: jnp.ndarray,   # [B] valid length BEFORE this call
     num_real_tokens: jnp.ndarray | int | None = None,  # per-batch new tokens
     kernel_path: str = "xla",
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Full forward: returns (hidden [B, T, H], new_k_cache, new_v_cache).
+    k_scale: jnp.ndarray | None = None,   # [L, B, S, nkv] (int8/fp8 cache)
+    v_scale: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray | None, jnp.ndarray | None]:
+    """Full forward.
 
+    Returns (hidden [B, T, H], k_cache, v_cache, k_scale, v_scale).
     ``kv_valid_len`` advances by the number of *real* (non-padded) new
     tokens, which the engine passes via ``num_real_tokens`` ([B] or scalar;
     defaults to T).
@@ -155,27 +188,53 @@ def forward(
     if num_real_tokens is None:
         num_real_tokens = T
 
-    def body(carry, xs):
-        h = carry
-        bp, kc, vc = xs
-        # block_forward advances valid_len by T internally for masking; we
-        # feed it the pre-call length.
-        y, kc, vc = block_forward(
-            cfg, h, bp, params.rope_sin, params.rope_cos,
-            q_positions, kc, vc, _pre_len, kernel_path,
-        )
-        return y, (kc, vc)
-
     # attention masking needs the post-write valid length; block_forward
     # computes new_len = pre_len + T, so hand it pre_len adjusted so that
     # pre_len + T == kv_valid_len + num_real_tokens.
     _pre_len = kv_valid_len + jnp.asarray(num_real_tokens, jnp.int32) - T
 
-    x, (k_cache, v_cache) = jax.lax.scan(
-        body, x, (params.blocks, k_cache, v_cache)
+    def body(carry, xs):
+        h = carry
+        bp, kc, vc, ks, vs = xs
+        y, kc, vc, ks, vs = block_forward(
+            cfg, h, bp, params.rope_sin, params.rope_cos,
+            q_positions, kc, vc, _pre_len, kernel_path, ks, vs,
+        )
+        return y, (kc, vc, ks, vs)
+
+    x, (k_cache, v_cache, k_scale, v_scale) = jax.lax.scan(
+        body, x, (params.blocks, k_cache, v_cache, k_scale, v_scale)
     )
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, k_scale, v_scale
+
+
+def forward_cache(
+    cfg: ModelConfig,
+    params: BitNetParams,
+    tokens: jnp.ndarray,         # [B, T]
+    q_positions: jnp.ndarray,    # [B, T]
+    cache,                       # engine.cache.KVCache
+    num_real_tokens: jnp.ndarray | int | None = None,
+    kernel_path: str = "xla",
+):
+    """KVCache-pytree convenience wrapper around :func:`forward`.
+
+    Returns (hidden, new_cache) with ``cache.lengths`` advanced.
+    """
+    import dataclasses as _dc
+
+    if num_real_tokens is None:
+        num_real_tokens = tokens.shape[1]
+    h, k, v, ks, vs = forward(
+        cfg, params, tokens, q_positions, cache.k, cache.v, cache.lengths,
+        num_real_tokens, kernel_path, cache.k_scale, cache.v_scale,
+    )
+    new_cache = _dc.replace(
+        cache, k=k, v=v, k_scale=ks, v_scale=vs,
+        lengths=cache.lengths + jnp.asarray(num_real_tokens, jnp.int32),
+    )
+    return h, new_cache
 
 
 def logits(

@@ -1,0 +1,163 @@
+"""Engine end-to-end tests (reference: engine.rs:1918-2155 test block)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitnet_tpu.config import EngineConfig, GenerationConfig
+from bitnet_tpu.engine import InferenceEngine, StopReason, prefill_buckets
+from bitnet_tpu.engine.stop import StopCriteria
+from bitnet_tpu.errors import InferenceError
+from bitnet_tpu.tokenizer import MockTokenizer
+
+
+@pytest.fixture(scope="module")
+def engine(mini_gguf_f32):
+    return InferenceEngine.from_gguf(
+        mini_gguf_f32.path,
+        EngineConfig(max_seq_len=64, compute_dtype="f32"),
+    )
+
+
+class TestEngineBasics:
+    def test_greedy_generation_deterministic(self, engine):
+        cfg = GenerationConfig(max_new_tokens=8, greedy=True)
+        r1 = engine.generate([1, 5, 9], cfg)
+        r2 = engine.generate([1, 5, 9], cfg)
+        assert r1.token_ids == r2.token_ids
+        assert len(r1.token_ids) <= 8
+        assert r1.metrics["generated_tokens"] == len(r1.token_ids) or \
+            r1.stop_reason in (StopReason.EOS, StopReason.STOP_TOKEN)
+
+    def test_seeded_sampling_deterministic(self, engine):
+        cfg = GenerationConfig(max_new_tokens=8, temperature=0.9, seed=42)
+        r1 = engine.generate([1, 5, 9], cfg)
+        r2 = engine.generate([1, 5, 9], cfg)
+        assert r1.token_ids == r2.token_ids
+
+    def test_max_tokens_respected(self, engine):
+        cfg = GenerationConfig(max_new_tokens=4, greedy=True,
+                               stop_token_ids=(), stop_sequences=())
+        r = engine.generate([1, 5], cfg)
+        assert len(r.token_ids) <= 4
+
+    def test_stop_token_id(self, engine):
+        # find what greedy emits first, then stop on it
+        first = engine.generate([1, 5], GenerationConfig(
+            max_new_tokens=1, greedy=True)).token_ids[0]
+        r = engine.generate([1, 5], GenerationConfig(
+            max_new_tokens=8, greedy=True, stop_token_ids=(first,)))
+        assert r.stop_reason == StopReason.STOP_TOKEN
+        assert r.token_ids == []  # stop token not emitted
+
+    def test_empty_prompt_raises(self, engine):
+        with pytest.raises(InferenceError):
+            engine.generate([], GenerationConfig(max_new_tokens=2))
+
+    def test_too_long_prompt_raises(self, engine):
+        with pytest.raises(InferenceError):
+            engine.prefill(list(range(100)))
+
+    def test_eval_ids_matches_decode_path(self, engine):
+        """eval_ids last position == prefill logits (crossval consistency)."""
+        ids = [1, 7, 20, 3]
+        per_pos = engine.eval_ids(ids)
+        assert per_pos.shape == (4, engine.cfg.vocab_size)
+        lg = np.asarray(engine.prefill(ids)[0])
+        np.testing.assert_allclose(per_pos[-1], lg, rtol=1e-5, atol=1e-5)
+
+    def test_streaming_yields_events(self, engine):
+        evs = list(engine.generate_stream([1, 5, 9],
+                                          GenerationConfig(max_new_tokens=5,
+                                                           greedy=True)))
+        assert len(evs) >= 1
+        assert evs[0].index == 0
+        assert all(isinstance(e.token_id, int) for e in evs)
+
+    def test_metrics_populated(self, engine):
+        r = engine.generate([1, 5, 9], GenerationConfig(max_new_tokens=4,
+                                                        greedy=True))
+        assert r.metrics["prompt_tokens"] == 3
+        assert r.metrics["ttft_s"] > 0
+        assert r.metrics["decode_tok_s"] >= 0
+
+
+class TestEngineWithTokenizer:
+    def test_text_roundtrip(self, mini_gguf_f32):
+        eng = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32"),
+            tokenizer=MockTokenizer(),
+        )
+        r = eng.generate("hi", GenerationConfig(max_new_tokens=4))
+        assert isinstance(r.text, str)
+
+    def test_gguf_tokenizer_autoloaded(self, mini_gguf_f32):
+        eng = InferenceEngine.from_gguf(
+            mini_gguf_f32.path, EngineConfig(max_seq_len=64))
+        # fixture embeds a GGUF vocab → not a mock
+        assert not eng.tokenizer.is_mock
+        assert eng.tokenizer.bos_token_id == 1
+
+
+class TestInt8KVCache:
+    def test_int8_cache_close_to_f32(self, mini_gguf_f32):
+        e32 = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=64, kv_cache_dtype="f32",
+                         compute_dtype="f32"))
+        e8 = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=64, kv_cache_dtype="int8",
+                         compute_dtype="f32"))
+        ids = [1, 7, 20, 3, 50]
+        a = np.asarray(e32.prefill(ids))
+        b = np.asarray(e8.prefill(ids))
+        # int8 KV quantization noise is small; cosine must stay high
+        ca = a.reshape(-1) / np.linalg.norm(a)
+        cb = b.reshape(-1) / np.linalg.norm(b)
+        assert float(ca @ cb) > 0.99
+
+    def test_int8_greedy_generation_runs(self, mini_gguf_f32):
+        eng = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=64, kv_cache_dtype="int8",
+                         compute_dtype="f32"))
+        r = eng.generate([1, 5, 9], GenerationConfig(max_new_tokens=4,
+                                                     greedy=True))
+        assert len(r.token_ids) >= 1
+
+
+class TestStopCriteria:
+    def test_stop_sequence_across_tokens(self):
+        sc = StopCriteria(max_new_tokens=100, stop_sequences=("END",))
+        assert sc.check(1, "the E") is None
+        assert sc.check(2, "N") is None
+        assert sc.check(3, "D!") == StopReason.STOP_SEQUENCE
+
+    def test_max_tokens(self):
+        sc = StopCriteria(max_new_tokens=2)
+        assert sc.check(1) is None
+        assert sc.check(2) == StopReason.MAX_TOKENS
+
+    def test_eos(self):
+        sc = StopCriteria(max_new_tokens=10, eos_token_id=2)
+        assert sc.check(2) == StopReason.EOS
+
+    def test_priority_stop_id_over_eos(self):
+        sc = StopCriteria(max_new_tokens=10, eos_token_id=2,
+                          stop_token_ids=frozenset({2}))
+        assert sc.check(2) == StopReason.STOP_TOKEN
+
+    def test_trailing_match_withholding(self):
+        sc = StopCriteria(max_new_tokens=10, stop_sequences=("STOP",))
+        sc.check(1, "xyz ST")
+        assert sc.trailing_match_len() == 2  # "ST" could start "STOP"
+
+
+class TestBuckets:
+    def test_power_of_two(self):
+        assert prefill_buckets(64) == [8, 16, 32, 64]
+
+    def test_non_pow2_max(self):
+        assert prefill_buckets(100) == [8, 16, 32, 64, 100]

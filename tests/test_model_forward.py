@@ -25,7 +25,7 @@ def run_jax_full(cfg, params, tokens, kernel_path="xla", dtype=jnp.float32):
     pos = jnp.arange(T, dtype=jnp.int32)[None, :]
     kc = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim), dtype)
     vc = jnp.zeros_like(kc)
-    h, kc, vc = forward(cfg, params, tok, pos, kc, vc,
+    h, kc, vc, _, _ = forward(cfg, params, tok, pos, kc, vc,
                         jnp.zeros(B, jnp.int32), T, kernel_path)
     lg = logits(cfg, params, h, kernel_path)
     return np.asarray(lg[0], dtype=np.float32)
@@ -95,14 +95,14 @@ class TestIncrementalDecodeParity:
         # prefill first 3 tokens
         t0 = jnp.asarray([tokens[:3]], jnp.int32)
         pos = jnp.arange(3, dtype=jnp.int32)[None, :]
-        h, kc, vc = forward(cfg, params, t0, pos, kc, vc,
+        h, kc, vc, _, _ = forward(cfg, params, t0, pos, kc, vc,
                             jnp.zeros(B, jnp.int32), 3)
         step_logits = [np.asarray(logits(cfg, params, h)[0])]
         # decode one token at a time
         for t in range(3, len(tokens)):
             tok = jnp.asarray([[tokens[t]]], jnp.int32)
             pos = jnp.asarray([[t]], jnp.int32)
-            h, kc, vc = forward(cfg, params, tok, pos, kc, vc,
+            h, kc, vc, _, _ = forward(cfg, params, tok, pos, kc, vc,
                                 jnp.asarray([t], jnp.int32), 1)
             step_logits.append(np.asarray(logits(cfg, params, h)[0]))
 
@@ -124,7 +124,7 @@ class TestIncrementalDecodeParity:
         tok = jnp.asarray([tokens + [0] * (T - 3)], jnp.int32)
         pos = jnp.asarray(
             [list(range(3)) + [S] * (T - 3)], jnp.int32)
-        h, kc, vc = forward(cfg, params, tok, pos, kc, vc,
+        h, kc, vc, _, _ = forward(cfg, params, tok, pos, kc, vc,
                             jnp.zeros(B, jnp.int32), 3)
         padded_last_real = np.asarray(logits(cfg, params, h)[0, 2])
 
