@@ -1,0 +1,186 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric: decode tokens/s/chip on a bitnet-b1.58-2B-shaped model
+(H=2560, F=6912, L=30, 20 heads / 5 KV heads, vocab 32000 — SURVEY.md §6),
+QK256 ternary weights kept packed in HBM, fused Pallas unpack+MXU kernels,
+full autoregressive loop running on device.
+
+``vs_baseline`` is relative to the reference's strongest published decode
+number: ~55 tok/s on an RTX 4090 (BASELINE.md, GPU_PERFORMANCE_EXPECTATIONS
+measured row).
+
+Timing methodology: see bitnet_tpu/obs/timing.py — loop-in-jit with data
+dependence, scalar fetch, loop-length differencing (the axon relay makes
+naive block_until_ready timing meaningless).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_BASELINE_TOK_S = 55.0  # RTX 4090 measured (BASELINE.md)
+
+
+def build_synthetic_2b(seed: int = 0):
+    """bitnet-b1.58-2B-4T-shaped model with random ternary weights.
+
+    No checkpoint is available in this environment; weights are synthetic
+    but the compute/memory profile is exactly the 2B model's.
+    """
+    import jax.numpy as jnp
+
+    from bitnet_tpu.config import ModelConfig
+    from bitnet_tpu.models.bitnet import BitNetParams, BlockParams
+    from bitnet_tpu.ops.linear import TernaryLinear
+    from bitnet_tpu.ops.rope import build_rope_tables
+
+    cfg = ModelConfig(
+        vocab_size=32000, hidden_size=2560, intermediate_size=6912,
+        num_layers=30, num_heads=20, num_kv_heads=5, head_dim=128,
+        max_seq_len=4096, rope_base=500000.0,
+    )
+    rng = np.random.default_rng(seed)
+    L, H, F, V = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def lin(k, n, scale):
+        # random packed bytes ARE random ternary codes in our interleaved
+        # layout — no repack needed for synthetic weights
+        kp = -(-k // 256) * 256
+        npad = -(-n // 128) * 128
+        packed = jnp.asarray(
+            rng.integers(0, 256, size=(kp // 4, npad), dtype=np.uint8))
+        return TernaryLinear(kind="qk256", k=k, n=n, packed=packed,
+                             scales=jnp.float32(scale))
+
+    def lin_stack(k, n, scale):
+        ls = [lin(k, n, scale) for _ in range(L)]
+        import jax
+
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *ls)
+
+    s = 0.02  # keeps activations sane through 30 layers
+    blocks = BlockParams(
+        attn_norm=jnp.ones((L, H), jnp.float32),
+        wq=lin_stack(H, nh * D, s),
+        wk=lin_stack(H, nkv * D, s),
+        wv=lin_stack(H, nkv * D, s),
+        wo=lin_stack(nh * D, H, s),
+        ffn_norm=jnp.ones((L, H), jnp.float32),
+        w_gate=lin_stack(H, F, s),
+        w_up=lin_stack(H, F, s),
+        w_down=lin_stack(F, H, s),
+    )
+    sin, cos = build_rope_tables(D, cfg.max_seq_len, cfg.rope_base)
+    params = BitNetParams(
+        embed=jnp.asarray(rng.standard_normal((V, H)) * 0.02, jnp.bfloat16),
+        blocks=blocks,
+        final_norm=jnp.ones((H,), jnp.float32),
+        lm_head=None,
+        rope_sin=jnp.asarray(sin),
+        rope_cos=jnp.asarray(cos),
+    )
+    return cfg, params
+
+
+def bench_decode(cfg, params, kernel_path: str, S: int = 1024,
+                 n_hi: int = 48, n_lo: int = 12) -> float:
+    """Seconds per decode step (batch 1), full 30-layer model."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitnet_tpu.models.bitnet import forward, logits as model_logits
+    from bitnet_tpu.obs.timing import chain_timer
+
+    B = 1
+    kc0 = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim),
+                    jnp.bfloat16)
+
+    def step(carry):
+        tok, pos, kc, vc = carry
+        h, kc, vc, _, _ = forward(
+            cfg, params, tok[:, None],
+            jnp.minimum(pos, S - 1)[:, None], kc, vc,
+            jnp.minimum(pos, S - 1), 1, kernel_path)
+        lg = model_logits(cfg, params, h, kernel_path)[:, 0, :]
+        nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+        return nxt, pos + 1, kc, vc
+
+    def mk(i):
+        return (jnp.full((B,), (i * 7) % cfg.vocab_size, jnp.int32),
+                jnp.zeros((B,), jnp.int32), kc0, jnp.zeros_like(kc0))
+
+    return chain_timer(step, mk, n_hi, n_lo, pairs=3)
+
+
+def bench_prefill(cfg, params, kernel_path: str, T: int = 512,
+                  S: int = 1024) -> float:
+    """Seconds per T-token prefill (batch 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitnet_tpu.models.bitnet import forward
+    from bitnet_tpu.obs.timing import chain_timer
+
+    B = 1
+    kc0 = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim),
+                    jnp.bfloat16)
+    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+
+    def step(carry):
+        tok, kc, vc = carry
+        h, kc, vc, _, _ = forward(cfg, params, tok, pos, kc, vc,
+                                  jnp.zeros((B,), jnp.int32), T, kernel_path)
+        nxt = (tok + h[:, -1, :1].astype(jnp.int32) % 13 + 1) % cfg.vocab_size
+        return nxt, kc, vc
+
+    def mk(i):
+        return (jnp.full((B, T), (i * 11) % cfg.vocab_size, jnp.int32),
+                kc0, jnp.zeros_like(kc0))
+
+    return chain_timer(step, mk, 6, 2, pairs=3)
+
+
+def main() -> None:
+    import jax
+
+    backend = jax.default_backend()
+    kernel_path = "pallas" if backend == "tpu" else "xla"
+    t0 = time.time()
+    cfg, params = build_synthetic_2b()
+    build_s = time.time() - t0
+    print(f"# model built in {build_s:.1f}s; backend={backend} "
+          f"kernel_path={kernel_path}", file=sys.stderr)
+
+    dt_decode = bench_decode(cfg, params, kernel_path)
+    tok_s = 1.0 / dt_decode
+    print(f"# decode: {dt_decode*1e3:.2f} ms/token → {tok_s:.1f} tok/s",
+          file=sys.stderr)
+
+    try:
+        dt_prefill = bench_prefill(cfg, params, kernel_path)
+        prefill_tok_s = 512 / dt_prefill
+        print(f"# prefill: {dt_prefill*1e3:.1f} ms/512 tokens → "
+              f"{prefill_tok_s:.0f} tok/s", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        prefill_tok_s = None
+        print(f"# prefill bench failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "bitnet-2B decode tokens/s/chip (QK256 fused Pallas, "
+                  "synthetic weights, B=1, S=1024)",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / REFERENCE_BASELINE_TOK_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

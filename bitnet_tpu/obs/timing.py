@@ -1,0 +1,55 @@
+"""Hardened TPU timing utilities.
+
+Measuring through the axon relay has three traps (discovered empirically,
+see .claude/skills/verify/SKILL.md):
+1. ``block_until_ready`` returns at submission, not completion;
+2. the relay memoizes (executable, inputs) pairs — repeated identical calls
+   return cached results instantly;
+3. per-call round-trip noise is ~10-100 ms.
+
+Honest recipe: put N iterations of the op in ONE jit via ``lax.fori_loop``
+with a data-dependence chain, fetch a scalar (forces completion), vary the
+inputs for every call, and difference two loop lengths to cancel the fixed
+round-trip + dispatch cost.  Report the median of several pairs.
+"""
+
+from __future__ import annotations
+
+import statistics
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def chain_timer(
+    step_fn: Callable,        # (carry) -> carry, one unit of work
+    make_carry: Callable,     # (i: int) -> fresh carry pytree
+    n_hi: int,
+    n_lo: int,
+    pairs: int = 3,
+) -> float:
+    """Median seconds per single ``step_fn`` application."""
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(carry, n):
+        carry = jax.lax.fori_loop(0, n, lambda i, c: step_fn(c), carry)
+        leaf = jax.tree.leaves(carry)[0]
+        return leaf.reshape(-1)[0].astype(jnp.float32)
+
+    # warm up compiles for both loop lengths
+    float(chain(make_carry(10_001), n_lo))
+    float(chain(make_carry(10_002), n_hi))
+
+    samples = []
+    for p in range(pairs):
+        t0 = time.perf_counter()
+        float(chain(make_carry(2 * p), n_hi))
+        t_hi = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(make_carry(2 * p + 1), n_lo))
+        t_lo = time.perf_counter() - t0
+        samples.append((t_hi - t_lo) / (n_hi - n_lo))
+    return statistics.median(samples)

@@ -123,12 +123,12 @@ def dequantize_weight(lin: TernaryLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the dense [K, N] weight (XLA fallback path)."""
     if lin.kind == "dense":
         return lin.weight.astype(dtype)
-    codes = _unpack_packed(lin.packed)[: lin.k]
+    codes = _unpack_packed(lin.packed)[: lin.k, : lin.n]
     vals = _codes_to_values(codes, jnp.float32)
     if lin.kind == "bitnet32":
-        # scales [K/32, N] broadcast over 32-row blocks
-        s = jnp.repeat(lin.scales.astype(jnp.float32), 32, axis=0)[: lin.k]
-        vals = vals * s
+        # scales [K/32, Np] broadcast over 32-row blocks
+        s = jnp.repeat(lin.scales.astype(jnp.float32), 32, axis=0)
+        vals = vals * s[: lin.k, : lin.n]
     elif lin.kind == "qk256":
         if lin.scales is not None:
             vals = vals * lin.scales.astype(jnp.float32)
@@ -167,11 +167,26 @@ def dense_linear(weight_kn: np.ndarray | jnp.ndarray) -> TernaryLinear:
     return TernaryLinear(kind="dense", k=k, n=n, weight=jnp.asarray(weight_kn))
 
 
+# lane width: packed/scales columns are padded to a 128 multiple so Pallas
+# tiles are always legal (real BitNet dims are already 128-aligned).
+LANE = 128
+
+
+def _pad_cols(a: np.ndarray, mult: int = LANE) -> np.ndarray:
+    n = a.shape[1]
+    target = -(-n // mult) * mult
+    if target == n:
+        return a
+    return np.concatenate(
+        [a, np.zeros((a.shape[0], target - n), dtype=a.dtype)], axis=1
+    )
+
+
 def qk256_linear_from_codes(
     codes_kn: np.ndarray, scale: float | np.ndarray = 1.0
 ) -> TernaryLinear:
     k, n = codes_kn.shape
-    packed = jnp.asarray(repack_codes_for_tpu(codes_kn))
+    packed = jnp.asarray(_pad_cols(repack_codes_for_tpu(codes_kn)))
     return TernaryLinear(
         kind="qk256", k=k, n=n, packed=packed,
         scales=jnp.asarray(np.float32(scale)),
@@ -185,8 +200,9 @@ def bitnet32_linear_from_codes(
     k, n = codes_kn.shape
     if k % 32 != 0:
         raise QuantizationError(f"bitnet32 needs K % 32 == 0, got {k}")
-    packed = jnp.asarray(repack_codes_for_tpu(codes_kn))
+    packed = jnp.asarray(_pad_cols(repack_codes_for_tpu(codes_kn)))
+    scales = _pad_cols(np.asarray(scales_blocks_kn, dtype=np.float32))
     return TernaryLinear(
         kind="bitnet32", k=k, n=n, packed=packed,
-        scales=jnp.asarray(scales_blocks_kn, dtype=jnp.float32),
+        scales=jnp.asarray(scales),
     )

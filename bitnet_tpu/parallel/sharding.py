@@ -1,0 +1,117 @@
+"""PartitionSpecs for BitNet parameters, KV cache, and activations.
+
+This is the *real* implementation of what the reference only scaffolds
+(``bitnet-inference/src/tensor_parallel.rs:15-306``,
+``bitnet-gpu-hal/src/tensor_parallel_v2.rs:421-545`` TPLinear/TPEmbedding):
+
+- column-parallel qkv / gate / up  →  weights sharded on N (``model`` axis);
+  attention heads and FFN columns become locally-owned shards,
+- row-parallel o / down            →  weights sharded on K; XLA inserts the
+  ``psum`` (all-reduce) the reference simulates in software,
+- KV cache sharded on the KV-heads axis, batch on ``data``,
+- logits sharded on vocab when the lm head is untied.
+
+The specs drive ``jax.jit``'s SPMD partitioner (GSPMD): we annotate inputs
+with NamedShardings and let XLA place collectives on ICI — no hand-written
+transport (SURVEY.md §5 "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..engine.cache import KVCache
+from ..models.bitnet import BitNetParams, BlockParams
+from ..ops.linear import TernaryLinear
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _lin_specs(template: TernaryLinear, col_parallel: bool,
+               stacked: bool = True) -> TernaryLinear:
+    """Spec tree shaped like ``template`` (same pytree metadata).
+
+    Weight layout is [K, N] ([L, K, N] stacked).  Column-parallel shards N
+    on ``model``; row-parallel shards K.  ``packed`` rows are K/4 and
+    ``scales`` rows are K/32 — sharding the leading (row) dim of both keeps
+    every shard on whole interleave tiles as long as K/tp is a multiple of
+    the 256-row granule, which holds for all BitNet dims with tp ≤ 8.
+    """
+    lead = (None,) if stacked else ()
+    if col_parallel:
+        mat = P(*lead, None, MODEL_AXIS)
+    else:
+        mat = P(*lead, MODEL_AXIS, None)
+    scales = None
+    if template.scales is not None:
+        # qk256 per-tensor scales are scalars → replicate
+        scales = mat if template.scales.ndim >= (2 + len(lead)) else P()
+    return dataclasses.replace(
+        template,
+        weight=mat if template.weight is not None else None,
+        packed=mat if template.packed is not None else None,
+        scales=scales,
+    )
+
+
+def param_pspecs(cfg: ModelConfig, params: BitNetParams) -> BitNetParams:
+    """PartitionSpec tree matching ``params``' structure exactly."""
+    b = params.blocks
+    blocks = BlockParams(
+        attn_norm=P(None, None),
+        wq=_lin_specs(b.wq, True),
+        wk=_lin_specs(b.wk, True),
+        wv=_lin_specs(b.wv, True),
+        wo=_lin_specs(b.wo, False),        # row-parallel → psum
+        ffn_norm=P(None, None),
+        w_gate=_lin_specs(b.w_gate, True),
+        w_up=_lin_specs(b.w_up, True),
+        w_down=_lin_specs(b.w_down, False),  # row-parallel → psum
+    )
+    lm_head = None
+    if params.lm_head is not None:
+        lm_head = _lin_specs(params.lm_head, True, stacked=False)
+    return BitNetParams(
+        embed=P(None, None),        # replicated (tied head needs full rows)
+        blocks=blocks,
+        final_norm=P(None),
+        lm_head=lm_head,
+        rope_sin=P(None, None),
+        rope_cos=P(None, None),
+    )
+
+
+def cache_pspecs(cache: KVCache) -> KVCache:
+    """[L, B, S, KV, D]: batch on data, KV heads on model."""
+    kv = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    sc = P(None, DATA_AXIS, None, MODEL_AXIS)
+    return dataclasses.replace(
+        cache,
+        k=kv, v=kv,
+        lengths=P(DATA_AXIS),
+        k_scale=sc if cache.k_scale is not None else None,
+        v_scale=sc if cache.v_scale is not None else None,
+    )
+
+
+def _put(mesh: Mesh, tree, specs):
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        tree, specs,
+    )
+
+
+def shard_params(mesh: Mesh, cfg: ModelConfig,
+                 params: BitNetParams) -> BitNetParams:
+    return _put(mesh, params, param_pspecs(cfg, params))
+
+
+def shard_cache(mesh: Mesh, cache: KVCache) -> KVCache:
+    return _put(mesh, cache, cache_pspecs(cache))
+
+
+def token_pspec() -> P:
+    return P(DATA_AXIS, None)

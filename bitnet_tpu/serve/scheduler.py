@@ -1,0 +1,349 @@
+"""Continuous-batching scheduler.
+
+Supersedes the reference's request-level ``BatchEngine``
+(``bitnet-server/src/batch_engine.rs:17-164``) with per-decode-step
+insertion/eviction (SURVEY.md §7 P5): a fixed pool of B cache slots; every
+engine step advances ALL active sequences one token in a single batched
+forward; finished sequences free their slot immediately and pending
+requests are prefilled into free slots between steps.
+
+TPU-first details:
+- one compiled decode program for the whole pool (static B), per-slot
+  absolute positions + valid lengths make ragged batches exact;
+- prefill runs at B=1 and the fresh KV rows are spliced into the pool
+  cache at the assigned slot (cache rows are independent);
+- per-slot temperature / top-p / repetition-penalty ride through the
+  compiled sampler as traced arrays (no recompile per request).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from functools import partial
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, GenerationConfig, ModelConfig
+from ..engine.cache import KVCache, allocate_cache
+from ..engine.sampling import NEG_INF
+from ..engine.stop import StopCriteria, StopReason
+from ..models.bitnet import BitNetParams, forward, logits as model_logits
+
+
+@dataclasses.dataclass
+class Request:
+    token_ids: list[int]
+    gen: GenerationConfig
+    # results are streamed through this queue as (token_id, text, done, reason)
+    out: "queue.Queue[tuple[int | None, str, bool, StopReason | None]]" = \
+        dataclasses.field(default_factory=queue.Queue)
+    id: int = 0
+    submitted_at: float = dataclasses.field(default_factory=time.time)
+    priority: int = 0           # lower = sooner (batch_engine.rs priorities)
+
+
+@dataclasses.dataclass
+class _Slot:
+    active: bool = False
+    req: Request | None = None
+    stop: StopCriteria | None = None
+    generated: int = 0
+    pos: int = 0
+
+
+class ContinuousBatchingScheduler:
+    """Owns the model + pool cache; runs the decode loop in its own thread."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: BitNetParams,
+        tokenizer,
+        engine_cfg: EngineConfig | None = None,
+        num_slots: int = 4,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.engine_cfg = engine_cfg or EngineConfig()
+        self.B = num_slots
+        self.S = self.engine_cfg.max_seq_len
+        self._kp = (
+            "pallas" if (self.engine_cfg.kernel_path == "auto"
+                         and jax.default_backend() == "tpu")
+            else ("xla" if self.engine_cfg.kernel_path == "auto"
+                  else self.engine_cfg.kernel_path)
+        )
+        self.cache = allocate_cache(cfg, self.B, self.S,
+                                    self.engine_cfg.kv_cache_dtype)
+        self.slots = [_Slot() for _ in range(self.B)]
+        self.pending: "queue.PriorityQueue[tuple[int, float, int, Request]]" \
+            = queue.PriorityQueue()
+        self._tokens = np.zeros(self.B, np.int32)     # next input per slot
+        self._wake = threading.Event()
+        self._stopping = False
+        self._req_counter = 0
+        self._lock = threading.Lock()
+        self.stats = {
+            "requests": 0, "completed": 0, "tokens_generated": 0,
+            "decode_steps": 0, "active_slots": 0, "queue_depth": 0,
+        }
+        self._key = jax.random.PRNGKey(0)
+        self._build_programs()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------ jit
+    def _build_programs(self) -> None:
+        cfg, kp = self.cfg, self._kp
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def decode_step(params, tokens, positions, cache: KVCache,
+                        active, temps, top_ps, min_ps, rep_pens, history,
+                        key):
+            """One batched decode step for all slots."""
+            pos_in = jnp.where(active, positions, self.S)
+            h, k, v, ks, vs = forward(
+                cfg, params, tokens[:, None], pos_in[:, None],
+                cache.k, cache.v, positions,
+                num_real_tokens=active.astype(jnp.int32),
+                kernel_path=kp, k_scale=cache.k_scale, v_scale=cache.v_scale,
+            )
+            cache = dataclasses.replace(
+                cache, k=k, v=v, k_scale=ks, v_scale=vs,
+                lengths=cache.lengths + active.astype(jnp.int32))
+            lg = model_logits(cfg, params, h, kp)[:, 0, :].astype(jnp.float32)
+
+            # per-slot sampling (traced parameters)
+            B, V = lg.shape
+            hist = jnp.where(history < 0, V, history)
+            counts = jnp.zeros((B, V + 1), lg.dtype).at[
+                jnp.arange(B)[:, None], hist].add(1.0)[:, :V]
+            seen = counts > 0
+            pen = jnp.where(lg > 0, lg / rep_pens[:, None],
+                            lg * rep_pens[:, None])
+            lg = jnp.where(seen, pen, lg)
+            greedy_tok = jnp.argmax(lg, -1).astype(jnp.int32)
+            t = jnp.maximum(temps[:, None], 1e-6)
+            lt = lg / t
+            # top-p (traced per-slot p)
+            sort = jnp.sort(lt, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sort, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = (cum - probs) < top_ps[:, None]
+            thr = jnp.min(jnp.where(keep, sort, jnp.inf), -1, keepdims=True)
+            lt = jnp.where(lt < thr, NEG_INF, lt)
+            # min-p with traced per-slot threshold
+            sp = jax.nn.softmax(lt, -1)
+            lt = jnp.where(
+                sp < min_ps[:, None] * jnp.max(sp, -1, keepdims=True),
+                NEG_INF, lt)
+            sampled = jax.random.categorical(key, lt, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(temps <= 0.0, greedy_tok, sampled)
+            return nxt, lg, cache
+
+        self._decode_step = decode_step
+
+        def make_prefill(T: int):
+            @jax.jit
+            def prefill(params, tokens, positions, n_real, last_idx):
+                B1, S = 1, self.S
+                kc = jnp.zeros(
+                    (cfg.num_layers, B1, S, cfg.num_kv_heads, cfg.head_dim),
+                    self.cache.k.dtype)
+                vc = jnp.zeros_like(kc)
+                ks = vs = None
+                if self.cache.k_scale is not None:
+                    ks = jnp.ones((cfg.num_layers, B1, S, cfg.num_kv_heads),
+                                  jnp.float32)
+                    vs = jnp.ones_like(ks)
+                h, kc, vc, ks, vs = forward(
+                    cfg, params, tokens, positions, kc, vc,
+                    jnp.zeros((B1,), jnp.int32), n_real, kp, ks, vs)
+                h_last = h[jnp.arange(B1), last_idx][:, None, :]
+                lg = model_logits(cfg, params, h_last, kp)[:, 0, :]
+                return lg, kc, vc, ks, vs
+            return prefill
+
+        self._prefill_cache: dict[int, Callable] = {}
+        self._make_prefill = make_prefill
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def splice(cache: KVCache, kc, vc, ks, vs, slot, length):
+            """Insert a prefilled B=1 sequence into pool slot ``slot``."""
+            k = jax.lax.dynamic_update_slice(
+                cache.k, kc.astype(cache.k.dtype),
+                (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache.v, vc.astype(cache.v.dtype), (0, slot, 0, 0, 0))
+            new = dataclasses.replace(
+                cache, k=k, v=v,
+                lengths=jax.lax.dynamic_update_slice(
+                    cache.lengths, length[None], (slot,)))
+            if cache.k_scale is not None:
+                new = dataclasses.replace(
+                    new,
+                    k_scale=jax.lax.dynamic_update_slice(
+                        cache.k_scale, ks, (0, slot, 0, 0)),
+                    v_scale=jax.lax.dynamic_update_slice(
+                        cache.v_scale, vs, (0, slot, 0, 0)),
+                )
+            return new
+
+        self._splice = splice
+
+    # ------------------------------------------------------------- public
+    def submit(self, token_ids: list[int],
+               gen: GenerationConfig | None = None,
+               priority: int = 0) -> Request:
+        gen = gen or GenerationConfig()
+        with self._lock:
+            self._req_counter += 1
+            rid = self._req_counter
+        req = Request(token_ids=list(token_ids), gen=gen, id=rid,
+                      priority=priority)
+        self.pending.put((priority, req.submitted_at, rid, req))
+        self.stats["requests"] += 1
+        self._wake.set()
+        return req
+
+    def stream(self, req: Request, timeout: float = 300.0
+               ) -> Iterator[tuple[int, str]]:
+        """Yield (token_id, text) until the request finishes."""
+        while True:
+            tok, text, done, reason = req.out.get(timeout=timeout)
+            if tok is not None:
+                yield tok, text
+            if done:
+                return
+
+    def shutdown(self) -> None:
+        self._stopping = True
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    # -------------------------------------------------------------- loop
+    def _bucket(self, T: int) -> int:
+        b = 8
+        while b < T:
+            b *= 2
+        return min(b, self.S)
+
+    def _admit(self) -> None:
+        for slot_idx, slot in enumerate(self.slots):
+            if slot.active:
+                continue
+            try:
+                _, _, _, req = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            T = len(req.token_ids)
+            if T == 0 or T >= self.S:
+                req.out.put((None, "", True, StopReason.CONTEXT_FULL))
+                continue
+            Tp = self._bucket(T)
+            toks = np.zeros((1, Tp), np.int32)
+            toks[0, :T] = req.token_ids
+            pos = np.full((1, Tp), self.S, np.int32)
+            pos[0, :T] = np.arange(T)
+            if Tp not in self._prefill_cache:
+                self._prefill_cache[Tp] = self._make_prefill(Tp)
+            lg, kc, vc, ks, vs = self._prefill_cache[Tp](
+                self.params, jnp.asarray(toks), jnp.asarray(pos),
+                jnp.asarray([T], jnp.int32), jnp.asarray([T - 1], jnp.int32))
+            self.cache = self._splice(self.cache, kc, vc, ks, vs,
+                                      slot_idx, jnp.asarray(T, jnp.int32))
+
+            # first token comes from the prefill logits (greedy/sampled)
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            slot.req = req
+            slot.stop = StopCriteria(
+                max_new_tokens=req.gen.max_new_tokens,
+                eos_token_id=eos,
+                stop_token_ids=frozenset(req.gen.stop_token_ids),
+                stop_sequences=tuple(req.gen.stop_sequences),
+            )
+            slot.generated = 0
+            slot.pos = T
+            slot.active = True
+            first = self._sample_host(lg, req.gen)
+            self._emit(slot_idx, first)
+
+    def _sample_host(self, lg: jnp.ndarray, gen: GenerationConfig) -> int:
+        """Sample the prefill token on host (one-off per request)."""
+        from ..engine.sampling import SamplerChain
+
+        self._key, sub = jax.random.split(self._key)
+        chain = SamplerChain(gen)
+        hist = jnp.full((1, 4), -1, jnp.int32)
+        return int(chain.sample(lg.astype(jnp.float32), hist, sub)[0])
+
+    def _emit(self, slot_idx: int, tok: int) -> None:
+        """Record a generated token; handle stop + eviction."""
+        slot = self.slots[slot_idx]
+        req, stop = slot.req, slot.stop
+        text = self.tokenizer.token_to_piece(tok) if self.tokenizer else ""
+        reason = stop.check(tok, text)
+        slot.generated += 1
+        self.stats["tokens_generated"] += 1
+        if reason in (StopReason.STOP_TOKEN, StopReason.EOS):
+            req.out.put((None, "", True, reason))
+        elif reason is not None:
+            req.out.put((tok, text, True, reason))
+        elif slot.pos + 1 >= self.S:
+            req.out.put((tok, text, True, StopReason.CONTEXT_FULL))
+            reason = StopReason.CONTEXT_FULL
+        else:
+            req.out.put((tok, text, False, None))
+            self._tokens[slot_idx] = tok
+            return
+        # finished → free slot
+        slot.active = False
+        slot.req = None
+        self.stats["completed"] += 1
+
+    def _loop(self) -> None:
+        while not self._stopping:
+            self._admit()
+            active_idx = [i for i, s in enumerate(self.slots) if s.active]
+            self.stats["active_slots"] = len(active_idx)
+            self.stats["queue_depth"] = self.pending.qsize()
+            if not active_idx:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+
+            active = np.zeros(self.B, bool)
+            temps = np.zeros(self.B, np.float32)
+            top_ps = np.ones(self.B, np.float32)
+            min_ps = np.zeros(self.B, np.float32)
+            reps = np.ones(self.B, np.float32)
+            positions = np.zeros(self.B, np.int32)
+            hist = np.full((self.B, 64), -1, np.int32)
+            for i in active_idx:
+                s = self.slots[i]
+                g = s.req.gen
+                active[i] = True
+                temps[i] = 0.0 if g.is_greedy else g.temperature
+                top_ps[i] = g.top_p
+                min_ps[i] = g.min_p
+                reps[i] = g.repetition_penalty
+                positions[i] = s.pos
+            self._key, sub = jax.random.split(self._key)
+            nxt, lg, self.cache = self._decode_step(
+                self.params, jnp.asarray(self._tokens),
+                jnp.asarray(positions), self.cache,
+                jnp.asarray(active), jnp.asarray(temps),
+                jnp.asarray(top_ps), jnp.asarray(min_ps), jnp.asarray(reps),
+                jnp.asarray(hist), sub)
+            nxt_np = np.asarray(nxt)
+            self.stats["decode_steps"] += 1
+            for i in active_idx:
+                self.slots[i].pos += 1
+                self._emit(i, int(nxt_np[i]))

@@ -1,0 +1,266 @@
+"""HTTP inference server (aiohttp).
+
+Route parity with ``bitnet-server`` (``src/lib.rs:265-309``):
+- ``POST /v1/inference``          — single-shot generation
+- ``POST /v1/inference/stream``   — SSE token stream
+- ``POST /v1/chat/completions``   — OpenAI-compatible chat endpoint
+  (gpu-hal's openai-compat server equivalent)
+- ``GET  /v1/models``             — loaded model info
+- ``GET  /v1/stats``              — scheduler statistics
+- ``GET  /health`` / ``/healthz`` — liveness/readiness
+- ``GET  /metrics``               — Prometheus text format
+
+Middleware: request-size limits + error envelopes (security validator
+equivalent); the continuous-batching scheduler replaces the reference's
+``BatchEngine``; graceful shutdown drains the scheduler.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from typing import Any
+
+from ..config import EngineConfig, GenerationConfig
+from ..engine.stop import StopReason
+from .scheduler import ContinuousBatchingScheduler
+
+MAX_BODY_BYTES = 1 << 20
+START_TIME = time.time()
+
+
+def _gen_config_from_body(body: dict) -> GenerationConfig:
+    return GenerationConfig(
+        max_new_tokens=int(body.get("max_new_tokens",
+                                    body.get("max_tokens", 128))),
+        temperature=float(body.get("temperature", 1.0)),
+        top_k=int(body.get("top_k", 0)),
+        top_p=float(body.get("top_p", 1.0)),
+        min_p=float(body.get("min_p", 0.0)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        seed=body.get("seed"),
+        greedy=bool(body.get("greedy", False)),
+        stop_sequences=tuple(body.get("stop", []) or []),
+    )
+
+
+class BitNetServer:
+    def __init__(self, scheduler: ContinuousBatchingScheduler,
+                 model_name: str = "bitnet-tpu"):
+        self.scheduler = scheduler
+        self.model_name = model_name
+
+    # ------------------------------------------------------------ helpers
+    def _encode(self, body: dict) -> list[int]:
+        tk = self.scheduler.tokenizer
+        if "tokens" in body:
+            return [int(t) for t in body["tokens"]]
+        prompt = body.get("prompt", "")
+        if "messages" in body:
+            from .. import templates
+
+            msgs = [templates.Message(m["role"], m["content"])
+                    for m in body["messages"]]
+            prompt = templates.render_chat(
+                templates.TemplateType.CHATML, msgs)
+        return tk.encode(prompt, add_bos=True)
+
+    async def _collect(self, req) -> tuple[str, list[int], StopReason]:
+        """Run one request to completion off the event loop."""
+        loop = asyncio.get_event_loop()
+
+        def run():
+            toks, texts, reason = [], [], StopReason.MAX_TOKENS
+            while True:
+                tok, text, done, r = req.out.get(timeout=600)
+                if tok is not None:
+                    toks.append(tok)
+                    texts.append(text)
+                if done:
+                    return "".join(texts), toks, r or reason
+        return await loop.run_in_executor(None, run)
+
+    # ------------------------------------------------------------- routes
+    async def handle_inference(self, request):
+        from aiohttp import web
+
+        body = await self._json(request)
+        if isinstance(body, web.Response):
+            return body
+        ids = self._encode(body)
+        t0 = time.time()
+        req = self.scheduler.submit(ids, _gen_config_from_body(body))
+        text, toks, reason = await self._collect(req)
+        return web.json_response({
+            "text": text,
+            "tokens": toks,
+            "num_tokens": len(toks),
+            "stop_reason": reason.value if reason else None,
+            "prompt_tokens": len(ids),
+            "latency_s": round(time.time() - t0, 4),
+            "model": self.model_name,
+        })
+
+    async def handle_stream(self, request):
+        from aiohttp import web
+
+        body = await self._json(request)
+        if isinstance(body, web.Response):
+            return body
+        ids = self._encode(body)
+        req = self.scheduler.submit(ids, _gen_config_from_body(body))
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        loop = asyncio.get_event_loop()
+        idx = 0
+        while True:
+            tok, text, done, reason = await loop.run_in_executor(
+                None, lambda: req.out.get(timeout=600))
+            if tok is not None:
+                payload = json.dumps({"token": tok, "text": text,
+                                      "index": idx})
+                await resp.write(f"data: {payload}\n\n".encode())
+                idx += 1
+            if done:
+                fin = json.dumps({"done": True,
+                                  "stop_reason":
+                                  reason.value if reason else None})
+                await resp.write(f"data: {fin}\n\n".encode())
+                break
+        await resp.write_eof()
+        return resp
+
+    async def handle_chat_completions(self, request):
+        """OpenAI-compatible endpoint."""
+        from aiohttp import web
+
+        body = await self._json(request)
+        if isinstance(body, web.Response):
+            return body
+        ids = self._encode(body)
+        req = self.scheduler.submit(ids, _gen_config_from_body(body))
+        text, toks, reason = await self._collect(req)
+        return web.json_response({
+            "id": f"chatcmpl-{req.id}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": "stop" if reason in (
+                    StopReason.EOS, StopReason.STOP_TOKEN,
+                    StopReason.STOP_SEQUENCE) else "length",
+            }],
+            "usage": {
+                "prompt_tokens": len(ids),
+                "completion_tokens": len(toks),
+                "total_tokens": len(ids) + len(toks),
+            },
+        })
+
+    async def handle_models(self, request):
+        from aiohttp import web
+
+        cfg = self.scheduler.cfg
+        return web.json_response({"models": [{
+            "id": self.model_name,
+            "architecture": cfg.architecture,
+            "num_layers": cfg.num_layers,
+            "hidden_size": cfg.hidden_size,
+            "vocab_size": cfg.vocab_size,
+            "max_seq_len": self.scheduler.S,
+            "slots": self.scheduler.B,
+        }]})
+
+    async def handle_stats(self, request):
+        from aiohttp import web
+
+        return web.json_response({
+            **self.scheduler.stats,
+            "uptime_s": round(time.time() - START_TIME, 1),
+        })
+
+    async def handle_health(self, request):
+        from aiohttp import web
+
+        return web.json_response({"status": "ok"})
+
+    async def handle_metrics(self, request):
+        """Prometheus text exposition (monitoring/prometheus.rs parity)."""
+        from aiohttp import web
+
+        s = self.scheduler.stats
+        lines = []
+        for k, v in s.items():
+            lines.append(f"# TYPE bitnet_{k} gauge")
+            lines.append(f"bitnet_{k} {v}")
+        lines.append("# TYPE bitnet_uptime_seconds counter")
+        lines.append(f"bitnet_uptime_seconds {time.time() - START_TIME:.1f}")
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    async def _json(self, request):
+        from aiohttp import web
+
+        if request.content_length and request.content_length > MAX_BODY_BYTES:
+            return web.json_response({"error": "body too large"}, status=413)
+        try:
+            return await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON"}, status=400)
+
+    # --------------------------------------------------------------- app
+    def build_app(self):
+        from aiohttp import web
+
+        app = web.Application(client_max_size=MAX_BODY_BYTES)
+        app.router.add_post("/v1/inference", self.handle_inference)
+        app.router.add_post("/inference", self.handle_inference)  # legacy
+        app.router.add_post("/v1/inference/stream", self.handle_stream)
+        app.router.add_post("/v1/chat/completions",
+                            self.handle_chat_completions)
+        app.router.add_post("/v1/completions", self.handle_inference)
+        app.router.add_get("/v1/models", self.handle_models)
+        app.router.add_get("/v1/stats", self.handle_stats)
+        app.router.add_get("/health", self.handle_health)
+        app.router.add_get("/healthz", self.handle_health)
+        app.router.add_get("/metrics", self.handle_metrics)
+        return app
+
+
+def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
+          max_seq_len: int = 2048, kv_cache_dtype: str = "bf16",
+          kernel_path: str = "auto", num_slots: int = 4) -> None:
+    """Load model + start the server (blocking)."""
+    from aiohttp import web
+
+    from ..models.loader import load_model
+    from ..tokenizer import load_tokenizer
+
+    ecfg = EngineConfig(max_seq_len=max_seq_len,
+                        kv_cache_dtype=kv_cache_dtype,
+                        kernel_path=kernel_path)
+    import jax.numpy as jnp
+
+    cfg, params, _ = load_model(
+        model_path,
+        param_dtype=jnp.float32 if ecfg.compute_dtype == "f32" else jnp.bfloat16)
+    if ecfg.max_seq_len > cfg.max_seq_len:
+        ecfg = ecfg.replace(max_seq_len=cfg.max_seq_len)
+    tokenizer = load_tokenizer(model_path)
+    sched = ContinuousBatchingScheduler(cfg, params, tokenizer, ecfg,
+                                        num_slots=num_slots)
+    server = BitNetServer(sched)
+    app = server.build_app()
+
+    async def on_shutdown(app):
+        sched.shutdown()
+
+    app.on_shutdown.append(on_shutdown)
+    web.run_app(app, host=host, port=port)
