@@ -113,12 +113,23 @@ def block_forward(
     kernel_path: str = "xla",
     k_scale: jnp.ndarray | None = None,   # [B, S, nkv] (quantized cache)
     v_scale: jnp.ndarray | None = None,
+    write_slots: jnp.ndarray | None = None,   # [B, T] cache slots (ring buf)
+    kv_positions: jnp.ndarray | None = None,  # [B, S] abs pos per slot
+    window: int | None = None,                # sliding-window width
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray | None, jnp.ndarray | None]:
-    """One transformer block; returns (y, k_cache, v_cache, k_scale, v_scale)."""
+    """One transformer block; returns (y, k_cache, v_cache, k_scale, v_scale).
+
+    ``write_slots`` (default: the absolute positions) decouples where KV is
+    *stored* from where it logically *is* — the ring-buffer windowed cache
+    writes at ``pos % W`` and supplies ``kv_positions`` so attention masks
+    by true position (reference WindowedKVCache, sliding_window.rs:238).
+    """
     B, T, H = x.shape
     nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     lap = partial(linear_apply, path=kernel_path)
+    if write_slots is None:
+        write_slots = q_positions
 
     # --- attention ---
     h = rms_norm(x, bp.attn_norm, cfg.rms_norm_eps)
@@ -131,27 +142,28 @@ def block_forward(
     q = apply_rope(q, rope_sin, rope_cos, rope_pos)
     k = apply_rope(k, rope_sin, rope_cos, rope_pos)
 
-    # cache write: scatter at absolute positions; position==S drops (padding)
+    # cache write: scatter at write slots; slot==S drops (padding)
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
     quantized = k_scale is not None
     if quantized:
         kq, ks = _quantize_kv(k, k_cache.dtype)
         vq, vs = _quantize_kv(v, v_cache.dtype)
-        k_cache = k_cache.at[b_idx, q_positions].set(kq, mode="drop")
-        v_cache = v_cache.at[b_idx, q_positions].set(vq, mode="drop")
-        k_scale = k_scale.at[b_idx, q_positions].set(ks, mode="drop")
-        v_scale = v_scale.at[b_idx, q_positions].set(vs, mode="drop")
+        k_cache = k_cache.at[b_idx, write_slots].set(kq, mode="drop")
+        v_cache = v_cache.at[b_idx, write_slots].set(vq, mode="drop")
+        k_scale = k_scale.at[b_idx, write_slots].set(ks, mode="drop")
+        v_scale = v_scale.at[b_idx, write_slots].set(vs, mode="drop")
         k_read = k_cache.astype(jnp.float32) * k_scale[..., None]
         v_read = v_cache.astype(jnp.float32) * v_scale[..., None]
     else:
-        k_cache = k_cache.at[b_idx, q_positions].set(
+        k_cache = k_cache.at[b_idx, write_slots].set(
             k.astype(k_cache.dtype), mode="drop")
-        v_cache = v_cache.at[b_idx, q_positions].set(
+        v_cache = v_cache.at[b_idx, write_slots].set(
             v.astype(v_cache.dtype), mode="drop")
         k_read, v_read = k_cache, v_cache
 
     new_len = kv_valid_len + T  # engine guarantees T real tokens ≤ T
-    attn = attention(q, k_read, v_read, q_positions, new_len)
+    attn = attention(q, k_read, v_read, q_positions, new_len,
+                     kv_positions=kv_positions, window=window)
     x = x + lap(bp.wo, attn.reshape(B, T, nh * D))
 
     # --- FFN (SwiGLU; reference lib.rs:751-793) ---
@@ -174,6 +186,9 @@ def forward(
     kernel_path: str = "xla",
     k_scale: jnp.ndarray | None = None,   # [L, B, S, nkv] (int8/fp8 cache)
     v_scale: jnp.ndarray | None = None,
+    write_slots: jnp.ndarray | None = None,   # [B, T] (ring-buffer cache)
+    kv_positions: jnp.ndarray | None = None,  # [B, S]
+    window: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray | None, jnp.ndarray | None]:
     """Full forward.
@@ -199,6 +214,7 @@ def forward(
         y, kc, vc, ks, vs = block_forward(
             cfg, h, bp, params.rope_sin, params.rope_cos,
             q_positions, kc, vc, _pre_len, kernel_path, ks, vs,
+            write_slots, kv_positions, window,
         )
         return y, (kc, vc, ks, vs)
 

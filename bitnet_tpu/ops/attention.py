@@ -24,11 +24,23 @@ def attention(
     v: jnp.ndarray,          # [B, S, n_kv, D]
     q_positions: jnp.ndarray,  # [B, Tq] absolute position of each query
     kv_valid_len: jnp.ndarray,  # [B] number of valid cache slots
+    kv_positions: jnp.ndarray | None = None,  # [B, S] abs pos per slot
+    window: int | None = None,                # sliding-window width
+    extra_mask: jnp.ndarray | None = None,    # [B, Tq, S] pattern mask
 ) -> jnp.ndarray:
     """Causal GQA attention over a (possibly padded) KV buffer.
 
-    A key at slot ``s`` attends iff ``s < kv_valid_len`` and
-    ``s <= q_position`` (causality).  Returns [B, Tq, n_heads, D].
+    Default layout: slot ``s`` holds absolute position ``s``; a key is
+    attendable iff ``s < kv_valid_len`` and ``s <= q_position`` (causality).
+
+    ``kv_positions`` overrides the slot→position identity for ring-buffer
+    (windowed) caches: slot validity becomes ``kv_positions >= 0`` and
+    causality uses the stored positions (``kv_valid_len`` is ignored).
+    ``window`` adds a sliding-window constraint ``key_pos > q_pos - window``
+    (reference sliding_window.rs:20-114). ``extra_mask`` ANDs an arbitrary
+    pattern mask (dilated/global-local/block — ops.attention_patterns).
+
+    Returns [B, Tq, n_heads, D].
     """
     B, Tq, H, D = q.shape
     S, KV = k.shape[1], k.shape[2]
@@ -42,10 +54,20 @@ def attention(
     # scores: [B, KV, G, Tq, S]
     scores = jnp.einsum("btkgd,bskd->bkgts", qf, kf) * scale
 
-    slot = jnp.arange(S, dtype=jnp.int32)
-    causal = slot[None, None, :] <= q_positions[:, :, None]        # [B, Tq, S]
-    valid = slot[None, None, :] < kv_valid_len[:, None, None]       # [B, 1→Tq, S]
-    mask = (causal & valid)[:, None, None, :, :]                    # [B,1,1,Tq,S]
+    if kv_positions is None:
+        slot = jnp.arange(S, dtype=jnp.int32)
+        key_pos = jnp.broadcast_to(slot[None, :], (B, S))          # [B, S]
+        valid = slot[None, None, :] < kv_valid_len[:, None, None]  # [B,1→Tq,S]
+    else:
+        key_pos = kv_positions
+        valid = (key_pos >= 0)[:, None, :]                          # [B, 1, S]
+    causal = key_pos[:, None, :] <= q_positions[:, :, None]        # [B, Tq, S]
+    mask = causal & valid
+    if window is not None:
+        mask &= key_pos[:, None, :] > q_positions[:, :, None] - window
+    if extra_mask is not None:
+        mask &= extra_mask
+    mask = mask[:, None, None, :, :]                                # [B,1,1,Tq,S]
     scores = jnp.where(mask, scores, NEG_INF)
 
     # numerically-stable softmax (max-subtract like the reference :492)
