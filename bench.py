@@ -50,21 +50,16 @@ def build_synthetic_2b(seed: int = 0):
     L, H, F, V = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    def lin(k, n, scale):
+    def lin_stack(k, n, scale):
         # random packed bytes ARE random ternary codes in our interleaved
-        # layout — no repack needed for synthetic weights
+        # layout — no repack needed for synthetic weights; one RNG call for
+        # the whole [L, K/4, N] stack keeps host-side build time low
         kp = -(-k // 256) * 256
         npad = -(-n // 128) * 128
         packed = jnp.asarray(
-            rng.integers(0, 256, size=(kp // 4, npad), dtype=np.uint8))
+            rng.integers(0, 256, size=(L, kp // 4, npad), dtype=np.uint8))
         return TernaryLinear(kind="qk256", k=k, n=n, packed=packed,
-                             scales=jnp.float32(scale))
-
-    def lin_stack(k, n, scale):
-        ls = [lin(k, n, scale) for _ in range(L)]
-        import jax
-
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *ls)
+                             scales=jnp.full((L,), scale, jnp.float32))
 
     s = 0.02  # keeps activations sane through 30 layers
     blocks = BlockParams(
@@ -80,7 +75,9 @@ def build_synthetic_2b(seed: int = 0):
     )
     sin, cos = build_rope_tables(D, cfg.max_seq_len, cfg.rope_base)
     params = BitNetParams(
-        embed=jnp.asarray(rng.standard_normal((V, H)) * 0.02, jnp.bfloat16),
+        embed=jnp.asarray(
+            rng.standard_normal((V, H), dtype=np.float32) * 0.02,
+            jnp.bfloat16),
         blocks=blocks,
         final_norm=jnp.ones((H,), jnp.float32),
         lm_head=None,

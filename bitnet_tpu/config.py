@@ -190,6 +190,9 @@ class EngineConfig:
     compute_dtype: str = "bf16"      # 'bf16' | 'f32'
     prefill_chunk: int = 512         # prefill bucketing granularity
     donate_cache: bool = True
+    # host-side prompt-prefix KV cache budget in tokens (0 = disabled);
+    # reference: bitnet-inference/src/prefix_cache.rs
+    prefix_cache_tokens: int = 0
     strict: StrictMode = field(default_factory=StrictMode)
 
     def __post_init__(self) -> None:

@@ -125,6 +125,13 @@ class InferenceEngine:
             self.engine_cfg.kv_cache_dtype,
         )
         self.kernel_recorder: list[str] = []
+        self.prefix_cache = None
+        if self.engine_cfg.prefix_cache_tokens > 0:
+            from .prefix_cache import PrefixCache
+
+            self.prefix_cache = PrefixCache(
+                self.engine_cfg.prefix_cache_tokens)
+        self._restore_jit = {}
 
     # -- kernel path --------------------------------------------------------
     def _resolve_kernel_path(self) -> str:
@@ -188,12 +195,63 @@ class InferenceEngine:
             f"{self.engine_cfg.max_seq_len}"
         )
 
+    # -- prefix-cache restore --------------------------------------------------
+    def _get_restore(self, Mp: int) -> Callable:
+        if Mp not in self._restore_jit:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def _restore(cache, k_snap, v_snap, ks_snap, vs_snap, m):
+                import jax.lax as lax
+
+                zeros5 = (0, 0, 0, 0, 0)
+                k = lax.dynamic_update_slice(cache.k, k_snap[:, None], zeros5)
+                v = lax.dynamic_update_slice(cache.v, v_snap[:, None], zeros5)
+                ks, vs = cache.k_scale, cache.v_scale
+                if ks is not None:
+                    z4 = (0, 0, 0, 0)
+                    ks = lax.dynamic_update_slice(ks, ks_snap[:, None], z4)
+                    vs = lax.dynamic_update_slice(vs, vs_snap[:, None], z4)
+                import dataclasses as _dc
+
+                return _dc.replace(
+                    cache, k=k, v=v, k_scale=ks, v_scale=vs,
+                    lengths=cache.lengths.at[0].set(m))
+
+            self._restore_jit[Mp] = _restore
+        return self._restore_jit[Mp]
+
+    def _restore_prefix(self, snap, m: int) -> None:
+        """Write snapshot[:m] into cache slot 0 and set lengths[0]=m."""
+        Mp = self._bucket(m)
+        L, KV, D = (self.cfg.num_layers, self.cfg.num_kv_heads,
+                    self.cfg.head_dim)
+        kd = self.cache.k.dtype
+
+        def padk(a):
+            out = np.zeros((L, Mp, KV, D), a.dtype)
+            out[:, :m] = a[:, :m]
+            return jnp.asarray(out, kd)
+
+        ks_snap = vs_snap = None
+        if self.cache.k_scale is not None:
+            def pads(a):
+                out = np.zeros((L, Mp, KV), a.dtype)
+                out[:, :m] = a[:, :m]
+                return jnp.asarray(out, jnp.float32)
+
+            ks_snap, vs_snap = pads(snap.k_scale), pads(snap.v_scale)
+        self.cache = self._get_restore(Mp)(
+            self.cache, padk(snap.k), padk(snap.v), ks_snap, vs_snap,
+            jnp.int32(m))
+
     # -- prefill -------------------------------------------------------------
     def prefill(self, token_ids: list[int]) -> jnp.ndarray:
         """Run the prompt through the model; returns last-token logits [B, V].
 
         Resets the cache (single-sequence engine semantics, like
-        ``InferenceEngine::prefill`` engine.rs:1022).
+        ``InferenceEngine::prefill`` engine.rs:1022).  With a prefix cache
+        enabled, the longest previously-seen prompt prefix is restored from
+        a host snapshot and only the suffix runs through the model.
         """
         T = len(token_ids)
         if T == 0:
@@ -202,20 +260,35 @@ class InferenceEngine:
         if T > S:
             raise InferenceError(f"prompt {T} tokens > max_seq_len {S}")
         self.cache = reset_cache(self.cache)
+
+        m = 0
+        if self.prefix_cache is not None:
+            m, snap = self.prefix_cache.lookup(token_ids)
+            m = min(m, T - 1)   # always run ≥1 token for last-pos logits
+            if m > 0:
+                self._restore_prefix(snap, m)
+                self.kernel_recorder.append(f"prefix_restore_m{m}")
+
         B = self.engine_cfg.max_batch_size
-        Tp = self._bucket(T)
+        Ts = T - m
+        Tp = self._bucket(Ts)
         toks = np.zeros((B, Tp), np.int32)
-        toks[0, :T] = token_ids
+        toks[0, :Ts] = token_ids[m:]
         pos = np.full((B, Tp), S, np.int32)  # padding → OOB drop
-        pos[0, :T] = np.arange(T)
+        pos[0, :Ts] = np.arange(m, T)
         fn = self._get_prefill(Tp)
         lg, _h, self.cache = fn(
             self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
-            jnp.asarray([T] + [0] * (B - 1), jnp.int32),
-            jnp.asarray([T - 1] + [0] * (B - 1), jnp.int32),
+            jnp.asarray([Ts] + [0] * (B - 1), jnp.int32),
+            jnp.asarray([Ts - 1] + [0] * (B - 1), jnp.int32),
         )
         self.kernel_recorder.append(
             f"prefill_{self._kernel_path}_T{Tp}")
+        if self.prefix_cache is not None and T > m:
+            from .prefix_cache import snapshot_from_cache
+
+            self.prefix_cache.insert(
+                list(token_ids), snapshot_from_cache(self.cache, T))
         return lg
 
     # -- generation ----------------------------------------------------------
