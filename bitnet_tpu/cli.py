@@ -43,6 +43,12 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-stream", action="store_true")
     p.add_argument("--receipt", default=None,
                    help="write an honest-compute receipt JSON here")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="speculative decoding with K n-gram draft tokens "
+                        "(greedy only; lossless)")
+    p.add_argument("--draft-model", default=None,
+                   help="GGUF path of a smaller draft model for "
+                        "--speculative (default: n-gram self-drafting)")
 
 
 def _build_engine(args):
@@ -115,7 +121,26 @@ def cmd_run(args) -> int:
     gcfg = _gen_config(args, extra_stops=spec.stop_sequences)
     gcfg = gcfg.replace(add_bos=spec.add_bos)
 
-    if args.no_stream:
+    if getattr(args, "speculative", 0) > 0:
+        from .engine.speculative import (
+            EngineDraft,
+            SpeculativeConfig,
+            SpeculativeDecoder,
+        )
+
+        draft = None
+        if args.draft_model:
+            d_args = argparse.Namespace(**vars(args))
+            d_args.model = args.draft_model
+            draft = EngineDraft(_build_engine(d_args))
+        dec = SpeculativeDecoder(
+            engine, draft=draft,
+            spec_cfg=SpeculativeConfig(num_draft_tokens=args.speculative))
+        ids = engine.tokenizer.encode(text, add_bos=gcfg.add_bos)
+        r = dec.generate(ids, gcfg.replace(greedy=True))
+        print(r.text)
+        print(f"[speculative: {r.spec_stats}]", file=sys.stderr)
+    elif args.no_stream:
         r = engine.generate(text, gcfg)
         print(r.text)
     else:
@@ -127,10 +152,12 @@ def cmd_run(args) -> int:
             out_ids.append(ev.token_id)
         print()
         r = None
-    m = engine._last_metrics.as_dict()
-    print(f"[{m['generated_tokens']} tokens, "
-          f"ttft {m['ttft_s']*1000:.0f} ms, "
-          f"{m['decode_tok_s']:.2f} tok/s decode]", file=sys.stderr)
+    m = (engine._last_metrics.as_dict()
+         if getattr(engine, "_last_metrics", None) is not None else {})
+    if m:
+        print(f"[{m['generated_tokens']} tokens, "
+              f"ttft {m['ttft_s']*1000:.0f} ms, "
+              f"{m['decode_tok_s']:.2f} tok/s decode]", file=sys.stderr)
     if args.receipt:
         from .verify.receipts import generate_receipt
 

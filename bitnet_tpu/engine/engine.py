@@ -53,6 +53,8 @@ class GenerationResult:
     stop_reason: StopReason
     prompt_tokens: int
     metrics: dict
+    # acceptance stats when produced by engine.speculative (else None)
+    spec_stats: dict | None = None
 
 
 @dataclasses.dataclass
