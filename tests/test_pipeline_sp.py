@@ -1,0 +1,164 @@
+"""Pipeline parallelism + sequence parallelism tests (8 virtual CPU devices).
+
+Unlike the reference (whose collectives are in-process simulations, SURVEY
+§2.3), these exercise the REAL shard_map/ppermute/all_gather code paths.
+Gate: parallel logits == single-device logits.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitnet_tpu.config import ModelConfig
+from bitnet_tpu.errors import ConfigError
+from bitnet_tpu.models import forward, load_model, logits
+from bitnet_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipeline_forward,
+    plan_stages,
+    shard_pipeline_params,
+)
+from bitnet_tpu.parallel.sequence import (
+    make_seq_mesh,
+    sequence_parallel_prefill,
+)
+
+
+@pytest.fixture(scope="module")
+def model(mini_gguf_f32):
+    cfg, params, _ = load_model(mini_gguf_f32.path, param_dtype=jnp.float32)
+    return cfg, params
+
+
+def dense_logits(cfg, params, tokens_np, S=32):
+    B, T = tokens_np.shape
+    tok = jnp.asarray(tokens_np)
+    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+    kc = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim),
+                   jnp.float32)
+    vc = jnp.zeros_like(kc)
+    h, kc, vc, _, _ = forward(cfg, params, tok, pos, kc, vc,
+                              jnp.zeros(B, jnp.int32), T)
+    return np.asarray(logits(cfg, params, h)), kc, vc
+
+
+class TestStagePlanner:
+    def test_uniform(self):
+        cfg = ModelConfig(num_layers=30)
+        p = plan_stages(cfg, 4)
+        assert p.layers_per_stage == [8, 8, 7, 7]
+        assert p.bounds[0] == 0 and p.bounds[-1] == 30
+
+    def test_cost_balanced(self):
+        cfg = ModelConfig(num_layers=6)
+        costs = [1, 1, 1, 3, 3, 3]
+        p = plan_stages(cfg, 2, "cost", costs)
+        assert p.layers_per_stage == [4, 2]   # 1+1+1+3 == 3+3
+
+    def test_bad_stage_count(self):
+        cfg = ModelConfig(num_layers=2)
+        with pytest.raises(ConfigError):
+            plan_stages(cfg, 3)
+
+
+class TestPipelineForward:
+    def test_matches_dense(self, model):
+        cfg, params = model             # mini model has 2 layers
+        mesh = make_pipeline_mesh(2)
+        B, T, S = 4, 6, 32
+        rng = np.random.default_rng(1)
+        tokens = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+        golden, _, _ = dense_logits(cfg, params, tokens, S)
+
+        pparams = shard_pipeline_params(mesh, cfg, params)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+        kc = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads,
+                        cfg.head_dim), jnp.float32)
+        vc = jnp.zeros_like(kc)
+        with mesh:
+            lg, kc, vc = pipeline_forward(
+                cfg, pparams, jnp.asarray(tokens), pos, kc, vc,
+                jnp.zeros(B, jnp.int32), mesh, num_microbatches=2)
+        np.testing.assert_allclose(np.asarray(lg), golden,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_single_microbatch(self, model):
+        cfg, params = model
+        mesh = make_pipeline_mesh(2)
+        B, T, S = 2, 4, 16
+        rng = np.random.default_rng(2)
+        tokens = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+        golden, _, _ = dense_logits(cfg, params, tokens, S)
+        pparams = shard_pipeline_params(mesh, cfg, params)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+        kc = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads,
+                        cfg.head_dim), jnp.float32)
+        with mesh:
+            lg, _, _ = pipeline_forward(
+                cfg, pparams, jnp.asarray(tokens), pos, kc,
+                jnp.zeros_like(kc), jnp.zeros(B, jnp.int32), mesh, 1)
+        np.testing.assert_allclose(np.asarray(lg), golden,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_kv_cache_written(self, model):
+        """Pipelined prefill must populate the cache identically to dense."""
+        cfg, params = model
+        mesh = make_pipeline_mesh(2)
+        B, T, S = 2, 4, 16
+        rng = np.random.default_rng(3)
+        tokens = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+        _, kc_gold, vc_gold = dense_logits(cfg, params, tokens, S)
+        pparams = shard_pipeline_params(mesh, cfg, params)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+        kc = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads,
+                        cfg.head_dim), jnp.float32)
+        with mesh:
+            _, kc_p, vc_p = pipeline_forward(
+                cfg, pparams, jnp.asarray(tokens), pos, kc,
+                jnp.zeros_like(kc), jnp.zeros(B, jnp.int32), mesh, 2)
+        np.testing.assert_allclose(np.asarray(kc_p), np.asarray(kc_gold),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(vc_p), np.asarray(vc_gold),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_bad_microbatch_split(self, model):
+        cfg, params = model
+        mesh = make_pipeline_mesh(2)
+        pparams = shard_pipeline_params(mesh, cfg, params)
+        kc = jnp.zeros((cfg.num_layers, 3, 8, cfg.num_kv_heads,
+                        cfg.head_dim), jnp.float32)
+        with pytest.raises(ConfigError):
+            with mesh:
+                pipeline_forward(
+                    cfg, pparams, jnp.zeros((3, 4), jnp.int32),
+                    jnp.zeros((3, 4), jnp.int32), kc, jnp.zeros_like(kc),
+                    jnp.zeros(3, jnp.int32), mesh, 2)
+
+
+class TestSequenceParallel:
+    def test_matches_dense(self, model):
+        cfg, params = model
+        mesh = make_seq_mesh(4)
+        B, T = 2, 16                    # 4 tokens per device
+        rng = np.random.default_rng(4)
+        tokens = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+        golden, kc_gold, vc_gold = dense_logits(cfg, params, tokens, S=T)
+
+        with mesh:
+            lg, k_loc, v_loc = sequence_parallel_prefill(
+                cfg, params, jnp.asarray(tokens), mesh)
+        np.testing.assert_allclose(np.asarray(lg), golden,
+                                   rtol=2e-4, atol=2e-4)
+        # keys come back sequence-sharded [L, B, T, KV, D] == dense cache
+        np.testing.assert_allclose(np.asarray(k_loc),
+                                   np.asarray(kc_gold[:, :, :T]),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_indivisible_rejected(self, model):
+        cfg, params = model
+        mesh = make_seq_mesh(4)
+        with pytest.raises(ConfigError):
+            with mesh:
+                sequence_parallel_prefill(
+                    cfg, params, jnp.zeros((1, 6), jnp.int32), mesh)
