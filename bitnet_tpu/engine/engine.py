@@ -293,13 +293,66 @@ class InferenceEngine:
                 list(token_ids), snapshot_from_cache(self.cache, T))
         return lg
 
+    def _relogit_last(self, token_ids: list[int]) -> jnp.ndarray:
+        """Recover last-token logits from a restored cache: rewind the
+        valid length by one and re-run the final token through decode
+        (its KV row is simply overwritten in place)."""
+        import dataclasses as _dc
+
+        T = len(token_ids)
+        B = self.engine_cfg.max_batch_size
+        S = self.engine_cfg.max_seq_len
+        self.cache = _dc.replace(
+            self.cache, lengths=self.cache.lengths.at[0].set(T - 1))
+        tok = np.zeros((B, 1), np.int32)
+        tok[0, 0] = token_ids[-1]
+        pos = np.full((B, 1), S, np.int32)
+        pos[0, 0] = T - 1
+        lg, self.cache = self._get_decode()(
+            self.params, jnp.asarray(tok), self.cache, jnp.asarray(pos))
+        self.kernel_recorder.append("resume_relogit")
+        return lg
+
+    def generate_from_state(
+        self,
+        token_ids: list[int],
+        already_generated: int = 0,
+        gen_cfg: GenerationConfig | None = None,
+    ) -> GenerationResult:
+        """Continue generation after a checkpoint restore
+        (engine.checkpoint.resume_generation).  ``token_ids`` is the FULL
+        context (prompt + previously generated); only newly generated
+        tokens are returned."""
+        gen_cfg = gen_cfg or GenerationConfig()
+        remaining = gen_cfg.max_new_tokens - already_generated
+        if remaining <= 0:
+            return GenerationResult(
+                text="", token_ids=[], stop_reason=StopReason.MAX_TOKENS,
+                prompt_tokens=len(token_ids), metrics={})
+        gen_cfg = gen_cfg.replace(max_new_tokens=remaining)
+        out_ids = [ev.token_id for ev in
+                   self.generate_stream(token_ids, gen_cfg, resume=True)]
+        text = (self.tokenizer.decode(out_ids)
+                if self.tokenizer is not None else "")
+        return GenerationResult(
+            text=text, token_ids=out_ids,
+            stop_reason=self._last_stop_reason,
+            prompt_tokens=len(token_ids),
+            metrics=self._last_metrics.as_dict())
+
     # -- generation ----------------------------------------------------------
     def generate_stream(
         self,
         token_ids: list[int],
         gen_cfg: GenerationConfig | None = None,
+        resume: bool = False,
     ) -> Iterator[TokenEvent]:
-        """Stream tokens (reference: ``bitnet-inference/src/streaming.rs``)."""
+        """Stream tokens (reference: ``bitnet-inference/src/streaming.rs``).
+
+        ``resume=True`` skips prefill: the KV cache already holds
+        ``len(token_ids)`` entries (checkpoint restore); the last token is
+        re-scored through one decode step to recover its logits.
+        """
         gen_cfg = gen_cfg or GenerationConfig()
         metrics = PerformanceMetrics(prompt_tokens=len(token_ids))
         self._last_metrics = metrics
@@ -324,7 +377,10 @@ class InferenceEngine:
                     if gen_cfg.mirostat else None)
 
         t0 = time.perf_counter()
-        logits = self.prefill(token_ids)
+        if resume:
+            logits = self._relogit_last(token_ids)
+        else:
+            logits = self.prefill(token_ids)
         logits.block_until_ready()
         metrics.prefill_s = time.perf_counter() - t0
         metrics.ttft_s = metrics.prefill_s
