@@ -182,11 +182,19 @@ def _pad_cols(a: np.ndarray, mult: int = LANE) -> np.ndarray:
     )
 
 
+def _repack(codes_kn: np.ndarray) -> np.ndarray:
+    """Tile repack via the native codec when available (load-time hotspot;
+    see native/bitnet_host.cpp), numpy otherwise."""
+    from ..native import repack_codes_tpu
+
+    return repack_codes_tpu(codes_kn)
+
+
 def qk256_linear_from_codes(
     codes_kn: np.ndarray, scale: float | np.ndarray = 1.0
 ) -> TernaryLinear:
     k, n = codes_kn.shape
-    packed = jnp.asarray(_pad_cols(repack_codes_for_tpu(codes_kn)))
+    packed = jnp.asarray(_pad_cols(_repack(codes_kn)))
     return TernaryLinear(
         kind="qk256", k=k, n=n, packed=packed,
         scales=jnp.asarray(np.float32(scale)),
@@ -200,7 +208,7 @@ def bitnet32_linear_from_codes(
     k, n = codes_kn.shape
     if k % 32 != 0:
         raise QuantizationError(f"bitnet32 needs K % 32 == 0, got {k}")
-    packed = jnp.asarray(_pad_cols(repack_codes_for_tpu(codes_kn)))
+    packed = jnp.asarray(_pad_cols(_repack(codes_kn)))
     scales = _pad_cols(np.asarray(scales_blocks_kn, dtype=np.float32))
     return TernaryLinear(
         kind="bitnet32", k=k, n=n, packed=packed,

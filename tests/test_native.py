@@ -1,0 +1,117 @@
+"""Native C++ codec + C ABI tests.
+
+Gate: the native codec must be bit-identical to the numpy reference
+implementations, and the C ABI must drive real inference from plain C.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from bitnet_tpu import native
+from bitnet_tpu.ops.linear import repack_codes_for_tpu
+from bitnet_tpu.quant.i2s import quantize_bitnet32
+from bitnet_tpu.quant.qk256 import dequantize_qk256, quantize_qk256
+from bitnet_tpu.quant.ternary import unpack_codes_lsb_first
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE_AVAILABLE = native.available()
+
+pytestmark = pytest.mark.skipif(
+    not NATIVE_AVAILABLE, reason="native codec not built (no toolchain)")
+
+
+@pytest.fixture(scope="module")
+def payload(rng):
+    w = rng.normal(size=(16, 512)).astype(np.float32) * 1.2
+    return w, np.frombuffer(quantize_qk256(w), np.uint8)
+
+
+class TestCodecParity:
+    def test_extract_codes(self, payload):
+        w, raw = payload
+        rows, cols = w.shape
+        got = native.qk256_extract_codes(raw, rows, cols)
+        stride = (-(-cols // 256)) * 64
+        want = unpack_codes_lsb_first(raw).reshape(rows, stride * 4)[:, :cols]
+        np.testing.assert_array_equal(got, want)
+
+    def test_dequant(self, payload):
+        w, raw = payload
+        rows, cols = w.shape
+        got = native.qk256_dequant_f32(raw, rows, cols, 0.5)
+        want = dequantize_qk256(raw, rows, cols) * np.float32(0.5)
+        np.testing.assert_array_equal(got, want)
+
+    def test_quantize(self, payload):
+        w, raw = payload
+        got = native.qk256_quantize(w)
+        np.testing.assert_array_equal(got.reshape(-1), raw)
+
+    def test_quantize_unpadded_cols(self, rng):
+        w = rng.normal(size=(4, 300)).astype(np.float32)
+        got = native.qk256_quantize(w)
+        want = np.frombuffer(quantize_qk256(w), np.uint8).reshape(4, -1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_repack(self, rng):
+        codes = rng.integers(0, 4, size=(300, 64)).astype(np.uint8)
+        got = native.repack_codes_tpu(codes)
+        want = repack_codes_for_tpu(codes)
+        np.testing.assert_array_equal(got, want)
+
+    def test_fused_payload_to_tpu(self, rng):
+        """payload[N,K] → transpose → interleave in one native pass."""
+        N, K = 48, 512
+        w = rng.normal(size=(N, K)).astype(np.float32)
+        raw = np.frombuffer(quantize_qk256(w), np.uint8)
+        got = native.qk256_payload_to_tpu(raw, N, K, out_cols=128)
+        codes_nk = native.qk256_extract_codes(raw, N, K)
+        want = repack_codes_for_tpu(codes_nk.T.copy())
+        want = np.concatenate(
+            [want, np.zeros((want.shape[0], 128 - N), np.uint8)], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_bitnet32_extract(self, rng):
+        x = rng.normal(size=(4, 64)).astype(np.float32)
+        raw = np.frombuffer(quantize_bitnet32(x), np.uint8)
+        nblocks = x.size // 32
+        codes, scales = native.bitnet32_extract(raw, nblocks)
+        blocks = raw.reshape(nblocks, 10)
+        want_codes = unpack_codes_lsb_first(blocks[:, :8].reshape(-1))
+        want_scales = np.ascontiguousarray(
+            blocks[:, 8:10]).view(np.float16).reshape(nblocks)
+        np.testing.assert_array_equal(codes, want_codes)
+        np.testing.assert_allclose(scales, want_scales.astype(np.float32),
+                                   rtol=1e-3)
+
+
+class TestCABI:
+    def test_c_smoke_binary(self, mini_gguf_f32):
+        """Compile-and-run the standalone C program against the C ABI."""
+        smoke = os.path.join(REPO, "native", "build", "c_smoke")
+        if not os.path.exists(smoke):
+            r = subprocess.run(
+                ["make", "-C", os.path.join(REPO, "native"), "build/c_smoke"],
+                capture_output=True, text=True, timeout=180)
+            if r.returncode != 0:
+                pytest.skip(f"c_smoke build failed: {r.stderr[-500:]}")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [smoke, REPO, mini_gguf_f32.path],
+            capture_output=True, text=True, timeout=600, env=env)
+        assert r.returncode == 0, (r.stdout, r.stderr)
+        assert "C_SMOKE_OK" in r.stdout
+        assert "generated" in r.stdout
+
+
+class TestFallback:
+    def test_numpy_fallback_matches(self, monkeypatch, rng):
+        """With the lib force-disabled, wrappers fall back identically."""
+        codes = rng.integers(0, 4, size=(256, 32)).astype(np.uint8)
+        want = native.repack_codes_tpu(codes)
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        got = native.repack_codes_tpu(codes)
+        np.testing.assert_array_equal(got, want)
