@@ -100,13 +100,13 @@ def bench_decode(cfg, params, kernel_path: str, S: int = 1024,
     kc0 = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim),
                     jnp.bfloat16)
 
-    def step(carry):
+    def step(prm, carry):
         tok, pos, kc, vc = carry
         h, kc, vc, _, _ = forward(
-            cfg, params, tok[:, None],
+            cfg, prm, tok[:, None],
             jnp.minimum(pos, S - 1)[:, None], kc, vc,
             jnp.minimum(pos, S - 1), 1, kernel_path)
-        lg = model_logits(cfg, params, h, kernel_path)[:, 0, :]
+        lg = model_logits(cfg, prm, h, kernel_path)[:, 0, :]
         nxt = jnp.argmax(lg, -1).astype(jnp.int32)
         return nxt, pos + 1, kc, vc
 
@@ -114,7 +114,7 @@ def bench_decode(cfg, params, kernel_path: str, S: int = 1024,
         return (jnp.full((B,), (i * 7) % cfg.vocab_size, jnp.int32),
                 jnp.zeros((B,), jnp.int32), kc0, jnp.zeros_like(kc0))
 
-    return chain_timer(step, mk, n_hi, n_lo, pairs=3)
+    return chain_timer(step, mk, n_hi, n_lo, pairs=3, const_arg=params)
 
 
 def bench_prefill(cfg, params, kernel_path: str, T: int = 512,
@@ -131,9 +131,9 @@ def bench_prefill(cfg, params, kernel_path: str, T: int = 512,
                     jnp.bfloat16)
     pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
 
-    def step(carry):
+    def step(prm, carry):
         tok, kc, vc = carry
-        h, kc, vc, _, _ = forward(cfg, params, tok, pos, kc, vc,
+        h, kc, vc, _, _ = forward(cfg, prm, tok, pos, kc, vc,
                                   jnp.zeros((B,), jnp.int32), T, kernel_path)
         nxt = (tok + h[:, -1, :1].astype(jnp.int32) % 13 + 1) % cfg.vocab_size
         return nxt, kc, vc
@@ -142,7 +142,7 @@ def bench_prefill(cfg, params, kernel_path: str, T: int = 512,
         return (jnp.full((B, T), (i * 11) % cfg.vocab_size, jnp.int32),
                 kc0, jnp.zeros_like(kc0))
 
-    return chain_timer(step, mk, 6, 2, pairs=3)
+    return chain_timer(step, mk, 6, 2, pairs=3, const_arg=params)
 
 
 def main() -> None:

@@ -463,6 +463,123 @@ class InferenceEngine:
             metrics=self._last_metrics.as_dict(),
         )
 
+    def generate_batch(
+        self,
+        prompts: list[list[int]],
+        gen_cfg: GenerationConfig | None = None,
+    ) -> list[GenerationResult]:
+        """Batched generation: ONE prefill call over all slots, lockstep
+        decode with per-slot stopping (reference batch API,
+        ``bitnet-inference/src/batch.rs:35-121``).
+
+        ``len(prompts)`` must be ≤ ``max_batch_size``.  Finished slots keep
+        riding the compiled step (static shapes); their output is ignored.
+        """
+        gen_cfg = gen_cfg or GenerationConfig()
+        B = self.engine_cfg.max_batch_size
+        S = self.engine_cfg.max_seq_len
+        nb = len(prompts)
+        if nb == 0:
+            return []
+        if nb > B:
+            raise InferenceError(
+                f"{nb} prompts > max_batch_size {B}; raise EngineConfig."
+                "max_batch_size or use serve.ContinuousBatchingScheduler")
+        lens = [len(p) for p in prompts]
+        if any(l == 0 for l in lens):
+            raise InferenceError("empty prompt in batch")
+        if max(lens) >= S:
+            raise InferenceError(f"prompt of {max(lens)} tokens ≥ "
+                                 f"max_seq_len {S}")
+
+        # --- one prefill over all slots ---
+        self.cache = reset_cache(self.cache)
+        Tp = self._bucket(max(lens))
+        toks = np.zeros((B, Tp), np.int32)
+        pos = np.full((B, Tp), S, np.int32)
+        n_real = np.zeros((B,), np.int32)
+        last_idx = np.zeros((B,), np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, : lens[i]] = p
+            pos[i, : lens[i]] = np.arange(lens[i])
+            n_real[i] = lens[i]
+            last_idx[i] = lens[i] - 1
+        fn = self._get_prefill(Tp)
+        logits, _h, self.cache = fn(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            jnp.asarray(n_real), jnp.asarray(last_idx))
+        self.kernel_recorder.append(f"prefill_batch{nb}_T{Tp}")
+
+        # --- lockstep decode ---
+        eos_id = None
+        if self.tokenizer is not None:
+            eos_id = getattr(self.tokenizer, "eos_token_id", None)
+        stops = [StopCriteria(
+            max_new_tokens=gen_cfg.max_new_tokens,
+            eos_token_id=eos_id,
+            stop_token_ids=frozenset(gen_cfg.stop_token_ids),
+            stop_sequences=tuple(gen_cfg.stop_sequences),
+        ) for _ in range(nb)]
+        done = [False] * nb
+        reasons = [StopReason.MAX_TOKENS] * nb
+        outs: list[list[int]] = [[] for _ in range(nb)]
+
+        seed = gen_cfg.seed if gen_cfg.seed is not None else (
+            0 if self.engine_cfg.strict.deterministic
+            else time.time_ns() % (2**31))
+        key = jax.random.PRNGKey(seed)
+        sampler = self._get_sampler(gen_cfg)
+        W = gen_cfg.repetition_window
+        history = np.full((B, W), -1, np.int32)
+        for i, p in enumerate(prompts):
+            h = p[-W:]
+            history[i, : len(h)] = h
+        history_dev = jnp.asarray(history)
+
+        decode = self._get_decode()
+        positions_host = np.array(lens + [0] * (B - nb), np.int32)
+        while not all(done):
+            if positions_host[:nb].max() >= S:
+                break
+            key, sub = jax.random.split(key)
+            sampled = sampler(logits, history_dev, sub)       # [B]
+            samp_host = np.asarray(sampled)
+            for i in range(nb):
+                if done[i]:
+                    continue
+                t = int(samp_host[i])
+                piece = (self.tokenizer.token_to_piece(t)
+                         if self.tokenizer is not None else "")
+                r = stops[i].check(t, piece)
+                if r in (StopReason.STOP_TOKEN, StopReason.EOS):
+                    done[i], reasons[i] = True, r
+                    continue
+                outs[i].append(t)
+                if r is not None:
+                    done[i], reasons[i] = True, r
+            if all(done):
+                break
+            positions = np.full((B, 1), S, np.int32)
+            for i in range(nb):
+                if not done[i] and positions_host[i] < S:
+                    positions[i, 0] = positions_host[i]
+                    positions_host[i] += 1
+            logits, self.cache = decode(
+                self.params, sampled[:, None].astype(jnp.int32), self.cache,
+                jnp.asarray(positions))
+            history_dev = jnp.roll(history_dev, -1, axis=1).at[:, -1].set(
+                sampled)
+        self.kernel_recorder.append(f"decode_batch{nb}")
+
+        results = []
+        for i in range(nb):
+            text = (self.tokenizer.decode(outs[i])
+                    if self.tokenizer is not None else "")
+            results.append(GenerationResult(
+                text=text, token_ids=outs[i], stop_reason=reasons[i],
+                prompt_tokens=lens[i], metrics={}))
+        return results
+
     # -- cross-validation ------------------------------------------------------
     def eval_ids(self, token_ids: list[int]) -> np.ndarray:
         """Per-position logits for the whole sequence (engine.rs:852

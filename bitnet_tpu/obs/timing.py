@@ -25,31 +25,42 @@ import jax.numpy as jnp
 
 
 def chain_timer(
-    step_fn: Callable,        # (carry) -> carry, one unit of work
+    step_fn: Callable,        # (carry) or (const, carry) -> carry
     make_carry: Callable,     # (i: int) -> fresh carry pytree
     n_hi: int,
     n_lo: int,
     pairs: int = 3,
+    const_arg=None,           # large pytree (params!) passed as a jit ARG
 ) -> float:
-    """Median seconds per single ``step_fn`` application."""
+    """Median seconds per single ``step_fn`` application.
+
+    ``const_arg`` exists because closing over model parameters bakes them
+    into the HLO as constants — the axon relay then ships the full weight
+    blob inside the remote_compile request and rejects it with HTTP 413.
+    Anything large must be an argument, never a closure.
+    """
 
     @partial(jax.jit, static_argnames=("n",))
-    def chain(carry, n):
-        carry = jax.lax.fori_loop(0, n, lambda i, c: step_fn(c), carry)
+    def chain(const, carry, n):
+        if const is None:
+            body = lambda i, c: step_fn(c)
+        else:
+            body = lambda i, c: step_fn(const, c)
+        carry = jax.lax.fori_loop(0, n, body, carry)
         leaf = jax.tree.leaves(carry)[0]
         return leaf.reshape(-1)[0].astype(jnp.float32)
 
     # warm up compiles for both loop lengths
-    float(chain(make_carry(10_001), n_lo))
-    float(chain(make_carry(10_002), n_hi))
+    float(chain(const_arg, make_carry(10_001), n_lo))
+    float(chain(const_arg, make_carry(10_002), n_hi))
 
     samples = []
     for p in range(pairs):
         t0 = time.perf_counter()
-        float(chain(make_carry(2 * p), n_hi))
+        float(chain(const_arg, make_carry(2 * p), n_hi))
         t_hi = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(chain(make_carry(2 * p + 1), n_lo))
+        float(chain(const_arg, make_carry(2 * p + 1), n_lo))
         t_lo = time.perf_counter() - t0
         samples.append((t_hi - t_lo) / (n_hi - n_lo))
     return statistics.median(samples)
