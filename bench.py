@@ -148,6 +148,15 @@ def bench_prefill(cfg, params, kernel_path: str, T: int = 512,
 def main() -> None:
     import jax
 
+    # persistent compile cache: repeat driver runs skip the slow remote
+    # compiles (harmless if the backend ignores it)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/bitnet_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     backend = jax.default_backend()
     kernel_path = "pallas" if backend == "tpu" else "xla"
     t0 = time.time()

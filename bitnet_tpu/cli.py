@@ -325,8 +325,12 @@ def cmd_list_templates(args) -> int:
 
 
 def cmd_list_architectures(args) -> int:
-    print("bitnet-b1.58 (llama-family GGUF: blk.N.* tensors)")
-    print("llama (generic llama-family GGUF)")
+    from .models.arch_registry import list_architectures
+
+    for spec in list_architectures():
+        tern = "ternary" if spec.supports_ternary else "dense"
+        print(f"{spec.name:<14} [{spec.family}-family, {tern}] "
+              f"{spec.description}")
     return 0
 
 

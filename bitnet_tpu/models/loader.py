@@ -221,6 +221,14 @@ def load_model(
     with GGUFReader(path) as r:
         cfg = config_from_gguf(r)
         report.config = cfg
+        # arch envelopes + HBM estimate before committing to the load
+        # (production_loader.rs:27-140)
+        from .arch_registry import resolve_arch, validate_config_for_arch
+        from .memory import validate_memory
+
+        spec = resolve_arch(cfg.architecture)
+        validate_config_for_arch(cfg, spec)
+        validate_memory(cfg, strict=False)
         names = set(r.tensors)
 
         emb_name = find_global(names, "token_embd")
