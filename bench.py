@@ -73,6 +73,9 @@ def build_synthetic_2b(seed: int = 0):
         w_up=lin_stack(H, F, s),
         w_down=lin_stack(F, H, s),
     )
+    from bitnet_tpu.models.bitnet import fuse_block_params
+
+    blocks = fuse_block_params(blocks)   # qkv / gate+up: 7→4 kernel calls
     sin, cos = build_rope_tables(D, cfg.max_seq_len, cfg.rope_base)
     params = BitNetParams(
         embed=jnp.asarray(

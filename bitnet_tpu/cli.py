@@ -335,11 +335,47 @@ def cmd_list_architectures(args) -> int:
 
 
 def cmd_compat_check(args) -> int:
-    from .verify.compat import diagnose
+    from .verify.compat import diagnose, export_fixed
 
     report = diagnose(args.model)
+    if getattr(args, "fix_out", None):
+        fixed = export_fixed(args.model, args.fix_out)
+        report["applied"] = fixed["applied"]
+        report["out_path"] = args.fix_out
     print(json.dumps(report, indent=2))
-    return 0 if not report["errors"] else 1
+    return 0 if not report["errors"] or getattr(args, "fix_out", None) else 1
+
+
+def cmd_st_inspect(args) -> int:
+    from .tools.st_tools import inspect_safetensors
+
+    report = inspect_safetensors(args.input)
+    if not args.verbose:
+        report["tensors"] = report["tensors"][:10] + (
+            [{"...": f"{report['num_tensors'] - 10} more"}]
+            if report["num_tensors"] > 10 else [])
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def cmd_st_merge(args) -> int:
+    from .tools.st_tools import merge_safetensors
+
+    inputs = args.inputs[0] if len(args.inputs) == 1 else args.inputs
+    report = merge_safetensors(inputs, args.output)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def cmd_trace_diff(args) -> int:
+    """Compare two activation trace dumps (xtask trace-diff parity)."""
+    from .verify.trace import TraceSink, compare_records
+
+    a = TraceSink.load(args.a)
+    b = TraceSink.load(args.b)
+    diffs = compare_records(a.records, b.records, rms_rtol=args.rms_tol)
+    print(json.dumps({"mismatches": diffs}, indent=2))
+    return 0 if not diffs else 1
 
 
 def cmd_convert(args) -> int:
@@ -413,7 +449,28 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("compat-check", help="diagnose GGUF compatibility")
     p.add_argument("--model", "-m", required=True)
+    p.add_argument("--fix-out", default=None,
+                   help="write a repaired GGUF here (export_fixed)")
     p.set_defaults(fn=cmd_compat_check)
+
+    p = sub.add_parser("st-inspect", help="inspect a SafeTensors file")
+    p.add_argument("input")
+    p.add_argument("--verbose", "-v", action="store_true",
+                   help="list every tensor")
+    p.set_defaults(fn=cmd_st_inspect)
+
+    p = sub.add_parser("st-merge", help="merge SafeTensors shards")
+    p.add_argument("inputs", nargs="+",
+                   help="shard files, an index.json, or a directory")
+    p.add_argument("--output", "-o", required=True)
+    p.set_defaults(fn=cmd_st_merge)
+
+    p = sub.add_parser("trace-diff",
+                       help="compare two activation trace dumps")
+    p.add_argument("a")
+    p.add_argument("b")
+    p.add_argument("--rms-tol", type=float, default=0.02)
+    p.set_defaults(fn=cmd_trace_diff)
 
     p = sub.add_parser("list-templates")
     p.set_defaults(fn=cmd_list_templates)

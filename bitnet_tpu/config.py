@@ -193,6 +193,10 @@ class EngineConfig:
     # host-side prompt-prefix KV cache budget in tokens (0 = disabled);
     # reference: bitnet-inference/src/prefix_cache.rs
     prefix_cache_tokens: int = 0
+    # fuse q|k|v and gate|up into single kernel calls (fewer launches,
+    # wider DMA blocks); single-chip engines only — sharded paths keep
+    # the unfused layout for clean column-parallel PartitionSpecs
+    fuse_projections: bool = True
     strict: StrictMode = field(default_factory=StrictMode)
 
     def __post_init__(self) -> None:

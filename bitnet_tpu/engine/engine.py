@@ -110,6 +110,13 @@ class InferenceEngine:
         self.params = params
         self.engine_cfg = engine_cfg or EngineConfig()
         self.tokenizer = tokenizer
+        if (self.engine_cfg.fuse_projections
+                and params.blocks.wqkv is None):
+            from ..models.bitnet import fuse_block_params
+            import dataclasses as _dc
+
+            self.params = _dc.replace(
+                params, blocks=fuse_block_params(params.blocks))
         # hyperparameter sanity gates (engine.rs:786-792)
         cfg.validate()
         if self.engine_cfg.max_seq_len > cfg.max_seq_len:

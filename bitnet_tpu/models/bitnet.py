@@ -36,22 +36,31 @@ from ..ops.rope import apply_rope
     data_fields=[
         "attn_norm", "wq", "wk", "wv", "wo",
         "ffn_norm", "w_gate", "w_up", "w_down",
+        "wqkv", "w_gateup",
     ],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class BlockParams:
-    """Per-layer parameters, stacked on a leading [L] axis."""
+    """Per-layer parameters, stacked on a leading [L] axis.
+
+    ``wqkv`` / ``w_gateup`` are optional fused projections (one kernel
+    call for q|k|v and gate|up — see ops.linear.concat_linears and
+    fuse_block_params); when present, block_forward prefers them and the
+    unfused fields may be None.
+    """
 
     attn_norm: jnp.ndarray     # [L, H]
-    wq: TernaryLinear          # [L, H, nh*D]
-    wk: TernaryLinear          # [L, H, nkv*D]
-    wv: TernaryLinear          # [L, H, nkv*D]
+    wq: Optional[TernaryLinear]          # [L, H, nh*D]
+    wk: Optional[TernaryLinear]          # [L, H, nkv*D]
+    wv: Optional[TernaryLinear]          # [L, H, nkv*D]
     wo: TernaryLinear          # [L, nh*D, H]
     ffn_norm: jnp.ndarray      # [L, H]
-    w_gate: TernaryLinear      # [L, H, F]
-    w_up: TernaryLinear        # [L, H, F]
+    w_gate: Optional[TernaryLinear]      # [L, H, F]
+    w_up: Optional[TernaryLinear]        # [L, H, F]
     w_down: TernaryLinear      # [L, F, H]
+    wqkv: Optional[TernaryLinear] = None      # [L, H, (nh+2*nkv)*D]
+    w_gateup: Optional[TernaryLinear] = None  # [L, H, 2*F]
 
 
 @partial(
@@ -68,6 +77,22 @@ class BitNetParams:
     lm_head: Optional[TernaryLinear]   # None when tied
     rope_sin: jnp.ndarray              # [S_rope, D/2]
     rope_cos: jnp.ndarray              # [S_rope, D/2]
+
+
+def fuse_block_params(blocks: BlockParams) -> BlockParams:
+    """Fuse q|k|v and gate|up into single projections (decode at M=1 is
+    launch- and DMA-bound; 7 kernel calls/layer become 4).  Falls back to
+    the unfused params when widths aren't 128-aligned or kinds differ."""
+    from ..ops.linear import concat_linears
+
+    try:
+        wqkv = concat_linears([blocks.wq, blocks.wk, blocks.wv])
+        w_gateup = concat_linears([blocks.w_gate, blocks.w_up])
+    except Exception:
+        return blocks
+    return dataclasses.replace(blocks, wqkv=wqkv, w_gateup=w_gateup,
+                               wq=None, wk=None, wv=None,
+                               w_gate=None, w_up=None)
 
 
 def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:
@@ -133,9 +158,15 @@ def block_forward(
 
     # --- attention ---
     h = rms_norm(x, bp.attn_norm, cfg.rms_norm_eps)
-    q = lap(bp.wq, h).reshape(B, T, nh, D)
-    k = lap(bp.wk, h).reshape(B, T, nkv, D)
-    v = lap(bp.wv, h).reshape(B, T, nkv, D)
+    if bp.wqkv is not None:
+        qkv = lap(bp.wqkv, h)                  # ONE fused kernel call
+        q = qkv[..., : nh * D].reshape(B, T, nh, D)
+        k = qkv[..., nh * D: (nh + nkv) * D].reshape(B, T, nkv, D)
+        v = qkv[..., (nh + nkv) * D:].reshape(B, T, nkv, D)
+    else:
+        q = lap(bp.wq, h).reshape(B, T, nh, D)
+        k = lap(bp.wk, h).reshape(B, T, nkv, D)
+        v = lap(bp.wv, h).reshape(B, T, nkv, D)
 
     # RoPE at absolute positions (clamp padded S-positions into table range)
     rope_pos = jnp.minimum(q_positions, rope_sin.shape[0] - 1)
@@ -168,8 +199,14 @@ def block_forward(
 
     # --- FFN (SwiGLU; reference lib.rs:751-793) ---
     h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
-    gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
-    up = lap(bp.w_up, h)
+    if bp.w_gateup is not None:
+        F = bp.w_gateup.n // 2
+        gu = lap(bp.w_gateup, h)               # ONE fused kernel call
+        gate = _act(cfg.hidden_act, gu[..., :F])
+        up = gu[..., F:]
+    else:
+        gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
+        up = lap(bp.w_up, h)
     x = x + lap(bp.w_down, gate * up)
     return x, k_cache, v_cache, k_scale, v_scale
 

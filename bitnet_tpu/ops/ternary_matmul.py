@@ -82,6 +82,31 @@ def _qk256_kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref,
 
 
 # --------------------------------------------------------------------------
+# QK256 kernel with per-column scales (fused QKV / gate+up projections)
+# --------------------------------------------------------------------------
+def _qk256_vecscale_kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref,
+                           *, n_k: int, bkt: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for t in range(bkt):
+        p32 = w_ref[pl.ds(t * (KT // 4), KT // 4), :].astype(jnp.int32)
+        w = _unpack_subtile(p32, jnp.bfloat16)
+        acc_ref[:] += jnp.dot(
+            x_ref[:, pl.ds(t * KT, KT)], w,
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * scale_ref[0, :][None, :]).astype(
+            out_ref.dtype)
+
+
+# --------------------------------------------------------------------------
 # BitNet32 kernel (per-32-row f32 scales)
 # --------------------------------------------------------------------------
 def _bitnet32_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref,
@@ -164,11 +189,22 @@ def _ternary_matmul_2d(
     bytes_accessed = Mp * Kp * 2 + (Kp // 4) * Np + Mp * Np * 4
 
     if kind == "qk256":
-        kernel = functools.partial(_qk256_kernel, n_k=n_k, bkt=bkt)
-        scale_arr = jnp.asarray(scales, jnp.float32).reshape(1, 1)
-        s_spec = pl.BlockSpec((1, 1), lambda m, n, k: (0, 0),
-                              memory_space=pltpu.SMEM)
-        operands = (x, packed, scale_arr)
+        s = jnp.asarray(scales, jnp.float32)
+        if s.ndim >= 2:        # per-column scale vector (fused projections)
+            kernel = functools.partial(_qk256_vecscale_kernel, n_k=n_k,
+                                       bkt=bkt)
+            s = s.reshape(1, -1)
+            if s.shape[1] != Np:   # pad scale cols with 1s (lane padding)
+                s = jnp.pad(s, ((0, 0), (0, Np - s.shape[1])),
+                            constant_values=1.0)
+            s_spec = pl.BlockSpec((1, bn), lambda m, n, k: (0, n),
+                                  memory_space=pltpu.VMEM)
+            operands = (x, packed, s)
+        else:
+            kernel = functools.partial(_qk256_kernel, n_k=n_k, bkt=bkt)
+            s_spec = pl.BlockSpec((1, 1), lambda m, n, k: (0, 0),
+                                  memory_space=pltpu.SMEM)
+            operands = (x, packed, s.reshape(1, 1))
     elif kind == "bitnet32":
         kernel = functools.partial(_bitnet32_kernel, n_k=n_k, bkt=bkt)
         # pad scales along K-blocks to Kp/32

@@ -60,16 +60,22 @@ def _lin_specs(template: TernaryLinear, col_parallel: bool,
 def param_pspecs(cfg: ModelConfig, params: BitNetParams) -> BitNetParams:
     """PartitionSpec tree matching ``params``' structure exactly."""
     b = params.blocks
+
+    def opt(t: TernaryLinear | None, col: bool):
+        return _lin_specs(t, col) if t is not None else None
+
     blocks = BlockParams(
         attn_norm=P(None, None),
-        wq=_lin_specs(b.wq, True),
-        wk=_lin_specs(b.wk, True),
-        wv=_lin_specs(b.wv, True),
+        wq=opt(b.wq, True),
+        wk=opt(b.wk, True),
+        wv=opt(b.wv, True),
         wo=_lin_specs(b.wo, False),        # row-parallel → psum
         ffn_norm=P(None, None),
-        w_gate=_lin_specs(b.w_gate, True),
-        w_up=_lin_specs(b.w_up, True),
+        w_gate=opt(b.w_gate, True),
+        w_up=opt(b.w_up, True),
         w_down=_lin_specs(b.w_down, False),  # row-parallel → psum
+        wqkv=opt(b.wqkv, True),
+        w_gateup=opt(b.w_gateup, True),
     )
     lm_head = None
     if params.lm_head is not None:

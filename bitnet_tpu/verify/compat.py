@@ -65,3 +65,68 @@ def diagnose(path: str) -> dict:
                     errors.append(str(e))
     return {"path": path, "errors": errors, "warnings": warnings,
             "fixes": fixes}
+
+
+def export_fixed(path: str, out_path: str) -> dict:
+    """Rewrite a GGUF with repairable metadata problems fixed
+    (``GgufCompatibilityFixer::export_fixed``, bitnet-compat lib.rs:16-25).
+
+    Fixes applied: missing ``general.architecture`` (inferred from tensor
+    names), missing ``<arch>.{embedding_length, block_count,
+    attention.head_count}`` (inferred from tensor shapes).  Tensor payloads
+    are copied verbatim.  Returns the applied-fixes report.
+    """
+    import re
+
+    from ..gguf.writer import GGUFWriter
+
+    applied: list[str] = []
+    with GGUFReader(path) as r:
+        md = dict(r.metadata)
+
+        arch = r.architecture
+        if arch is None:
+            arch = "llama"
+            if any(n.startswith("blk.") for n in r.tensors):
+                arch = "bitnet-b1.58" if any(
+                    i.ggml_type == GGMLType.I2_S for i in r) else "llama"
+            md["general.architecture"] = arch
+            applied.append(f"set general.architecture={arch}")
+
+        emb = r.tensors.get("token_embd.weight") \
+            or r.tensors.get("model.embed_tokens.weight")
+        if emb is not None and f"{arch}.embedding_length" not in md:
+            hidden = emb.logical_shape[-1]
+            md[f"{arch}.embedding_length"] = int(hidden)
+            applied.append(f"set {arch}.embedding_length={hidden}")
+
+        if f"{arch}.block_count" not in md:
+            layer_ids = set()
+            for n in r.tensors:
+                m = re.match(r"blk\.(\d+)\.", n)
+                if m:
+                    layer_ids.add(int(m.group(1)))
+            if layer_ids:
+                n_layers = max(layer_ids) + 1
+                md[f"{arch}.block_count"] = n_layers
+                applied.append(f"set {arch}.block_count={n_layers}")
+
+        if f"{arch}.attention.head_count" not in md and emb is not None:
+            q = r.tensors.get("blk.0.attn_q.weight")
+            if q is not None:
+                hidden = emb.logical_shape[-1]
+                heads = max(1, q.logical_shape[0] // 128)
+                md[f"{arch}.attention.head_count"] = int(heads)
+                applied.append(
+                    f"set {arch}.attention.head_count={heads} (head_dim "
+                    "assumed 128)")
+
+        w = GGUFWriter()
+        for k, v in md.items():
+            w.add_metadata(k, v)
+        for info in r:
+            raw = bytes(r.tensor_bytes(info.name))
+            w.add_quantized_tensor(info.name, tuple(info.logical_shape),
+                                   info.ggml_type, raw)
+        w.write(out_path)
+    return {"path": path, "out_path": out_path, "applied": applied}
