@@ -46,14 +46,41 @@ def _gen_config_from_body(body: dict) -> GenerationConfig:
 
 
 class BitNetServer:
-    def __init__(self, scheduler: ContinuousBatchingScheduler,
-                 model_name: str = "bitnet-tpu"):
-        self.scheduler = scheduler
+    def __init__(self, scheduler: ContinuousBatchingScheduler | None = None,
+                 model_name: str = "bitnet-tpu",
+                 manager=None, rate_limiter=None):
+        from .model_manager import ModelManager, RateLimiter
+
+        self.manager = manager or ModelManager()
+        if scheduler is not None:
+            self.manager.adopt(model_name, scheduler)
         self.model_name = model_name
+        self.rate_limiter = rate_limiter  # None = unlimited
+
+    @property
+    def scheduler(self):
+        """Default model's scheduler (back-compat accessor)."""
+        return self.manager.get()
+
+    def _sched_for(self, body: dict):
+        return self.manager.get(body.get("model"))
+
+    def _check_rate(self, request):
+        """Token-bucket + blocklist check (security.rs parity).
+        Returns a 429/403 response when rejected, else None."""
+        if self.rate_limiter is None:
+            return None
+        from aiohttp import web
+
+        ip = request.remote or "?"
+        if not self.rate_limiter.allow(ip):
+            return web.json_response(
+                {"error": "rate limit exceeded"}, status=429)
+        return None
 
     # ------------------------------------------------------------ helpers
-    def _encode(self, body: dict) -> list[int]:
-        tk = self.scheduler.tokenizer
+    def _encode(self, body: dict, scheduler=None) -> list[int]:
+        tk = (scheduler or self.scheduler).tokenizer
         if "tokens" in body:
             return [int(t) for t in body["tokens"]]
         prompt = body.get("prompt", "")
@@ -88,9 +115,16 @@ class BitNetServer:
         body = await self._json(request)
         if isinstance(body, web.Response):
             return body
-        ids = self._encode(body)
+        limited = self._check_rate(request)
+        if limited is not None:
+            return limited
+        try:
+            sched = self._sched_for(body)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        ids = self._encode(body, sched)
         t0 = time.time()
-        req = self.scheduler.submit(ids, _gen_config_from_body(body))
+        req = sched.submit(ids, _gen_config_from_body(body))
         text, toks, reason = await self._collect(req)
         return web.json_response({
             "text": text,
@@ -108,8 +142,15 @@ class BitNetServer:
         body = await self._json(request)
         if isinstance(body, web.Response):
             return body
-        ids = self._encode(body)
-        req = self.scheduler.submit(ids, _gen_config_from_body(body))
+        limited = self._check_rate(request)
+        if limited is not None:
+            return limited
+        try:
+            sched = self._sched_for(body)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        ids = self._encode(body, sched)
+        req = sched.submit(ids, _gen_config_from_body(body))
 
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
@@ -142,8 +183,15 @@ class BitNetServer:
         body = await self._json(request)
         if isinstance(body, web.Response):
             return body
-        ids = self._encode(body)
-        req = self.scheduler.submit(ids, _gen_config_from_body(body))
+        limited = self._check_rate(request)
+        if limited is not None:
+            return limited
+        try:
+            sched = self._sched_for(body)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        ids = self._encode(body, sched)
+        req = sched.submit(ids, _gen_config_from_body(body))
         text, toks, reason = await self._collect(req)
         return web.json_response({
             "id": f"chatcmpl-{req.id}",
@@ -167,22 +215,62 @@ class BitNetServer:
     async def handle_models(self, request):
         from aiohttp import web
 
-        cfg = self.scheduler.cfg
-        return web.json_response({"models": [{
-            "id": self.model_name,
-            "architecture": cfg.architecture,
-            "num_layers": cfg.num_layers,
-            "hidden_size": cfg.hidden_size,
-            "vocab_size": cfg.vocab_size,
-            "max_seq_len": self.scheduler.S,
-            "slots": self.scheduler.B,
-        }]})
+        return web.json_response({
+            "models": self.manager.list(),
+            "default": self.manager.default_name,
+        })
+
+    async def handle_model_get(self, request):
+        from aiohttp import web
+
+        try:
+            return web.json_response(
+                self.manager.info(request.match_info["name"]))
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+
+    async def handle_model_load(self, request):
+        """POST /v1/models/load {name, path, default?} — load a model
+        (reference model load route, lib.rs:265-282)."""
+        from aiohttp import web
+
+        body = await self._json(request)
+        if isinstance(body, web.Response):
+            return body
+        name, path = body.get("name"), body.get("path")
+        if not name or not path:
+            return web.json_response(
+                {"error": "need 'name' and 'path'"}, status=400)
+        loop = asyncio.get_event_loop()
+        try:
+            info = await loop.run_in_executor(
+                None, lambda: self.manager.load(
+                    name, path, bool(body.get("default", False))))
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response(info)
+
+    async def handle_model_unload(self, request):
+        from aiohttp import web
+
+        name = request.match_info["name"]
+        try:
+            self.manager.unload(name)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        return web.json_response({"unloaded": name})
 
     async def handle_stats(self, request):
         from aiohttp import web
 
+        agg: dict = {}
+        for info in self.manager.list():
+            st = self.manager.get(info["name"]).stats
+            for k, v in st.items():
+                agg[k] = agg.get(k, 0) + v
         return web.json_response({
-            **self.scheduler.stats,
+            **agg,
+            "models_loaded": len(self.manager.list()),
             "uptime_s": round(time.time() - START_TIME, 1),
         })
 
@@ -227,6 +315,10 @@ class BitNetServer:
                             self.handle_chat_completions)
         app.router.add_post("/v1/completions", self.handle_inference)
         app.router.add_get("/v1/models", self.handle_models)
+        app.router.add_post("/v1/models/load", self.handle_model_load)
+        app.router.add_get("/v1/models/{name}", self.handle_model_get)
+        app.router.add_delete("/v1/models/{name}",
+                              self.handle_model_unload)
         app.router.add_get("/v1/stats", self.handle_stats)
         app.router.add_get("/health", self.handle_health)
         app.router.add_get("/healthz", self.handle_health)
@@ -260,7 +352,7 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     app = server.build_app()
 
     async def on_shutdown(app):
-        sched.shutdown()
+        server.manager.shutdown()
 
     app.on_shutdown.append(on_shutdown)
     web.run_app(app, host=host, port=port)
