@@ -73,9 +73,6 @@ def build_synthetic_2b(seed: int = 0):
         w_up=lin_stack(H, F, s),
         w_down=lin_stack(F, H, s),
     )
-    from bitnet_tpu.models.bitnet import fuse_block_params
-
-    blocks = fuse_block_params(blocks)   # qkv / gate+up: 7→4 kernel calls
     sin, cos = build_rope_tables(D, cfg.max_seq_len, cfg.rope_base)
     params = BitNetParams(
         embed=jnp.asarray(
@@ -100,6 +97,36 @@ def bench_decode(cfg, params, kernel_path: str, S: int = 1024,
     from bitnet_tpu.obs.timing import chain_timer
 
     B = 1
+    kc0 = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim),
+                    jnp.bfloat16)
+
+    def step(prm, carry):
+        tok, pos, kc, vc = carry
+        h, kc, vc, _, _ = forward(
+            cfg, prm, tok[:, None],
+            jnp.minimum(pos, S - 1)[:, None], kc, vc,
+            jnp.minimum(pos, S - 1), 1, kernel_path)
+        lg = model_logits(cfg, prm, h, kernel_path)[:, 0, :]
+        nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+        return nxt, pos + 1, kc, vc
+
+    def mk(i):
+        return (jnp.full((B,), (i * 7) % cfg.vocab_size, jnp.int32),
+                jnp.zeros((B,), jnp.int32), kc0, jnp.zeros_like(kc0))
+
+    return chain_timer(step, mk, n_hi, n_lo, pairs=3, const_arg=params)
+
+
+def bench_decode_batched(cfg, params, kernel_path: str, B: int = 8,
+                         S: int = 1024, n_hi: int = 48, n_lo: int = 12
+                         ) -> float:
+    """Seconds per decode step at batch B (serving shape: the 2-bit unpack
+    amortizes over the batch, so aggregate tok/s scales ~linearly)."""
+    import jax.numpy as jnp
+
+    from bitnet_tpu.models.bitnet import forward, logits as model_logits
+    from bitnet_tpu.obs.timing import chain_timer
+
     kc0 = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim),
                     jnp.bfloat16)
 
@@ -172,6 +199,13 @@ def main() -> None:
     tok_s = 1.0 / dt_decode
     print(f"# decode: {dt_decode*1e3:.2f} ms/token → {tok_s:.1f} tok/s",
           file=sys.stderr)
+
+    try:
+        dt_b8 = bench_decode_batched(cfg, params, kernel_path, B=8)
+        print(f"# decode B=8: {dt_b8*1e3:.2f} ms/step → "
+              f"{8/dt_b8:.0f} tok/s aggregate", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# batched decode bench failed: {e}", file=sys.stderr)
 
     try:
         dt_prefill = bench_prefill(cfg, params, kernel_path)

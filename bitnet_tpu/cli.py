@@ -367,6 +367,37 @@ def cmd_st_merge(args) -> int:
     return 0
 
 
+def cmd_verify_receipt(args) -> int:
+    """Validate an honest-compute receipt (xtask verify-receipt parity)."""
+    from .verify.receipts import InferenceReceipt, validate_receipt
+
+    with open(args.receipt) as f:
+        r = InferenceReceipt.from_json(f.read())
+    problems = validate_receipt(r, strict=not args.tolerant)
+    print(json.dumps({"receipt": args.receipt, "problems": problems,
+                      "valid": not problems}, indent=2))
+    return 0 if not problems else 1
+
+
+def cmd_fingerprint(args) -> int:
+    from .models.validation import checkpoint_metadata
+
+    print(json.dumps(checkpoint_metadata(args.model), indent=2))
+    return 0
+
+
+def cmd_ln_check(args) -> int:
+    """LayerNorm RMS envelope check (bitnet-cli ln_rules.rs parity)."""
+    from .gguf.reader import GGUFReader
+    from .models.validation import detect_rules, validate_model_lns
+
+    with GGUFReader(args.model) as r:
+        rules = detect_rules(r.architecture or "")
+        report = validate_model_lns(r, rules)
+    print(json.dumps(report, indent=2))
+    return 0 if not report["rejected"] else 1
+
+
 def cmd_trace_diff(args) -> int:
     """Compare two activation trace dumps (xtask trace-diff parity)."""
     from .verify.trace import TraceSink, compare_records
@@ -464,6 +495,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="shard files, an index.json, or a directory")
     p.add_argument("--output", "-o", required=True)
     p.set_defaults(fn=cmd_st_merge)
+
+    p = sub.add_parser("verify-receipt",
+                       help="validate an honest-compute receipt")
+    p.add_argument("receipt")
+    p.add_argument("--tolerant", action="store_true")
+    p.set_defaults(fn=cmd_verify_receipt)
+
+    p = sub.add_parser("fingerprint",
+                       help="checkpoint fingerprint + metadata")
+    p.add_argument("--model", "-m", required=True)
+    p.set_defaults(fn=cmd_fingerprint)
+
+    p = sub.add_parser("ln-check",
+                       help="LayerNorm RMS envelope validation")
+    p.add_argument("--model", "-m", required=True)
+    p.set_defaults(fn=cmd_ln_check)
 
     p = sub.add_parser("trace-diff",
                        help="compare two activation trace dumps")

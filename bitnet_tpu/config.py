@@ -196,7 +196,7 @@ class EngineConfig:
     # fuse q|k|v and gate|up into single kernel calls (fewer launches,
     # wider DMA blocks); single-chip engines only — sharded paths keep
     # the unfused layout for clean column-parallel PartitionSpecs
-    fuse_projections: bool = True
+    fuse_projections: bool = False
     strict: StrictMode = field(default_factory=StrictMode)
 
     def __post_init__(self) -> None:
