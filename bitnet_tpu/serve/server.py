@@ -56,6 +56,9 @@ class BitNetServer:
             self.manager.adopt(model_name, scheduler)
         self.model_name = model_name
         self.rate_limiter = rate_limiter  # None = unlimited
+        from .health import HealthMonitor
+
+        self.health = HealthMonitor(self.manager)
 
     @property
     def scheduler(self):
@@ -277,7 +280,61 @@ class BitNetServer:
     async def handle_health(self, request):
         from aiohttp import web
 
-        return web.json_response({"status": "ok"})
+        snap = self.health.refresh()
+        status = 200 if snap["healthy"] else 503
+        return web.json_response(
+            {"status": "ok" if snap["healthy"] else "degraded"},
+            status=status)
+
+    async def handle_devices(self, request):
+        """Device health + per-model scheduler status
+        (reference /v1/devices route)."""
+        from aiohttp import web
+
+        return web.json_response(self.health.refresh())
+
+    async def handle_canary(self, request):
+        from aiohttp import web
+
+        loop = asyncio.get_event_loop()
+        result = await loop.run_in_executor(None, self.health.canary)
+        return web.json_response(result,
+                                 status=200 if result.get("ok") else 503)
+
+    async def handle_ws(self, request):
+        """WebSocket streaming (bitnet-server/src/websocket.rs parity):
+        client sends an inference JSON body, receives one message per
+        token plus a final done message."""
+        from aiohttp import WSMsgType, web
+
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        loop = asyncio.get_event_loop()
+        async for msg in ws:
+            if msg.type != WSMsgType.TEXT:
+                break
+            try:
+                body = json.loads(msg.data)
+                sched = self._sched_for(body)
+                ids = self._encode(body, sched)
+                req = sched.submit(ids, _gen_config_from_body(body))
+            except Exception as e:
+                await ws.send_json({"error": str(e)})
+                continue
+            idx = 0
+            while True:
+                tok, text, done, reason = await loop.run_in_executor(
+                    None, lambda: req.out.get(timeout=600))
+                if tok is not None:
+                    await ws.send_json({"token": tok, "text": text,
+                                        "index": idx})
+                    idx += 1
+                if done:
+                    await ws.send_json({
+                        "done": True,
+                        "stop_reason": reason.value if reason else None})
+                    break
+        return ws
 
     async def handle_metrics(self, request):
         """Prometheus text exposition (monitoring/prometheus.rs parity)."""
@@ -323,6 +380,9 @@ class BitNetServer:
         app.router.add_get("/health", self.handle_health)
         app.router.add_get("/healthz", self.handle_health)
         app.router.add_get("/metrics", self.handle_metrics)
+        app.router.add_get("/v1/devices", self.handle_devices)
+        app.router.add_get("/v1/canary", self.handle_canary)
+        app.router.add_get("/v1/ws", self.handle_ws)
         return app
 
 
