@@ -31,6 +31,7 @@ class MiniModelSpec:
     rope_base: float = 10000.0
     rms_norm_eps: float = 1e-5
     quant: str = "f32"  # 'f32' | 'bitnet32' | 'qk256'
+    sub_norm: bool = False   # emit BitNet 2B-4T attn/ffn sub-layernorms
     seed: int = 0
     architecture: str = "bitnet-25"   # reference arch string family
     tie_embeddings: bool = True
@@ -153,10 +154,18 @@ def generate_mini_gguf(path: str, spec: MiniModelSpec | None = None) -> MiniMode
         add_linear(f"blk.{i}.attn_q.weight", nh * Hd, H)
         add_linear(f"blk.{i}.attn_k.weight", nkv * Hd, H)
         add_linear(f"blk.{i}.attn_v.weight", nkv * Hd, H)
+        if spec.sub_norm:
+            add_float(f"blk.{i}.attn_sub_norm.weight",
+                      (np.ones(nh * Hd)
+                       + rng.standard_normal(nh * Hd) * 0.01) * norm_gain)
         add_linear(f"blk.{i}.attn_output.weight", H, nh * Hd)
         add_float(f"blk.{i}.ffn_norm.weight", (np.ones(H) + rng.standard_normal(H) * 0.01) * norm_gain)
         add_linear(f"blk.{i}.ffn_gate.weight", F, H)
         add_linear(f"blk.{i}.ffn_up.weight", F, H)
+        if spec.sub_norm:
+            add_float(f"blk.{i}.ffn_sub_norm.weight",
+                      (np.ones(F) + rng.standard_normal(F) * 0.01)
+                      * norm_gain)
         add_linear(f"blk.{i}.ffn_down.weight", H, F)
 
     add_float("output_norm.weight", (np.ones(H) + rng.standard_normal(H) * 0.01) * norm_gain)

@@ -36,7 +36,7 @@ from ..ops.rope import apply_rope
     data_fields=[
         "attn_norm", "wq", "wk", "wv", "wo",
         "ffn_norm", "w_gate", "w_up", "w_down",
-        "wqkv", "w_gateup",
+        "wqkv", "w_gateup", "attn_sub_norm", "ffn_sub_norm",
     ],
     meta_fields=[],
 )
@@ -48,6 +48,13 @@ class BlockParams:
     call for q|k|v and gate|up — see ops.linear.concat_linears and
     fuse_block_params); when present, block_forward prefers them and the
     unfused fields may be None.
+
+    ``attn_sub_norm`` / ``ffn_sub_norm`` are the BitNet b1.58 2B-4T
+    sub-layernorms: RMSNorm on the attention output before o_proj and on
+    the SwiGLU product before down_proj.  The reference only *maps* these
+    tensor names (weight_mapper.rs:260-270) and never applies them — we
+    apply them, which is required for logits parity with bitnet.cpp on
+    the real 2B-4T checkpoint.
     """
 
     attn_norm: jnp.ndarray     # [L, H]
@@ -61,6 +68,8 @@ class BlockParams:
     w_down: TernaryLinear      # [L, F, H]
     wqkv: Optional[TernaryLinear] = None      # [L, H, (nh+2*nkv)*D]
     w_gateup: Optional[TernaryLinear] = None  # [L, H, 2*F]
+    attn_sub_norm: Optional[jnp.ndarray] = None   # [L, nh*D]
+    ffn_sub_norm: Optional[jnp.ndarray] = None    # [L, F]
 
 
 @partial(
@@ -195,7 +204,10 @@ def block_forward(
     new_len = kv_valid_len + T  # engine guarantees T real tokens ≤ T
     attn = attention(q, k_read, v_read, q_positions, new_len,
                      kv_positions=kv_positions, window=window)
-    x = x + lap(bp.wo, attn.reshape(B, T, nh * D))
+    attn = attn.reshape(B, T, nh * D)
+    if bp.attn_sub_norm is not None:     # BitNet 2B-4T sub-layernorm
+        attn = rms_norm(attn, bp.attn_sub_norm, cfg.rms_norm_eps)
+    x = x + lap(bp.wo, attn)
 
     # --- FFN (SwiGLU; reference lib.rs:751-793) ---
     h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
@@ -207,7 +219,10 @@ def block_forward(
     else:
         gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
         up = lap(bp.w_up, h)
-    x = x + lap(bp.w_down, gate * up)
+    gu = gate * up
+    if bp.ffn_sub_norm is not None:      # BitNet 2B-4T sub-layernorm
+        gu = rms_norm(gu, bp.ffn_sub_norm, cfg.rms_norm_eps)
+    x = x + lap(bp.w_down, gu)
     return x, k_cache, v_cache, k_scale, v_scale
 
 

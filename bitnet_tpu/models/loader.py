@@ -269,6 +269,27 @@ def load_model(
                 r, require_layer(names, "ffn_up", i), F, H, mode, report, "w_up", param_dtype))
             per_layer["w_down"].append(_load_linear(
                 r, require_layer(names, "ffn_down", i), H, F, mode, report, "w_down", param_dtype))
+            # BitNet 2B-4T sub-layernorms (optional; applied in
+            # block_forward — the reference only maps these names)
+            asn = find_layer(names, "attn_sub_norm", i)
+            if asn is not None:
+                per_layer.setdefault("attn_sub_norm", []).append(jnp.asarray(
+                    _to_float(r, r.tensors[asn]).reshape(nh * D),
+                    dtype=jnp.float32))
+            fsn = find_layer(names, "ffn_sub_norm", i)
+            if fsn is not None:
+                per_layer.setdefault("ffn_sub_norm", []).append(jnp.asarray(
+                    _to_float(r, r.tensors[fsn]).reshape(F),
+                    dtype=jnp.float32))
+
+        for role in ("attn_sub_norm", "ffn_sub_norm"):
+            if role in per_layer and len(per_layer[role]) != cfg.num_layers:
+                raise ModelError(
+                    f"{role} present for only {len(per_layer[role])} of "
+                    f"{cfg.num_layers} layers")
+        if "attn_sub_norm" in per_layer:
+            cfg = cfg.replace(use_sub_norm=True)
+            report.config = cfg
 
         blocks = BlockParams(
             attn_norm=jnp.stack(per_layer["attn_norm"]),
@@ -280,6 +301,10 @@ def load_model(
             w_gate=_stack_linears(per_layer["w_gate"]),
             w_up=_stack_linears(per_layer["w_up"]),
             w_down=_stack_linears(per_layer["w_down"]),
+            attn_sub_norm=(jnp.stack(per_layer["attn_sub_norm"])
+                           if "attn_sub_norm" in per_layer else None),
+            ffn_sub_norm=(jnp.stack(per_layer["ffn_sub_norm"])
+                          if "ffn_sub_norm" in per_layer else None),
         )
 
         fn_name = find_global(names, "output_norm")

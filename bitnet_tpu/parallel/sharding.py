@@ -76,6 +76,11 @@ def param_pspecs(cfg: ModelConfig, params: BitNetParams) -> BitNetParams:
         w_down=_lin_specs(b.w_down, False),  # row-parallel → psum
         wqkv=opt(b.wqkv, True),
         w_gateup=opt(b.w_gateup, True),
+        # sub-norm gains align with the column-parallel activation shards
+        attn_sub_norm=(P(None, MODEL_AXIS)
+                       if b.attn_sub_norm is not None else None),
+        ffn_sub_norm=(P(None, MODEL_AXIS)
+                      if b.ffn_sub_norm is not None else None),
     )
     lm_head = None
     if params.lm_head is not None:

@@ -80,13 +80,19 @@ def reference_forward(
             p = np.exp(scores)
             p /= p.sum(axis=-1, keepdims=True)
             out[:, hd] = p @ v[:, kv]
-        x = x + out.reshape(T, nh * D) @ w("attn_output").T
+        attn = out.reshape(T, nh * D)
+        if f"blk.{L}.attn_sub_norm.weight" in weights:
+            attn = _rms_norm(attn, w("attn_sub_norm"), cfg.rms_norm_eps)
+        x = x + attn @ w("attn_output").T
 
         # FFN (SwiGLU)
         h = _rms_norm(x, w("ffn_norm"), cfg.rms_norm_eps)
         gate = _silu(h @ w("ffn_gate").T)
         up = h @ w("ffn_up").T
-        x = x + (gate * up) @ w("ffn_down").T
+        gu = gate * up
+        if f"blk.{L}.ffn_sub_norm.weight" in weights:
+            gu = _rms_norm(gu, w("ffn_sub_norm"), cfg.rms_norm_eps)
+        x = x + gu @ w("ffn_down").T
 
     x = _rms_norm(x, weights["output_norm.weight"].astype(np.float64),
                   cfg.rms_norm_eps)
