@@ -28,7 +28,17 @@ def config_from_gguf(reader: GGUFReader) -> ModelConfig:
     # detect untied lm_head
     tied = "output.weight" not in reader.tensors
 
+    # FFN activation: silu by default (matches the reference transformer,
+    # bitnet-transformer lib.rs:765); converters may declare relu2 (the
+    # BitNet 2B-4T paper activation) via metadata
+    act = (g("activation_function")
+           or reader.metadata.get("general.activation") or "silu")
+    act = {"swish": "silu", "silu": "silu", "relu2": "relu2",
+           "relu_squared": "relu2", "gelu": "gelu"}.get(
+        str(act).lower(), "silu")
+
     return ModelConfig(
+        hidden_act=act,
         vocab_size=int(vocab),
         hidden_size=hidden,
         intermediate_size=int(g("feed_forward_length", 4 * hidden)),
