@@ -367,6 +367,82 @@ def cmd_st_merge(args) -> int:
     return 0
 
 
+def cmd_preflight(args) -> int:
+    """Environment readiness check (xtask preflight parity): device probe,
+    native codec, toolchain, C++ reference availability."""
+    import shutil
+
+    from . import native
+    from .device_probe import probe_device
+    from .verify.crossval import cpp_reference_available
+
+    probe = probe_device()
+    report = {
+        "device": probe.as_dict(),
+        "recommended_kernel_path": probe.recommended_kernel_path,
+        "native_codec": native.available(),
+        "toolchain": {
+            "gxx": shutil.which("g++") is not None,
+            "cmake": shutil.which("cmake") is not None,
+        },
+        "cpp_reference": cpp_reference_available(),
+    }
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def cmd_crossval(args) -> int:
+    """Per-token logits cross-validation (xtask crossval-per-token)."""
+    engine = _build_engine(args)
+    ids = [int(t) for t in args.tokens.split(",")] if args.tokens else \
+        engine.tokenizer.encode(args.prompt, add_bos=True)
+    from .verify import crossval as cv
+
+    if args.backend == "cpp":
+        res = cv.crossval_cpp(engine, args.model, ids,
+                              threshold=args.threshold)
+    else:
+        # golden backend needs the float weights — only fixture models
+        # carry them; real models use the cpp backend
+        from .gguf.fixtures import MiniModel
+
+        raise SystemExit(
+            "golden crossval runs in tests (fixtures carry float weights); "
+            "use --backend cpp with BITNET_CPP_DIR for real checkpoints")
+    if args.baselines:
+        cv.record_baseline(res, args.baselines, {"model": args.model})
+    print(json.dumps(res.as_dict(), indent=2))
+    return 0 if res.passed else 1
+
+
+def cmd_gate(args) -> int:
+    """CI gate: one JSON verdict aggregating environment + receipts +
+    optional crossval (xtask gate parity)."""
+    import shutil
+
+    from . import native
+    from .device_probe import probe_device
+
+    checks: dict[str, bool] = {}
+    probe = probe_device()
+    checks["device_reachable"] = probe.num_devices > 0
+    checks["native_codec"] = native.available() or not args.require_native
+    if args.receipt:
+        from .verify.receipts import InferenceReceipt, validate_receipt
+
+        try:
+            with open(args.receipt) as f:
+                r = InferenceReceipt.from_json(f.read())
+            checks["receipt_valid"] = not validate_receipt(r, strict=True)
+        except Exception:
+            checks["receipt_valid"] = False
+    if args.require_tpu:
+        checks["tpu"] = probe.is_tpu
+    verdict = all(checks.values())
+    print(json.dumps({"checks": checks, "passed": verdict}, indent=2))
+    return 0 if verdict else 1
+
+
 def cmd_verify_receipt(args) -> int:
     """Validate an honest-compute receipt (xtask verify-receipt parity)."""
     from .verify.receipts import InferenceReceipt, validate_receipt
@@ -495,6 +571,26 @@ def main(argv: list[str] | None = None) -> int:
                    help="shard files, an index.json, or a directory")
     p.add_argument("--output", "-o", required=True)
     p.set_defaults(fn=cmd_st_merge)
+
+    p = sub.add_parser("preflight", help="environment readiness report")
+    p.set_defaults(fn=cmd_preflight)
+
+    p = sub.add_parser("crossval",
+                       help="per-token logits cross-validation")
+    _add_gen_flags(p)
+    p.add_argument("--tokens", default=None,
+                   help="comma-separated token ids (else encode --prompt)")
+    p.add_argument("--backend", default="cpp", choices=["cpp", "golden"])
+    p.add_argument("--threshold", type=float, default=0.99)
+    p.add_argument("--baselines", default=None,
+                   help="append the result to this baselines.json")
+    p.set_defaults(fn=cmd_crossval)
+
+    p = sub.add_parser("gate", help="CI gate: JSON pass/fail verdict")
+    p.add_argument("--receipt", default=None)
+    p.add_argument("--require-tpu", action="store_true")
+    p.add_argument("--require-native", action="store_true")
+    p.set_defaults(fn=cmd_gate)
 
     p = sub.add_parser("verify-receipt",
                        help="validate an honest-compute receipt")
