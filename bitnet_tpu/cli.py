@@ -455,6 +455,20 @@ def cmd_verify_receipt(args) -> int:
     return 0 if not problems else 1
 
 
+def cmd_replay(args) -> int:
+    """Deterministically replay a receipt's generation and verify the
+    output matches token-for-token."""
+    from .verify.receipts import InferenceReceipt
+    from .verify.replay import replay_receipt
+
+    with open(args.replay_receipt) as f:
+        rec = InferenceReceipt.from_json(f.read())
+    engine = _build_engine(args)
+    report = replay_receipt(engine, rec)
+    print(json.dumps(report.as_dict(), indent=2))
+    return 0 if report.matched else 1
+
+
 def cmd_fingerprint(args) -> int:
     from .models.validation import checkpoint_metadata
 
@@ -597,6 +611,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("receipt")
     p.add_argument("--tolerant", action="store_true")
     p.set_defaults(fn=cmd_verify_receipt)
+
+    p = sub.add_parser("replay",
+                       help="deterministically replay a receipt")
+    _add_gen_flags(p)
+    p.add_argument("--receipt-in", dest="replay_receipt", required=True,
+                   help="receipt JSON to replay")
+    p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("fingerprint",
                        help="checkpoint fingerprint + metadata")

@@ -462,6 +462,21 @@ class InferenceEngine:
             out_ids.append(ev.token_id)
         text = (self.tokenizer.decode(out_ids)
                 if self.tokenizer is not None else "")
+        # recorded for deterministic replay via honest-compute receipts
+        self._last_request = {
+            "prompt_ids": list(token_ids),
+            "output_ids": list(out_ids),
+            "gen": {
+                "max_new_tokens": gen_cfg.max_new_tokens,
+                "temperature": gen_cfg.temperature,
+                "top_k": gen_cfg.top_k,
+                "top_p": gen_cfg.top_p,
+                "min_p": gen_cfg.min_p,
+                "repetition_penalty": gen_cfg.repetition_penalty,
+                "seed": gen_cfg.seed,
+                "greedy": gen_cfg.greedy,
+            },
+        }
         return GenerationResult(
             text=text,
             token_ids=out_ids,

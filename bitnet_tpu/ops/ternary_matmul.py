@@ -246,22 +246,31 @@ def _largest_divisor(x: int, cap: int, mult: int) -> int:
 
 
 def _pick_blocks(M: int, Kp: int, Np: int) -> tuple[int, int, int]:
-    """(bm, bn, bkt) — empirically tuned on v5e (see /tmp autotune logs &
-    commit history): decode wants the widest N block (few, large DMAs;
-    ~180 GB/s packed vs ~86 at bn=256), prefill wants one M block so each
-    weight tile is unpacked exactly once (unpack is the VPU bottleneck;
-    512/768/5 reaches ~160 TF/s ≈ 82% of v5e bf16 peak).
+    """(bm, bn, bkt) — empirically tuned on v5e (sweep logs in commit
+    history).  Decode (M≤32) is VPU-unpack + DMA-pipeline bound: widest
+    lane-aligned N block up to 2560, K split so the grid keeps ≥2 K-steps
+    (Pallas double-buffers across grid steps — a single-step grid can't
+    overlap DMA with compute: 2560² went 13.8→10.1 µs, 6912×2560 went
+    48.7→20.3 µs with this rule).  Prefill wants one M block so each
+    weight tile is unpacked exactly once (512/768/5 ≈ 82% of v5e bf16
+    peak).
     """
+    nk = Kp // KT
     if M <= 32:
         bm = max(16, -(-M // 8) * 8)
-    elif M <= 512:
-        bm = -(-M // 16) * 16
-    else:
-        bm = 512
+        bn = _largest_divisor(Np, 2560, 128)
+        # largest divisor of nk with packed block ≤ ~1.6 MB that still
+        # leaves ≥2 K grid steps for pipelining
+        cap = max(1, (16 * (1 << 20)) // (10 * 64 * bn))
+        bkt = 1
+        for d in range(1, nk + 1):
+            if nk % d == 0 and d <= cap and (nk // d >= 2 or nk == 1):
+                bkt = d
+        return bm, bn, bkt
+    bm = -(-M // 16) * 16 if M <= 512 else 512
     # bn: largest lane-aligned divisor of Np up to 2304 columns
     bn = _largest_divisor(Np, 2304, 128)
     # bkt: largest divisor of the K-tile count with packed block ≤ ~1 MB
-    nk = Kp // KT
     cap = max(1, (1 << 20) // (64 * bn))
     bkt = 1
     for d in range(1, min(nk, 8) + 1):

@@ -36,6 +36,9 @@ class InferenceReceipt:
     model_info: dict = field(default_factory=dict)
     performance: dict = field(default_factory=dict)
     parity: dict | None = None
+    # the generation request + output for deterministic replay
+    # (SURVEY.md §5: "deterministic replay from receipts")
+    request: dict | None = None
     timestamp: float = field(default_factory=time.time)
 
     def to_dict(self) -> dict:
@@ -62,7 +65,8 @@ def _is_mock_kernel(kernel_id: str) -> bool:
 
 
 def generate_receipt(engine, metrics: dict | None = None,
-                     parity: dict | None = None) -> InferenceReceipt:
+                     parity: dict | None = None,
+                     request: dict | None = None) -> InferenceReceipt:
     """Build a receipt from an engine's kernel recorder
     (``bitnet-inference/src/kernel_recorder.rs`` equivalent)."""
     import jax
@@ -96,6 +100,8 @@ def generate_receipt(engine, metrics: dict | None = None,
         },
         performance=metrics or {},
         parity=parity,
+        request=request if request is not None
+        else getattr(engine, "_last_request", None),
     )
 
 
