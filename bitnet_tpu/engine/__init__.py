@@ -22,7 +22,39 @@ from .sampling import (
 )
 from .stop import StopCriteria, StopReason
 
+# feature modules (import on use; re-exported for a stable public surface)
+from . import checkpoint
+from .context import ContextWindowConfig, EvictionPolicy, evict
+from .paged_cache import PagedKVCache, PagePool, allocate_paged_cache
+from .prefix_cache import PrefixCache, PrefixSnapshot
+from .session import Session, SessionConfig, SessionState
+from .speculative import (
+    EngineDraft,
+    NgramDraft,
+    SpeculativeConfig,
+    SpeculativeDecoder,
+)
+from .windowed_cache import WindowedKVCache, allocate_windowed_cache
+
 __all__ = [
+    "checkpoint",
+    "ContextWindowConfig",
+    "EvictionPolicy",
+    "evict",
+    "PagedKVCache",
+    "PagePool",
+    "allocate_paged_cache",
+    "PrefixCache",
+    "PrefixSnapshot",
+    "Session",
+    "SessionConfig",
+    "SessionState",
+    "EngineDraft",
+    "NgramDraft",
+    "SpeculativeConfig",
+    "SpeculativeDecoder",
+    "WindowedKVCache",
+    "allocate_windowed_cache",
     "KVCache",
     "allocate_cache",
     "reset_cache",

@@ -314,9 +314,11 @@ def logits(
     """Project hidden states to vocab logits (reference: lib.rs:1599)."""
     if params.lm_head is not None:
         return linear_apply(params.lm_head, hidden, path=kernel_path)
-    # tied embeddings: x @ E^T in f32 for logit stability
-    return jnp.einsum(
-        "bth,vh->btv",
-        hidden.astype(jnp.float32),
-        params.embed.astype(jnp.float32),
+    # tied embeddings: x @ E^T on the MXU in the table's stored dtype with
+    # f32 accumulation — casting the [V, H] table up to f32 would read it
+    # at 2x the bytes (the whole op is HBM-bound at decode)
+    return jax.lax.dot_general(
+        hidden.astype(params.embed.dtype), params.embed,
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
