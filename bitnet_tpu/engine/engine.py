@@ -602,6 +602,50 @@ class InferenceEngine:
                 prompt_tokens=lens[i], metrics={}))
         return results
 
+    # -- multi-chip ------------------------------------------------------------
+    def shard_to_mesh(self, mesh=None, dp: int | None = None,
+                      tp: int | None = None) -> "InferenceEngine":
+        """Re-place parameters and KV cache on a (data, model) mesh.
+
+        The compiled step functions are pure functions of (params, cache),
+        so GSPMD transparently partitions them once the inputs carry
+        NamedShardings: column-parallel qkv/gate/up, row-parallel o/down
+        with psum over ICI, KV heads on the model axis, batch on data
+        (parallel/sharding.py).  This is the real version of the
+        reference's simulated distributed engine
+        (bitnet-gpu-hal/src/distributed_inference.rs).
+
+        Constraints: max_batch_size must be divisible by the data axis and
+        num_kv_heads by the model axis.  Returns self (chainable).
+        """
+        from ..parallel import make_mesh, shard_cache, shard_params
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        if mesh is None:
+            mesh = make_mesh(dp=dp, tp=tp)
+        ndp = mesh.shape[DATA_AXIS]
+        ntp = mesh.shape[MODEL_AXIS]
+        if self.engine_cfg.max_batch_size % ndp != 0:
+            raise ConfigError(
+                f"max_batch_size {self.engine_cfg.max_batch_size} not "
+                f"divisible by data axis {ndp}")
+        if self.cfg.num_kv_heads % ntp != 0:
+            raise ConfigError(
+                f"num_kv_heads {self.cfg.num_kv_heads} not divisible by "
+                f"model axis {ntp}")
+        if self.params.blocks.wqkv is not None:
+            raise ConfigError(
+                "shard_to_mesh requires unfused projections "
+                "(EngineConfig(fuse_projections=False))")
+        self.params = shard_params(mesh, self.cfg, self.params)
+        self.cache = shard_cache(mesh, self.cache)
+        self.mesh = mesh
+        # drop compiled programs traced with unsharded inputs
+        self._prefill_jit = {}
+        self._decode_jit = None
+        self._restore_jit = {}
+        return self
+
     # -- cross-validation ------------------------------------------------------
     def eval_ids(self, token_ids: list[int]) -> np.ndarray:
         """Per-position logits for the whole sequence (engine.rs:852

@@ -39,6 +39,9 @@ def make_mesh(
         tp = n // dp
     elif dp is None:
         dp = n // tp
+    if dp * tp < n:
+        devices = devices[: dp * tp]   # use a prefix of the device pool
+        n = len(devices)
     if dp * tp != n:
         raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
     arr = np.asarray(devices).reshape(dp, tp)

@@ -177,6 +177,26 @@ def apply(
     return render_chat(template, msgs)
 
 
+def validate_output(template: TemplateType, text: str) -> list[str]:
+    """Post-generation output validation (reference lib.rs:3103): flag
+    template-token leakage — control markers that should have been
+    consumed as stop sequences appearing in user-visible text."""
+    leak_markers = {
+        TemplateType.LLAMA3_CHAT: ["<|eot_id|>", "<|start_header_id|>",
+                                   "<|end_header_id|>"],
+        TemplateType.CHATML: ["<|im_start|>", "<|im_end|>"],
+        TemplateType.INSTRUCT: ["### Instruction:", "### Response:"],
+        TemplateType.MISTRAL_INSTRUCT: ["[INST]", "[/INST]"],
+        TemplateType.ALPACA: ["### Instruction:", "### Input:"],
+    }.get(template, [])
+    problems = [f"template marker leaked into output: {m!r}"
+                for m in leak_markers if m in text]
+    for ch in ("￾", "￿"):
+        if ch in text:
+            problems.append(f"invalid unicode {ch!r} in output")
+    return problems
+
+
 def spec_for(template: TemplateType) -> TemplateSpec:
     return SPECS[template]
 

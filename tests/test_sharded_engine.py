@@ -1,0 +1,68 @@
+"""Mesh-sharded engine tests (8 virtual CPU devices).
+
+Gate: generation through a (dp, tp) sharded engine must equal the
+single-device engine token-for-token — real collectives, same outputs.
+"""
+
+import jax.numpy as jnp
+import pytest
+
+from bitnet_tpu.config import EngineConfig, GenerationConfig
+from bitnet_tpu.engine import InferenceEngine
+from bitnet_tpu.errors import ConfigError
+from bitnet_tpu.models import load_model
+
+
+@pytest.fixture(scope="module")
+def model(mini_gguf_f32):
+    cfg, params, _ = load_model(mini_gguf_f32.path, param_dtype=jnp.float32)
+    return cfg, params
+
+
+def mk_engine(model, batch=1):
+    cfg, params = model
+    return InferenceEngine(
+        cfg, params,
+        EngineConfig(max_seq_len=64, max_batch_size=batch,
+                     kv_cache_dtype="f32", compute_dtype="f32"))
+
+
+class TestShardedEngine:
+    def test_tp_matches_single(self, model):
+        gen = GenerationConfig(max_new_tokens=8, greedy=True)
+        prompt = [2, 7, 11, 13]
+        golden = mk_engine(model).generate(prompt, gen).token_ids
+
+        eng = mk_engine(model).shard_to_mesh(dp=1, tp=2)
+        got = eng.generate(prompt, gen).token_ids
+        assert got == golden, (got, golden)
+
+    def test_dp_tp_batch_matches_single(self, model):
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[2, 7, 11], [3, 5, 8, 12], [40, 41], [9, 10]]
+        golden = [mk_engine(model).generate(p, gen).token_ids
+                  for p in prompts]
+
+        eng = mk_engine(model, batch=4).shard_to_mesh(dp=2, tp=2)
+        results = eng.generate_batch(prompts, gen)
+        for i, (r, g) in enumerate(zip(results, golden)):
+            assert r.token_ids == g, f"slot {i}"
+
+    def test_bad_divisibility(self, model):
+        eng = mk_engine(model, batch=3)
+        with pytest.raises(ConfigError, match="divisible"):
+            eng.shard_to_mesh(dp=2, tp=2)
+        eng2 = mk_engine(model, batch=2)
+        with pytest.raises(ConfigError, match="num_kv_heads"):
+            eng2.shard_to_mesh(dp=1, tp=8)   # mini model has 2 KV heads
+
+    def test_fused_rejected(self, model):
+        cfg, params = model
+        eng = InferenceEngine(
+            cfg, params,
+            EngineConfig(max_seq_len=64, kv_cache_dtype="f32",
+                         compute_dtype="f32", fuse_projections=True))
+        if eng.params.blocks.wqkv is None:
+            pytest.skip("fusion not applicable to this fixture")
+        with pytest.raises(ConfigError, match="unfused"):
+            eng.shard_to_mesh(dp=1, tp=2)

@@ -63,3 +63,22 @@ class TestRender:
         spec = T.spec_for(T.TemplateType.LLAMA3_CHAT)
         assert "<|eot_id|>" in spec.stop_sequences
         assert spec.add_bos is False
+
+
+class TestOutputValidation:
+    def test_leak_detected(self):
+        from bitnet_tpu.templates import TemplateType, validate_output
+
+        probs = validate_output(TemplateType.CHATML,
+                                "hi there <|im_end|> leftover")
+        assert probs and "im_end" in probs[0]
+
+    def test_clean_output(self):
+        from bitnet_tpu.templates import TemplateType, validate_output
+
+        assert validate_output(TemplateType.CHATML, "clean answer") == []
+
+    def test_raw_never_flags(self):
+        from bitnet_tpu.templates import TemplateType, validate_output
+
+        assert validate_output(TemplateType.RAW, "[INST] ok") == []
