@@ -105,12 +105,68 @@ def convert_safetensors_to_gguf(
         if m:
             n_layers = max(n_layers, int(m.group(1)) + 1)
 
+    # HF checkpoints ship config.json — the authoritative head/ffn config
+    # (a sibling of the .safetensors file or inside the directory)
+    hf_cfg = {}
+    cfg_dir = input_path if os.path.isdir(input_path) \
+        else os.path.dirname(os.path.abspath(input_path))
+    cfg_json = os.path.join(cfg_dir, "config.json")
+    if os.path.isfile(cfg_json):
+        try:
+            with open(cfg_json) as f:
+                hf_cfg = json.load(f)
+        except json.JSONDecodeError:
+            hf_cfg = {}
+
     w.add_metadata("general.architecture", arch)
     w.add_metadata("general.name", os.path.basename(input_path))
+    hidden = int(hf_cfg.get("hidden_size", emb.shape[1] if emb is not None
+                            else 0))
+    if hidden:
+        w.add_metadata(f"{arch}.embedding_length", hidden)
     if emb is not None:
-        w.add_metadata(f"{arch}.embedding_length", int(emb.shape[1]))
-        w.add_metadata(f"{arch}.vocab_size", int(emb.shape[0]))
-    w.add_metadata(f"{arch}.block_count", n_layers)
+        w.add_metadata(f"{arch}.vocab_size",
+                       int(hf_cfg.get("vocab_size", emb.shape[0])))
+    w.add_metadata(f"{arch}.block_count",
+                   int(hf_cfg.get("num_hidden_layers", n_layers)))
+
+    # head counts: config.json first; else infer from q/k projection shapes
+    # assuming head_dim = hidden / num_heads unless config says otherwise
+    q0 = tensors.get("model.layers.0.self_attn.q_proj.weight")
+    k0 = tensors.get("model.layers.0.self_attn.k_proj.weight")
+    n_heads = hf_cfg.get("num_attention_heads")
+    head_dim = hf_cfg.get("head_dim")
+    if n_heads is None and q0 is not None:
+        # no config.json: assume the standard 128-dim heads when q rows
+        # divide cleanly, else 64 (small/test models)
+        head_dim = 128 if q0.shape[0] % 128 == 0 and q0.shape[0] >= 128 \
+            else 64
+        n_heads = max(1, q0.shape[0] // head_dim)
+    if n_heads:
+        n_heads = int(n_heads)
+        w.add_metadata(f"{arch}.attention.head_count", n_heads)
+        hd = int(head_dim or (q0.shape[0] // n_heads if q0 is not None
+                              else hidden // n_heads))
+        w.add_metadata(f"{arch}.attention.key_length", hd)
+        n_kv = hf_cfg.get("num_key_value_heads")
+        if n_kv is None and k0 is not None and hd:
+            n_kv = k0.shape[0] // hd
+        if n_kv:
+            w.add_metadata(f"{arch}.attention.head_count_kv", int(n_kv))
+    g0 = tensors.get("model.layers.0.mlp.gate_proj.weight")
+    ffn = hf_cfg.get("intermediate_size",
+                     g0.shape[0] if g0 is not None else None)
+    if ffn:
+        w.add_metadata(f"{arch}.feed_forward_length", int(ffn))
+    if hf_cfg.get("max_position_embeddings"):
+        w.add_metadata(f"{arch}.context_length",
+                       int(hf_cfg["max_position_embeddings"]))
+    if hf_cfg.get("rope_theta"):
+        w.add_metadata(f"{arch}.rope.freq_base",
+                       float(hf_cfg["rope_theta"]))
+    if hf_cfg.get("rms_norm_eps"):
+        w.add_metadata(f"{arch}.attention.layer_norm_rms_epsilon",
+                       float(hf_cfg["rms_norm_eps"]))
     for k, v in cfg_meta.items():
         w.add_metadata(k, v)
 

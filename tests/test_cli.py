@@ -79,3 +79,75 @@ class TestCLI:
 
     def test_list_architectures(self, capsys):
         assert main(["list-architectures"]) == 0
+
+
+class TestChatAndConvert:
+    def test_chat_repl_scripted(self, mini_gguf_f32, monkeypatch, capsys):
+        """Drive the chat REPL through scripted stdin: help, a turn,
+        clear, metrics, exit."""
+        import io
+
+        from bitnet_tpu.cli import main
+
+        lines = iter(["/help", "hi", "/metrics", "/clear", "/exit"])
+        monkeypatch.setattr("builtins.input", lambda *_: next(lines))
+        rc = main(["chat", "-m", mini_gguf_f32.path,
+                   "--max-new-tokens", "3", "--greedy",
+                   "--max-seq-len", "128",
+                   "--kv-cache-dtype", "f32", "--compute-dtype", "f32",
+                   "--prompt-template", "raw"])
+        assert rc == 0
+
+    def test_convert_roundtrip(self, tmp_path, rng, capsys):
+        """SafeTensors → GGUF → load (st2gguf parity)."""
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        import jax.numpy as jnp
+        from bitnet_tpu.cli import main
+        from bitnet_tpu.models import load_model
+
+        H, F, V, NH, NKV, D = 64, 128, 64, 4, 2, 16
+        t = {
+            "model.embed_tokens.weight": rng.normal(
+                size=(V, H)).astype(np.float32) * 0.05,
+            "model.norm.weight": np.ones(H, np.float32),
+        }
+        for i in range(2):
+            p = f"model.layers.{i}"
+            t[f"{p}.input_layernorm.weight"] = np.ones(H, np.float32)
+            t[f"{p}.post_attention_layernorm.weight"] = np.ones(
+                H, np.float32)
+            t[f"{p}.self_attn.q_proj.weight"] = rng.normal(
+                size=(NH * D, H)).astype(np.float32) * 0.05
+            t[f"{p}.self_attn.k_proj.weight"] = rng.normal(
+                size=(NKV * D, H)).astype(np.float32) * 0.05
+            t[f"{p}.self_attn.v_proj.weight"] = rng.normal(
+                size=(NKV * D, H)).astype(np.float32) * 0.05
+            t[f"{p}.self_attn.o_proj.weight"] = rng.normal(
+                size=(H, NH * D)).astype(np.float32) * 0.05
+            t[f"{p}.mlp.gate_proj.weight"] = rng.normal(
+                size=(F, H)).astype(np.float32) * 0.05
+            t[f"{p}.mlp.up_proj.weight"] = rng.normal(
+                size=(F, H)).astype(np.float32) * 0.05
+            t[f"{p}.mlp.down_proj.weight"] = rng.normal(
+                size=(H, F)).astype(np.float32) * 0.05
+        st = str(tmp_path / "model.safetensors")
+        save_file(t, st)
+        # HF checkpoints ship config.json alongside the shards
+        import json as _json
+
+        (tmp_path / "config.json").write_text(_json.dumps({
+            "hidden_size": H, "intermediate_size": F,
+            "num_hidden_layers": 2, "num_attention_heads": NH,
+            "num_key_value_heads": NKV, "head_dim": D,
+            "vocab_size": V, "rms_norm_eps": 1e-5,
+            "rope_theta": 10000.0, "max_position_embeddings": 128,
+        }))
+        out = str(tmp_path / "model.gguf")
+        rc = main(["convert", "--input", st, "--output", out, "--quant", "f32"])
+        assert rc == 0
+        cfg, params, _ = load_model(out, param_dtype=jnp.float32)
+        assert cfg.hidden_size == H and cfg.num_layers == 2
+        assert cfg.num_heads == NH and cfg.num_kv_heads == NKV
+        assert cfg.head_dim == D
