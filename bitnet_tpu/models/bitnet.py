@@ -202,8 +202,17 @@ def block_forward(
         k_read, v_read = k_cache, v_cache
 
     new_len = kv_valid_len + T  # engine guarantees T real tokens ≤ T
-    attn = attention(q, k_read, v_read, q_positions, new_len,
-                     kv_positions=kv_positions, window=window)
+    # long prefill: dense scores would be [B,KV,G,T,S] f32 — switch to the
+    # chunked online-softmax path above ~0.5M score elements per head
+    # (trace-time decision; shapes are static under jit)
+    if kv_positions is None and T * k_read.shape[1] >= (1 << 19) and T > 1:
+        from ..ops.flash import flash_attention
+
+        attn = flash_attention(q, k_read, v_read, q_positions, new_len,
+                               window=window)
+    else:
+        attn = attention(q, k_read, v_read, q_positions, new_len,
+                         kv_positions=kv_positions, window=window)
     attn = attn.reshape(B, T, nh * D)
     if bp.attn_sub_norm is not None:     # BitNet 2B-4T sub-layernorm
         attn = rms_norm(attn, bp.attn_sub_norm, cfg.rms_norm_eps)
