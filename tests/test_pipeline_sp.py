@@ -162,3 +162,38 @@ class TestSequenceParallel:
             with mesh:
                 sequence_parallel_prefill(
                     cfg, params, jnp.zeros((1, 6), jnp.int32), mesh)
+
+
+class TestRingAttention:
+    def test_ring_matches_dense(self, model):
+        """Ring-rotated KV attention == dense logits (exactness gate)."""
+        from bitnet_tpu.parallel.ring import ring_parallel_prefill
+
+        cfg, params = model
+        mesh = make_seq_mesh(4)
+        B, T = 2, 16
+        rng = np.random.default_rng(7)
+        tokens = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+        golden, _, _ = dense_logits(cfg, params, tokens, S=T)
+        with mesh:
+            lg, k_loc, v_loc = ring_parallel_prefill(
+                cfg, params, jnp.asarray(tokens), mesh)
+        np.testing.assert_allclose(np.asarray(lg), golden,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_ring_matches_allgather_sp(self, model):
+        """Both SP strategies agree with each other."""
+        from bitnet_tpu.parallel.ring import ring_parallel_prefill
+
+        cfg, params = model
+        mesh = make_seq_mesh(4)
+        B, T = 1, 32
+        rng = np.random.default_rng(8)
+        tokens = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+        with mesh:
+            lg_ring, _, _ = ring_parallel_prefill(
+                cfg, params, jnp.asarray(tokens), mesh)
+            lg_ag, _, _ = sequence_parallel_prefill(
+                cfg, params, jnp.asarray(tokens), mesh)
+        np.testing.assert_allclose(np.asarray(lg_ring), np.asarray(lg_ag),
+                                   rtol=2e-4, atol=2e-4)
