@@ -33,6 +33,7 @@ from ..config import EngineConfig, GenerationConfig, ModelConfig
 from ..engine.cache import KVCache, allocate_cache
 from ..engine.sampling import NEG_INF
 from ..engine.stop import StopCriteria, StopReason
+from ..errors import InferenceError
 from ..models.bitnet import BitNetParams, forward, logits as model_logits
 
 
@@ -55,6 +56,8 @@ class _Slot:
     stop: StopCriteria | None = None
     generated: int = 0
     pos: int = 0
+    # every emitted token id (needed for preemption checkpoint/resume)
+    out_ids: list = dataclasses.field(default_factory=list)
 
 
 class ContinuousBatchingScheduler:
@@ -228,6 +231,134 @@ class ContinuousBatchingScheduler:
         self._wake.set()
         self._thread.join(timeout=30)
 
+    # ------------------------------------------------- preemption recovery
+    def checkpoint_requests(self, directory: str) -> list[str]:
+        """Snapshot every in-flight request's decode state to disk
+        (SURVEY.md §5: decode-loop checkpoint + restart on preemption).
+
+        Call after :meth:`shutdown` (or while the loop is paused) — the
+        loop must not be mutating the cache concurrently.  Returns the
+        manifest paths written.
+        """
+        import json as _json
+        import os as _os
+
+        from ..engine import checkpoint as ckpt
+
+        _os.makedirs(directory, exist_ok=True)
+        written = []
+        for i, slot in enumerate(self.slots):
+            if not slot.active or slot.req is None:
+                continue
+            kv_len = slot.pos
+            state = ckpt.DecodeState(
+                prompt_ids=list(slot.req.token_ids),
+                generated_ids=list(slot.out_ids),
+                rng_key=None,
+                kv_len=kv_len,
+                k=np.asarray(self.cache.k[:, i, :kv_len]),
+                v=np.asarray(self.cache.v[:, i, :kv_len]),
+                k_scale=(np.asarray(self.cache.k_scale[:, i, :kv_len])
+                         if self.cache.k_scale is not None else None),
+                v_scale=(np.asarray(self.cache.v_scale[:, i, :kv_len])
+                         if self.cache.v_scale is not None else None),
+            )
+            path = _os.path.join(directory, f"slot{i}_req{slot.req.id}")
+            ckpt.save(state, path)
+            g = slot.req.gen
+            with open(path + ".req.json", "w") as f:
+                _json.dump({
+                    "request_id": slot.req.id,
+                    "generated": slot.generated,
+                    "gen": {
+                        "max_new_tokens": g.max_new_tokens,
+                        "temperature": g.temperature,
+                        "top_k": g.top_k, "top_p": g.top_p,
+                        "min_p": g.min_p,
+                        "repetition_penalty": g.repetition_penalty,
+                        "seed": g.seed, "greedy": g.greedy,
+                        "stop_token_ids": list(g.stop_token_ids),
+                    },
+                }, f)
+            written.append(path)
+        return written
+
+    def resume_requests(self, directory: str) -> list[Request]:
+        """Restore checkpointed requests into free slots; generation
+        continues exactly where it stopped (the pending token that was
+        emitted but not yet decoded resumes as the next decode input)."""
+        import glob as _glob
+        import json as _json
+
+        from ..engine import checkpoint as ckpt
+
+        restored = []
+        for meta_path in sorted(_glob.glob(f"{directory}/*.req.json")):
+            base = meta_path[: -len(".req.json")]
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            state = ckpt.load(base)
+            slot_idx = next(
+                (i for i, s in enumerate(self.slots) if not s.active), None)
+            if slot_idx is None:
+                raise InferenceError(
+                    "no free slot to resume a checkpointed request")
+            g = meta["gen"]
+            remaining = int(g["max_new_tokens"]) - int(meta["generated"])
+            if remaining <= 0 or not state.generated_ids:
+                continue
+            gen = GenerationConfig(
+                max_new_tokens=remaining,
+                temperature=g["temperature"], top_k=g["top_k"],
+                top_p=g["top_p"], min_p=g["min_p"],
+                repetition_penalty=g["repetition_penalty"],
+                seed=g["seed"], greedy=g["greedy"],
+                stop_token_ids=tuple(g.get("stop_token_ids", ())),
+            )
+            req = Request(token_ids=state.prompt_ids, gen=gen,
+                          id=meta["request_id"])
+
+            # write the snapshot into the pool slot
+            L, KV, D = (self.cfg.num_layers, self.cfg.num_kv_heads,
+                        self.cfg.head_dim)
+            kd = np.dtype(self.cache.k.dtype)
+            kc = np.zeros((L, 1, self.S, KV, D), kd)
+            vc = np.zeros_like(kc)
+            kc[:, 0, : state.kv_len] = state.k
+            vc[:, 0, : state.kv_len] = state.v
+            ks = vs = None
+            if self.cache.k_scale is not None:
+                ks = np.ones((L, 1, self.S, KV), np.float32)
+                vs = np.ones_like(ks)
+                ks[:, 0, : state.kv_len] = state.k_scale
+                vs[:, 0, : state.kv_len] = state.v_scale
+            self.cache = self._splice(
+                self.cache, jnp.asarray(kc), jnp.asarray(vc),
+                None if ks is None else jnp.asarray(ks),
+                None if vs is None else jnp.asarray(vs),
+                jnp.asarray(slot_idx, jnp.int32),
+                jnp.asarray(state.kv_len, jnp.int32))
+
+            slot = self.slots[slot_idx]
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            slot.req = req
+            slot.stop = StopCriteria(
+                max_new_tokens=remaining,
+                eos_token_id=eos,
+                stop_token_ids=frozenset(gen.stop_token_ids),
+                stop_sequences=tuple(gen.stop_sequences),
+            )
+            slot.generated = 0
+            slot.pos = state.kv_len
+            slot.out_ids = []
+            slot.active = True
+            # the interrupted pending token becomes the next decode input
+            self._tokens[slot_idx] = state.generated_ids[-1]
+            restored.append(req)
+            self.stats["requests"] += 1
+        self._wake.set()
+        return restored
+
     # -------------------------------------------------------------- loop
     def _bucket(self, T: int) -> int:
         b = 8
@@ -271,6 +402,7 @@ class ContinuousBatchingScheduler:
             )
             slot.generated = 0
             slot.pos = T
+            slot.out_ids = []
             slot.active = True
             first = self._sample_host(lg, req.gen)
             self._emit(slot_idx, first)
@@ -288,6 +420,7 @@ class ContinuousBatchingScheduler:
         """Record a generated token; handle stop + eviction."""
         slot = self.slots[slot_idx]
         req, stop = slot.req, slot.stop
+        slot.out_ids.append(tok)
         text = self.tokenizer.token_to_piece(tok) if self.tokenizer else ""
         reason = stop.check(tok, text)
         slot.generated += 1
