@@ -367,6 +367,44 @@ def cmd_st_merge(args) -> int:
     return 0
 
 
+def cmd_benchmark_kernels(args) -> int:
+    """Per-kernel microbenchmarks (bitnet-wgpu-bench role)."""
+    from .tools.kernel_bench import bench_decode_shapes, bench_ternary_kernel
+
+    if args.shape:
+        k, n = (int(x) for x in args.shape.split("x"))
+        results = [bench_ternary_kernel(k, n, m=args.m)]
+    else:
+        results = bench_decode_shapes(m=args.m)
+    print(json.dumps([r.as_dict() for r in results], indent=2))
+    return 0
+
+
+def cmd_download_model(args) -> int:
+    """Fetch a GGUF from the HF hub — gated offline like tokenizer
+    downloads (xtask download-model parity)."""
+    import os
+
+    from .errors import ModelError
+    from .tokenizer.download import ENV_ALLOW
+
+    if os.environ.get(ENV_ALLOW, "").strip() not in ("1", "true", "yes"):
+        print(json.dumps({"error":
+                          f"downloads disabled; set {ENV_ALLOW}=1 or place "
+                          "the GGUF manually"}), file=sys.stderr)
+        return 1
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError:
+        print(json.dumps({"error": "huggingface_hub unavailable"}),
+              file=sys.stderr)
+        return 1
+    path = hf_hub_download(repo_id=args.repo, filename=args.file,
+                           local_dir=args.out_dir)
+    print(json.dumps({"path": path}))
+    return 0
+
+
 def cmd_preflight(args) -> int:
     """Environment readiness check (xtask preflight parity): device probe,
     native codec, toolchain, C++ reference availability."""
@@ -588,6 +626,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("preflight", help="environment readiness report")
     p.set_defaults(fn=cmd_preflight)
+
+    p = sub.add_parser("benchmark-kernels",
+                       help="per-kernel ternary matmul microbenchmarks")
+    p.add_argument("--shape", default=None, metavar="KxN",
+                   help="one shape, e.g. 2560x6912 (default: 2B decode set)")
+    p.add_argument("--m", type=int, default=1, help="batch rows")
+    p.set_defaults(fn=cmd_benchmark_kernels)
+
+    p = sub.add_parser("download-model",
+                       help="fetch a GGUF from the HF hub (offline-gated)")
+    p.add_argument("--repo", required=True)
+    p.add_argument("--file", default="ggml-model-i2_s.gguf")
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_download_model)
 
     p = sub.add_parser("crossval",
                        help="per-token logits cross-validation")
