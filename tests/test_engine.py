@@ -161,3 +161,29 @@ class TestBuckets:
 
     def test_non_pow2_max(self):
         assert prefill_buckets(100) == [8, 16, 32, 64, 100]
+
+
+class TestFP8KVCache:
+    def test_fp8_kv_generates_close_to_f32(self, mini_gguf_f32):
+        """fp8 KV cache must run and stay close to the f32 path (greedy
+        tokens may legitimately diverge late; early steps must agree)."""
+        import jax.numpy as jnp
+
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.models import load_model
+
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=4, greedy=True)
+        prompt = [2, 7, 11, 13]
+        ref = InferenceEngine(cfg, params, EngineConfig(
+            max_seq_len=64, kv_cache_dtype="f32",
+            compute_dtype="f32")).generate(prompt, gen).token_ids
+        fp8 = InferenceEngine(cfg, params, EngineConfig(
+            max_seq_len=64, kv_cache_dtype="fp8",
+            compute_dtype="f32")).generate(prompt, gen).token_ids
+        assert len(fp8) == 4
+        # first token depends only on prefill; fp8 KV quantization noise
+        # must not flip it on this tame fixture
+        assert fp8[0] == ref[0], (fp8, ref)
