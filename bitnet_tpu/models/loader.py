@@ -65,6 +65,19 @@ def _to_float(reader: GGUFReader, info: TensorInfo) -> np.ndarray:
     if t == GGMLType.IQ2_S:
         flat = dequantize_iq2s(reader.tensor_bytes(info.name), info.nelems)
         return flat.reshape(info.logical_shape)
+    if t in (GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1,
+             GGMLType.Q5_0, GGMLType.Q5_1):
+        # classic GGML block quants — generic llama-family GGUFs; the
+        # reference keeps these as raw bytes (loader.rs:1622), we decode
+        from ..quant import ggml_classic as gc
+
+        fn = {GGMLType.Q8_0: gc.dequantize_q8_0,
+              GGMLType.Q4_0: gc.dequantize_q4_0,
+              GGMLType.Q4_1: gc.dequantize_q4_1,
+              GGMLType.Q5_0: gc.dequantize_q5_0,
+              GGMLType.Q5_1: gc.dequantize_q5_1}[t]
+        flat = fn(reader.tensor_bytes(info.name), info.nelems)
+        return flat.reshape(info.logical_shape)
     if t == GGMLType.I2_S:
         flavor = detect_i2s_flavor(info.nelems, info.nbytes, name=info.name)
         raw = bytes(reader.tensor_bytes(info.name))

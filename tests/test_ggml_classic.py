@@ -1,0 +1,118 @@
+"""Classic GGML quant codecs (Q8_0/Q4_0/Q4_1/Q5_0/Q5_1) tests.
+
+The reference cannot decode these (keeps raw bytes, loader.rs:1622); we
+gate round-trips and whole-model load+generate through a Q8_0 GGUF.
+"""
+
+import numpy as np
+import pytest
+
+from bitnet_tpu.errors import QuantizationError
+from bitnet_tpu.quant import ggml_classic as gc
+
+
+class TestRoundTrips:
+    def test_q8_0_roundtrip_error(self, rng):
+        x = rng.normal(size=256).astype(np.float32)
+        y = gc.dequantize_q8_0(gc.quantize_q8_0(x), x.size)
+        amax = np.abs(x.reshape(-1, 32)).max(axis=1)
+        err = np.abs(y - x).reshape(-1, 32).max(axis=1)
+        assert (err <= amax / 127.0 * 0.51 + 1e-6).all()
+
+    def test_q4_0_roundtrip_error(self, rng):
+        x = rng.normal(size=128).astype(np.float32)
+        y = gc.dequantize_q4_0(gc.quantize_q4_0(x), x.size)
+        amax = np.abs(x.reshape(-1, 32)).max(axis=1)
+        err = np.abs(y - x).reshape(-1, 32).max(axis=1)
+        assert (err <= amax / 8.0 * 0.51 + 2e-3).all()
+
+    def test_q8_0_exact_levels(self):
+        """Hand-built block: d=0.5, q = [-2, -1, 0, 1, ...]."""
+        d = np.float16(0.5)
+        q = np.arange(-16, 16, dtype=np.int8)
+        payload = d.tobytes() + q.tobytes()
+        y = gc.dequantize_q8_0(payload, 32)
+        np.testing.assert_allclose(y, q.astype(np.float32) * 0.5)
+
+    def test_q4_1_affine(self):
+        """d=1, m=10 → values are q + 10."""
+        blk = (np.float16(1.0).tobytes() + np.float16(10.0).tobytes()
+               + bytes(range(16)))
+        y = gc.dequantize_q4_1(blk, 32)
+        lo = np.asarray([b & 15 for b in range(16)], np.float32)
+        hi = np.asarray([b >> 4 for b in range(16)], np.float32)
+        np.testing.assert_allclose(y, np.concatenate([lo, hi]) + 10.0)
+
+    def test_q5_0_fifth_bit(self):
+        """qh bits raise elements past nibble range."""
+        d = np.float16(1.0).tobytes()
+        qh = np.uint32(0b1).tobytes()       # element 0 gets bit 4
+        qs = bytes(32 - 6 - 10) + bytes(10)  # 16 bytes of zeros
+        blk = d + qh + bytes(16)
+        y = gc.dequantize_q5_0(blk, 32)
+        assert y[0] == (0 | 16) - 16        # = 0
+        assert y[1] == -16                  # plain zero nibble
+
+    def test_q5_1_roundtrip_shape(self, rng):
+        x = rng.normal(size=64).astype(np.float32)
+        # no quantizer for q5_1; just validate a zero payload decodes
+        nb = 2
+        payload = bytes(nb * 24)
+        y = gc.dequantize_q5_1(payload, 64)
+        assert y.shape == (64,)
+
+    def test_bad_sizes(self):
+        with pytest.raises(QuantizationError):
+            gc.dequantize_q8_0(b"", 32)
+        with pytest.raises(QuantizationError):
+            gc.quantize_q8_0(np.zeros(33, np.float32))
+
+
+class TestQ80ModelLoad:
+    def test_q8_0_gguf_loads_and_generates(self, tmp_path, rng):
+        """Write a Q8_0-quantized llama-style GGUF, load, generate."""
+        import jax.numpy as jnp
+
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.gguf.constants import GGMLType
+        from bitnet_tpu.gguf.fixtures import MiniModelSpec, generate_mini_gguf
+        from bitnet_tpu.gguf.reader import GGUFReader
+        from bitnet_tpu.gguf.writer import GGUFWriter
+        from bitnet_tpu.models import load_model
+
+        # base f32 fixture → requantize every 2D linear to Q8_0
+        src = str(tmp_path / "f32.gguf")
+        m = generate_mini_gguf(src, MiniModelSpec(quant="f32",
+                                                  architecture="llama"))
+        dst = str(tmp_path / "q8.gguf")
+        with GGUFReader(src) as r:
+            w = GGUFWriter()
+            for k, v in r.metadata.items():
+                w.add_metadata(k, v)
+            for info in r:
+                data = np.asarray(r.tensor_data(info.name), np.float32)
+                if data.ndim == 2 and "norm" not in info.name \
+                        and "embd" not in info.name:
+                    w.add_quantized_tensor(
+                        info.name, tuple(info.logical_shape), GGMLType.Q8_0,
+                        gc.quantize_q8_0(data))
+                else:
+                    w.add_tensor(info.name, data, GGMLType.F32)
+            w.write(dst)
+
+        cfg, params, report = load_model(dst, param_dtype=jnp.float32)
+        eng = InferenceEngine(cfg, params, EngineConfig(
+            max_seq_len=64, kv_cache_dtype="f32", compute_dtype="f32"))
+        out = eng.generate([2, 7, 11],
+                           GenerationConfig(max_new_tokens=4, greedy=True))
+        assert len(out.token_ids) == 4
+
+        # Q8_0 at this scale is near-lossless: tokens match the f32 model
+        cfg2, params2, _ = load_model(src, param_dtype=jnp.float32)
+        eng2 = InferenceEngine(cfg2, params2, EngineConfig(
+            max_seq_len=64, kv_cache_dtype="f32", compute_dtype="f32"))
+        golden = eng2.generate([2, 7, 11],
+                               GenerationConfig(max_new_tokens=4,
+                                                greedy=True))
+        assert out.token_ids == golden.token_ids
