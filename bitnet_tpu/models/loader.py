@@ -78,6 +78,13 @@ def _to_float(reader: GGUFReader, info: TensorInfo) -> np.ndarray:
               GGMLType.Q5_1: gc.dequantize_q5_1}[t]
         flat = fn(reader.tensor_bytes(info.name), info.nelems)
         return flat.reshape(info.logical_shape)
+    if t in (GGMLType.Q4_K, GGMLType.Q6_K):
+        from ..quant import ggml_classic as gc
+
+        fn = {GGMLType.Q4_K: gc.dequantize_q4_k,
+              GGMLType.Q6_K: gc.dequantize_q6_k}[t]
+        flat = fn(reader.tensor_bytes(info.name), info.nelems)
+        return flat.reshape(info.logical_shape)
     if t == GGMLType.I2_S:
         flavor = detect_i2s_flavor(info.nelems, info.nbytes, name=info.name)
         raw = bytes(reader.tensor_bytes(info.name))

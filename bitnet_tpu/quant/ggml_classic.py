@@ -26,13 +26,14 @@ BLOCK = 32
 BYTES = {"q8_0": 34, "q4_0": 18, "q4_1": 20, "q5_0": 22, "q5_1": 24}
 
 
-def _blocks(payload, nelems: int, bpb: int, kind: str) -> np.ndarray:
+def _blocks(payload, nelems: int, bpb: int, kind: str,
+            block: int = BLOCK) -> np.ndarray:
     raw = np.frombuffer(payload, dtype=np.uint8) if isinstance(
         payload, (bytes, bytearray)) else np.ascontiguousarray(
         payload, np.uint8)
-    if nelems % BLOCK != 0:
-        raise QuantizationError(f"{kind}: nelems {nelems} % 32 != 0")
-    nb = nelems // BLOCK
+    if nelems % block != 0:
+        raise QuantizationError(f"{kind}: nelems {nelems} % {block} != 0")
+    nb = nelems // block
     if raw.size < nb * bpb:
         raise QuantizationError(
             f"{kind}: payload {raw.size} B < required {nb * bpb} B")
@@ -95,6 +96,80 @@ def dequantize_q5_1(payload, nelems: int) -> np.ndarray:
     qh = _qh_bits(b[:, 4:8])
     q = (_nibbles(b[:, 8:24]) | (qh << 4)).astype(np.float32)
     return (q * d[:, None] + m[:, None]).reshape(-1)
+
+
+# -- K-quants (256-element super-blocks) --------------------------------------
+QK_K = 256
+
+
+def dequantize_q6_k(payload, nelems: int) -> np.ndarray:
+    """Q6_K: 210 B = ql[128] + qh[64] + int8 scales[16] + f16 d.
+
+    y[j] = d · scale[j//16] · (q6[j] − 32), with the 6-bit values split
+    across low nibbles (ql) and 2-bit highs (qh) in ggml's two-half
+    interleave (public ggml-quants spec; validated structurally — exact
+    cross-validation against llama.cpp pending a real K-quant GGUF).
+    """
+    b = _blocks(payload, nelems, 210, "Q6_K", block=QK_K)
+    nb = b.shape[0]
+    ql = b[:, 0:128].astype(np.int32)
+    qh = b[:, 128:192].astype(np.int32)
+    sc = b[:, 192:208].view(np.int8).astype(np.float32)
+    d = np.ascontiguousarray(b[:, 208:210]).view(np.float16)[:, 0]
+    d = d.astype(np.float32)
+
+    y = np.empty((nb, QK_K), np.float32)
+    for half in range(2):                       # two 128-element halves
+        qlh = ql[:, half * 64:(half + 1) * 64]  # [nb, 64]
+        qhh = qh[:, half * 32:(half + 1) * 32]  # [nb, 32]
+        sch = sc[:, half * 8:(half + 1) * 8]    # [nb, 8]
+        base = half * 128
+        l = np.arange(32)
+        q1 = (qlh[:, l] & 0xF) | (((qhh[:, l] >> 0) & 3) << 4)
+        q2 = (qlh[:, l + 32] & 0xF) | (((qhh[:, l] >> 2) & 3) << 4)
+        q3 = (qlh[:, l] >> 4) | (((qhh[:, l] >> 4) & 3) << 4)
+        q4 = (qlh[:, l + 32] >> 4) | (((qhh[:, l] >> 6) & 3) << 4)
+        idx = l // 16                            # scale index within group
+        y[:, base + l] = sch[:, idx] * (q1 - 32)
+        y[:, base + 32 + l] = sch[:, idx + 2] * (q2 - 32)
+        y[:, base + 64 + l] = sch[:, idx + 4] * (q3 - 32)
+        y[:, base + 96 + l] = sch[:, idx + 6] * (q4 - 32)
+    return (y * d[:, None]).reshape(-1)
+
+
+def _scale_min_k4(j: int, scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ggml get_scale_min_k4: 8 (scale, min) 6-bit pairs in 12 bytes."""
+    if j < 4:
+        sc = scales[:, j] & 63
+        mn = scales[:, j + 4] & 63
+    else:
+        sc = (scales[:, j + 4] & 0xF) | ((scales[:, j - 4] >> 6) << 4)
+        mn = (scales[:, j + 4] >> 4) | ((scales[:, j] >> 6) << 4)
+    return sc.astype(np.float32), mn.astype(np.float32)
+
+
+def dequantize_q4_k(payload, nelems: int) -> np.ndarray:
+    """Q4_K: 144 B = f16 d + f16 dmin + scales[12] + qs[128].
+
+    y = d·sc·q − dmin·m per 32-element sub-block (public ggml spec;
+    validated structurally — see dequantize_q6_k note).
+    """
+    b = _blocks(payload, nelems, 144, "Q4_K", block=QK_K)
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    scales = b[:, 4:16].astype(np.int32)
+    qs = b[:, 16:144].astype(np.int32)
+
+    y = np.empty((b.shape[0], QK_K), np.float32)
+    for j in range(4):                           # 4 × 64-element chunks
+        sc1, m1 = _scale_min_k4(2 * j, scales)
+        sc2, m2 = _scale_min_k4(2 * j + 1, scales)
+        q = qs[:, j * 32:(j + 1) * 32]
+        y[:, j * 64: j * 64 + 32] = (d * sc1)[:, None] * (q & 0xF) \
+            - (dmin * m1)[:, None]
+        y[:, j * 64 + 32: j * 64 + 64] = (d * sc2)[:, None] * (q >> 4) \
+            - (dmin * m2)[:, None]
+    return y.reshape(-1)
 
 
 # -- quantizers (converter + round-trip tests) --------------------------------

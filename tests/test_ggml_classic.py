@@ -116,3 +116,64 @@ class TestQ80ModelLoad:
                                GenerationConfig(max_new_tokens=4,
                                                 greedy=True))
         assert out.token_ids == golden.token_ids
+
+
+class TestKQuants:
+    def test_q6_k_zero_payload(self):
+        """All-zero block: q=0 → (0-32); d=0 → all zeros."""
+        y = gc.dequantize_q6_k(bytes(210), 256)
+        np.testing.assert_array_equal(y, 0.0)
+
+    def test_q6_k_d_scaling_linear(self):
+        """Doubling d doubles every output (layout-independent check)."""
+        rng = np.random.default_rng(0)
+        blk = bytearray(rng.integers(0, 256, 210, dtype=np.uint8).tobytes())
+        blk[208:210] = np.float16(1.0).tobytes()
+        y1 = gc.dequantize_q6_k(bytes(blk), 256)
+        blk[208:210] = np.float16(2.0).tobytes()
+        y2 = gc.dequantize_q6_k(bytes(blk), 256)
+        np.testing.assert_allclose(y2, 2 * y1, rtol=1e-6)
+
+    def test_q6_k_known_block(self):
+        """ql=0, qh=0, all scales=1, d=1 → every element = 1*(0-32) = -32."""
+        blk = bytearray(210)
+        blk[192:208] = np.ones(16, np.int8).tobytes()
+        blk[208:210] = np.float16(1.0).tobytes()
+        y = gc.dequantize_q6_k(bytes(blk), 256)
+        np.testing.assert_array_equal(y, -32.0)
+
+    def test_q6_k_six_bit_range(self):
+        """ql nibble 15 + qh bits 3 → q = 15 | 48 = 63 → y = 31."""
+        blk = bytearray(210)
+        blk[0] = 0x0F               # ql[0] low nibble = 15
+        blk[128] = 0x03             # qh[0] bits 0..1 = 3
+        blk[192:208] = np.ones(16, np.int8).tobytes()
+        blk[208:210] = np.float16(1.0).tobytes()
+        y = gc.dequantize_q6_k(bytes(blk), 256)
+        assert y[0] == 63 - 32
+        assert y[1] == -32
+
+    def test_q4_k_known_block(self):
+        """d=1, dmin=0, scale_0=1 → y[0..31] = low nibbles of qs[0..31]."""
+        blk = bytearray(144)
+        blk[0:2] = np.float16(1.0).tobytes()
+        blk[2:4] = np.float16(0.0).tobytes()
+        blk[4] = 1                   # scales[0] = 1 (6-bit sc for j=0)
+        qs = np.arange(32, dtype=np.uint8) % 16
+        blk[16:48] = qs.tobytes()
+        y = gc.dequantize_q4_k(bytes(blk), 256)
+        np.testing.assert_array_equal(y[:32], (qs & 0xF).astype(np.float32))
+
+    def test_q4_k_min_subtraction(self):
+        """dmin·m offsets the sub-block: scales[4] holds m for j=0."""
+        blk = bytearray(144)
+        blk[0:2] = np.float16(1.0).tobytes()
+        blk[2:4] = np.float16(2.0).tobytes()     # dmin = 2
+        blk[4] = 0                                # sc_0 = 0
+        blk[8] = 3                                # m_0 = 3 (scales[4])
+        y = gc.dequantize_q4_k(bytes(blk), 256)
+        np.testing.assert_array_equal(y[:32], -6.0)
+
+    def test_k_quant_bad_size(self):
+        with pytest.raises(QuantizationError):
+            gc.dequantize_q6_k(bytes(210), 100)
