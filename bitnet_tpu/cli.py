@@ -551,7 +551,8 @@ def cmd_serve(args) -> int:
     from .server import serve
 
     serve(model_path=args.model, host=args.host, port=args.port,
-          max_seq_len=args.max_seq_len,
+          max_seq_len=args.max_seq_len, shard=args.shard,
+          num_slots=args.num_slots,
           kv_cache_dtype=args.kv_cache_dtype,
           kernel_path=args.kernel_path)
     return 0
@@ -591,12 +592,16 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_benchmark)
 
     p = sub.add_parser("serve", help="HTTP inference server")
+    p.add_argument("--shard", default=None, metavar="DP,TP",
+                   help="shard the slot pool over a (data, model) mesh, "
+                        "e.g. --shard 2,4 on an 8-chip host")
     p.add_argument("--model", "-m", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--kv-cache-dtype", default="bf16")
     p.add_argument("--kernel-path", default="auto")
+    p.add_argument("--num-slots", type=int, default=4)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert", help="SafeTensors → GGUF")

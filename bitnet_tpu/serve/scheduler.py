@@ -70,13 +70,20 @@ class ContinuousBatchingScheduler:
         tokenizer,
         engine_cfg: EngineConfig | None = None,
         num_slots: int = 4,
+        mesh=None,
     ):
+        """``mesh``: optional (data, model) jax Mesh — the slot pool's
+        batch axis shards across ``data`` and attention heads / FFN
+        columns across ``model``, so ONE scheduler drives a whole slice
+        (SURVEY §2.3 "continuous batching across hosts" made real;
+        GSPMD owns the collectives)."""
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.engine_cfg = engine_cfg or EngineConfig()
         self.B = num_slots
         self.S = self.engine_cfg.max_seq_len
+        self.mesh = mesh
         self._kp = (
             "pallas" if (self.engine_cfg.kernel_path == "auto"
                          and jax.default_backend() == "tpu")
@@ -85,6 +92,20 @@ class ContinuousBatchingScheduler:
         )
         self.cache = allocate_cache(cfg, self.B, self.S,
                                     self.engine_cfg.kv_cache_dtype)
+        if mesh is not None:
+            from ..parallel import shard_cache, shard_params
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            if self.B % mesh.shape[DATA_AXIS] != 0:
+                raise InferenceError(
+                    f"num_slots {self.B} not divisible by data axis "
+                    f"{mesh.shape[DATA_AXIS]}")
+            if cfg.num_kv_heads % mesh.shape[MODEL_AXIS] != 0:
+                raise InferenceError(
+                    f"num_kv_heads {cfg.num_kv_heads} not divisible by "
+                    f"model axis {mesh.shape[MODEL_AXIS]}")
+            self.params = shard_params(mesh, cfg, self.params)
+            self.cache = shard_cache(mesh, self.cache)
         self.slots = [_Slot() for _ in range(self.B)]
         self.pending: "queue.PriorityQueue[tuple[int, float, int, Request]]" \
             = queue.PriorityQueue()

@@ -388,7 +388,8 @@ class BitNetServer:
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           max_seq_len: int = 2048, kv_cache_dtype: str = "bf16",
-          kernel_path: str = "auto", num_slots: int = 4) -> None:
+          kernel_path: str = "auto", num_slots: int = 4,
+          shard: str | None = None) -> None:
     """Load model + start the server (blocking)."""
     from aiohttp import web
 
@@ -406,8 +407,14 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     if ecfg.max_seq_len > cfg.max_seq_len:
         ecfg = ecfg.replace(max_seq_len=cfg.max_seq_len)
     tokenizer = load_tokenizer(model_path)
+    mesh = None
+    if shard:
+        from ..parallel import make_mesh
+
+        dp, tp = (int(x) for x in shard.split(","))
+        mesh = make_mesh(dp=dp, tp=tp)
     sched = ContinuousBatchingScheduler(cfg, params, tokenizer, ecfg,
-                                        num_slots=num_slots)
+                                        num_slots=num_slots, mesh=mesh)
     server = BitNetServer(sched)
     app = server.build_app()
 

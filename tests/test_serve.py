@@ -209,3 +209,49 @@ class TestPreemptionRecovery:
         # golden must END with the resumed part, and start with `first`
         assert combined[:4] == golden[:4]
         assert golden[-len(rest):] == rest, (golden, first, rest)
+
+
+class TestMeshShardedScheduler:
+    def test_sharded_scheduler_matches_single(self, mini_gguf_f32):
+        """Continuous batching over a (dp=2, tp=2) mesh == unsharded."""
+        import jax.numpy as jnp
+
+        from bitnet_tpu.models import load_model
+        from bitnet_tpu.parallel import make_mesh
+        from bitnet_tpu.tokenizer import load_tokenizer
+
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        tok = load_tokenizer(mini_gguf_f32.path)
+        ecfg = EngineConfig(max_seq_len=64, compute_dtype="f32",
+                            kv_cache_dtype="f32")
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[2, 7, 11], [3, 5, 8, 12], [40, 41], [9, 10, 12]]
+
+        s0 = ContinuousBatchingScheduler(cfg, params, tok, ecfg,
+                                         num_slots=4)
+        golden = [collect(s0, s0.submit(p, gen))[0] for p in prompts]
+        s0.shutdown()
+
+        mesh = make_mesh(dp=2, tp=2)
+        s1 = ContinuousBatchingScheduler(cfg, params, tok, ecfg,
+                                         num_slots=4, mesh=mesh)
+        got = [collect(s1, s1.submit(p, gen))[0] for p in prompts]
+        s1.shutdown()
+        assert got == golden, (got, golden)
+
+    def test_bad_slot_divisibility(self, mini_gguf_f32):
+        import jax.numpy as jnp
+
+        from bitnet_tpu.errors import InferenceError
+        from bitnet_tpu.models import load_model
+        from bitnet_tpu.parallel import make_mesh
+        from bitnet_tpu.tokenizer import load_tokenizer
+
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        with pytest.raises(InferenceError, match="divisible"):
+            ContinuousBatchingScheduler(
+                cfg, params, load_tokenizer(mini_gguf_f32.path),
+                EngineConfig(max_seq_len=64, compute_dtype="f32"),
+                num_slots=3, mesh=make_mesh(dp=2, tp=2))
