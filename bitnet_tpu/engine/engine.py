@@ -619,24 +619,12 @@ class InferenceEngine:
         num_kv_heads by the model axis.  Returns self (chainable).
         """
         from ..parallel import make_mesh, shard_cache, shard_params
-        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+        from ..parallel.sharding import validate_mesh_for
 
         if mesh is None:
             mesh = make_mesh(dp=dp, tp=tp)
-        ndp = mesh.shape[DATA_AXIS]
-        ntp = mesh.shape[MODEL_AXIS]
-        if self.engine_cfg.max_batch_size % ndp != 0:
-            raise ConfigError(
-                f"max_batch_size {self.engine_cfg.max_batch_size} not "
-                f"divisible by data axis {ndp}")
-        if self.cfg.num_kv_heads % ntp != 0:
-            raise ConfigError(
-                f"num_kv_heads {self.cfg.num_kv_heads} not divisible by "
-                f"model axis {ntp}")
-        if self.params.blocks.wqkv is not None:
-            raise ConfigError(
-                "shard_to_mesh requires unfused projections "
-                "(EngineConfig(fuse_projections=False))")
+        validate_mesh_for(self.cfg, self.engine_cfg.max_batch_size, mesh,
+                          self.params)
         self.params = shard_params(mesh, self.cfg, self.params)
         self.cache = shard_cache(mesh, self.cache)
         self.mesh = mesh

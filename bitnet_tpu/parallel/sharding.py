@@ -126,3 +126,57 @@ def shard_cache(mesh: Mesh, cache: KVCache) -> KVCache:
 
 def token_pspec() -> P:
     return P(DATA_AXIS, None)
+
+
+def validate_mesh_for(cfg: ModelConfig, batch_size: int, mesh: Mesh,
+                      params: BitNetParams | None = None) -> None:
+    """Shared guard for sharding an engine/scheduler onto a mesh
+    (divisibility + no fused projections — the fused QKV concat would be
+    column-sharded across head boundaries)."""
+    from ..errors import ConfigError
+
+    ndp = mesh.shape[DATA_AXIS]
+    ntp = mesh.shape[MODEL_AXIS]
+    if ndp < 1 or ntp < 1:
+        raise ConfigError(f"degenerate mesh shape dp={ndp} tp={ntp}")
+    if batch_size % ndp != 0:
+        raise ConfigError(
+            f"batch/slot count {batch_size} not divisible by data axis "
+            f"{ndp}")
+    if cfg.num_kv_heads % ntp != 0:
+        raise ConfigError(
+            f"num_kv_heads {cfg.num_kv_heads} not divisible by model "
+            f"axis {ntp}")
+    if params is not None and params.blocks.wqkv is not None:
+        raise ConfigError(
+            "mesh sharding requires unfused projections "
+            "(EngineConfig(fuse_projections=False))")
+
+
+def allocate_sharded_cache(mesh: Mesh, cfg: ModelConfig, batch_size: int,
+                           max_seq_len: int, dtype: str = "bf16") -> KVCache:
+    """Allocate the KV cache directly WITH its NamedShardings — never
+    materializing the whole pool on one device first (a large pool would
+    OOM device 0 before resharding)."""
+    import jax.numpy as jnp
+
+    from ..engine.cache import _DTYPES
+
+    L, KV, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    jdtype = _DTYPES[dtype]
+    quantized = dtype in ("int8", "fp8")
+    kv_sh = NamedSharding(mesh, P(None, DATA_AXIS, None, MODEL_AXIS, None))
+    sc_sh = NamedSharding(mesh, P(None, DATA_AXIS, None, MODEL_AXIS))
+    len_sh = NamedSharding(mesh, P(DATA_AXIS))
+    shape = (L, batch_size, max_seq_len, KV, D)
+    scale_shape = (L, batch_size, max_seq_len, KV)
+    return KVCache(
+        k=jnp.zeros(shape, jdtype, device=kv_sh),
+        v=jnp.zeros(shape, jdtype, device=kv_sh),
+        lengths=jnp.zeros((batch_size,), jnp.int32, device=len_sh),
+        k_scale=(jnp.ones(scale_shape, jnp.float32, device=sc_sh)
+                 if quantized else None),
+        v_scale=(jnp.ones(scale_shape, jnp.float32, device=sc_sh)
+                 if quantized else None),
+        quantized=quantized,
+    )

@@ -43,10 +43,11 @@ class ModelEntry:
 
 class ModelManager:
     def __init__(self, engine_cfg: EngineConfig | None = None,
-                 num_slots: int = 4, max_models: int = 2):
+                 num_slots: int = 4, max_models: int = 2, mesh=None):
         self.engine_cfg = engine_cfg or EngineConfig()
         self.num_slots = num_slots
         self.max_models = max_models
+        self.mesh = mesh            # hot-loaded models shard like the first
         self._models: dict[str, ModelEntry] = {}
         self._default: str | None = None
         self._lock = threading.Lock()
@@ -75,7 +76,8 @@ class ModelManager:
         validate_memory(cfg, ecfg, strict=False)
         tokenizer = load_tokenizer(path)
         sched = ContinuousBatchingScheduler(cfg, params, tokenizer, ecfg,
-                                            num_slots=self.num_slots)
+                                            num_slots=self.num_slots,
+                                            mesh=self.mesh)
         entry = ModelEntry(name, path, sched)
         with self._lock:
             self._models[name] = entry

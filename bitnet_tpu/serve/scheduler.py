@@ -90,22 +90,22 @@ class ContinuousBatchingScheduler:
             else ("xla" if self.engine_cfg.kernel_path == "auto"
                   else self.engine_cfg.kernel_path)
         )
-        self.cache = allocate_cache(cfg, self.B, self.S,
-                                    self.engine_cfg.kv_cache_dtype)
         if mesh is not None:
-            from ..parallel import shard_cache, shard_params
-            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+            from ..parallel.sharding import (
+                allocate_sharded_cache,
+                shard_params,
+                validate_mesh_for,
+            )
 
-            if self.B % mesh.shape[DATA_AXIS] != 0:
-                raise InferenceError(
-                    f"num_slots {self.B} not divisible by data axis "
-                    f"{mesh.shape[DATA_AXIS]}")
-            if cfg.num_kv_heads % mesh.shape[MODEL_AXIS] != 0:
-                raise InferenceError(
-                    f"num_kv_heads {cfg.num_kv_heads} not divisible by "
-                    f"model axis {mesh.shape[MODEL_AXIS]}")
+            validate_mesh_for(cfg, self.B, mesh, self.params)
             self.params = shard_params(mesh, cfg, self.params)
-            self.cache = shard_cache(mesh, self.cache)
+            # allocate WITH shardings: a big pool must never land whole
+            # on one device first
+            self.cache = allocate_sharded_cache(
+                mesh, cfg, self.B, self.S, self.engine_cfg.kv_cache_dtype)
+        else:
+            self.cache = allocate_cache(cfg, self.B, self.S,
+                                        self.engine_cfg.kv_cache_dtype)
         self.slots = [_Slot() for _ in range(self.B)]
         self.pending: "queue.PriorityQueue[tuple[int, float, int, Request]]" \
             = queue.PriorityQueue()

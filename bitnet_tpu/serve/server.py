@@ -396,6 +396,21 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     from ..models.loader import load_model
     from ..tokenizer import load_tokenizer
 
+    mesh = None
+    if shard:
+        from ..errors import ConfigError
+        from ..parallel import make_mesh
+
+        try:
+            dp_s, tp_s = shard.split(",")
+            dp, tp = int(dp_s), int(tp_s)
+        except ValueError:
+            raise ConfigError(
+                f"--shard expects DP,TP (e.g. 2,4), got {shard!r}") from None
+        if dp < 1 or tp < 1:
+            raise ConfigError(f"--shard axes must be >= 1, got {shard!r}")
+        mesh = make_mesh(dp=dp, tp=tp)
+
     ecfg = EngineConfig(max_seq_len=max_seq_len,
                         kv_cache_dtype=kv_cache_dtype,
                         kernel_path=kernel_path)
@@ -407,15 +422,13 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     if ecfg.max_seq_len > cfg.max_seq_len:
         ecfg = ecfg.replace(max_seq_len=cfg.max_seq_len)
     tokenizer = load_tokenizer(model_path)
-    mesh = None
-    if shard:
-        from ..parallel import make_mesh
-
-        dp, tp = (int(x) for x in shard.split(","))
-        mesh = make_mesh(dp=dp, tp=tp)
     sched = ContinuousBatchingScheduler(cfg, params, tokenizer, ecfg,
                                         num_slots=num_slots, mesh=mesh)
-    server = BitNetServer(sched)
+    from .model_manager import ModelManager
+
+    manager = ModelManager(ecfg, num_slots=num_slots, mesh=mesh)
+    manager.adopt("bitnet-tpu", sched, path=model_path)
+    server = BitNetServer(manager=manager)
     app = server.build_app()
 
     async def on_shutdown(app):

