@@ -24,7 +24,9 @@ class TestRoundTrips:
         y = gc.dequantize_q4_0(gc.quantize_q4_0(x), x.size)
         amax = np.abs(x.reshape(-1, 32)).max(axis=1)
         err = np.abs(y - x).reshape(-1, 32).max(axis=1)
-        assert (err <= amax / 8.0 * 0.51 + 2e-3).all()
+        # ggml's q4_0 grid is asymmetric (-8d..7d): values on the short
+        # side clip at q=15, so worst-case error approaches one step d
+        assert (err <= amax / 8.0 * 1.01 + 2e-3).all()
 
     def test_q8_0_exact_levels(self):
         """Hand-built block: d=0.5, q = [-2, -1, 0, 1, ...]."""
