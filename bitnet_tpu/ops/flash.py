@@ -47,9 +47,10 @@ def flash_attention(
     n_chunks = k.shape[1] // chunk
 
     scale = jnp.float32(1.0 / (D ** 0.5))
-    qf = q.astype(jnp.float32).reshape(B, Tq, KV, G, D)
-    kc = k.astype(jnp.float32).reshape(B, n_chunks, chunk, KV, D)
-    vc = v.astype(jnp.float32).reshape(B, n_chunks, chunk, KV, D)
+    # KV stays in its stored dtype; MXU accumulates f32 (see ops.attention)
+    qf = q.astype(k.dtype).reshape(B, Tq, KV, G, D)
+    kc = k.reshape(B, n_chunks, chunk, KV, D)
+    vc = v.reshape(B, n_chunks, chunk, KV, D)
     # scan over the chunk axis
     kc = jnp.moveaxis(kc, 1, 0)          # [n, B, chunk, KV, D]
     vc = jnp.moveaxis(vc, 1, 0)
@@ -57,7 +58,8 @@ def flash_attention(
     def body(carry, xs):
         m, l, acc, idx = carry           # running max/denominator/numerator
         kt, vt = xs                      # [B, chunk, KV, D]
-        s = jnp.einsum("btkgd,bckd->bkgtc", qf, kt) * scale
+        s = jnp.einsum("btkgd,bckd->bkgtc", qf, kt,
+                       preferred_element_type=jnp.float32) * scale
         slot = idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         causal = slot[None, None, :] <= q_positions[:, :, None]
         valid = slot[None, None, :] < kv_valid_len[:, None, None]
@@ -70,7 +72,8 @@ def flash_attention(
         p = jnp.exp(s - m_new[..., None])                    # [B,KV,G,Tq,c]
         l_new = l * alpha + jnp.sum(p, axis=-1)
         acc_new = acc * alpha[..., None] + jnp.einsum(
-            "bkgtc,bckd->bkgtd", p, vt)
+            "bkgtc,bckd->bkgtd", p.astype(vt.dtype), vt,
+            preferred_element_type=jnp.float32)
         return (m_new, l_new, acc_new, idx + 1), None
 
     m0 = jnp.full((B, KV, G, Tq), NEG_INF, jnp.float32)

@@ -41,13 +41,14 @@ def ring_attention_local(
     KV = k.shape[2]
     G = H // KV
     scale = jnp.float32(1.0 / (D ** 0.5))
-    qf = q.astype(jnp.float32).reshape(B, Tl, KV, G, D)
+    qf = q.astype(k.dtype).reshape(B, Tl, KV, G, D)
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def step(carry, _):
         m, l, acc, kt, vt, kp = carry
-        s = jnp.einsum("btkgd,bckd->bkgtc", qf, kt.astype(jnp.float32))
+        s = jnp.einsum("btkgd,bckd->bkgtc", qf, kt,
+                       preferred_element_type=jnp.float32)
         s = s * scale
         mask = kp[:, None, :] <= q_positions[:, :, None]     # [B, Tl, c]
         s = jnp.where(mask[:, None, None, :, :], s, NEG_INF)
@@ -56,7 +57,8 @@ def ring_attention_local(
         p = jnp.exp(s - m_new[..., None])
         l = l * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
-            "bkgtc,bckd->bkgtd", p, vt.astype(jnp.float32))
+            "bkgtc,bckd->bkgtd", p.astype(vt.dtype), vt,
+            preferred_element_type=jnp.float32)
         # rotate the KV shard to the next device over ICI
         kt = jax.lax.ppermute(kt, axis_name, perm)
         vt = jax.lax.ppermute(vt, axis_name, perm)
