@@ -185,7 +185,7 @@ class EngineConfig:
     max_batch_size: int = 1
     kv_cache_dtype: str = "bf16"     # 'bf16' | 'int8' | 'fp8'
     # 'auto' picks fused Pallas kernels on TPU, XLA dequant elsewhere.
-    kernel_path: str = "auto"        # 'auto' | 'pallas' | 'xla'
+    kernel_path: str = "auto"        # 'auto' | 'w2a8' | 'pallas' | 'xla'
     # dtype used for dequantized weights on the XLA fallback path
     compute_dtype: str = "bf16"      # 'bf16' | 'f32'
     prefill_chunk: int = 512         # prefill bucketing granularity
@@ -202,7 +202,7 @@ class EngineConfig:
     def __post_init__(self) -> None:
         if self.kv_cache_dtype not in ("bf16", "f32", "int8", "fp8"):
             raise ConfigError(f"bad kv_cache_dtype {self.kv_cache_dtype!r}")
-        if self.kernel_path not in ("auto", "pallas", "xla"):
+        if self.kernel_path not in ("auto", "w2a8", "pallas", "xla"):
             raise ConfigError(f"bad kernel_path {self.kernel_path!r}")
         if self.compute_dtype not in ("bf16", "f32"):
             raise ConfigError(f"bad compute_dtype {self.compute_dtype!r}")

@@ -147,7 +147,11 @@ class InferenceEngine:
         kp = self.engine_cfg.kernel_path
         if kp != "auto":
             return kp
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        # w2a8 = fused unpack + int8 MXU with per-token int8 activations —
+        # the shipped TPU configuration (and the reference's own numerics:
+        # its CPU/GPU kernels compute on quantized activations too,
+        # bitnet-kernels/src/cpu/x86.rs:417)
+        return "w2a8" if jax.default_backend() == "tpu" else "xla"
 
     # -- compiled steps ------------------------------------------------------
     def _get_prefill(self, T: int) -> Callable:

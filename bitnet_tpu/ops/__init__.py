@@ -7,9 +7,11 @@ from .linear import (
     dense_linear,
     dequantize_weight,
     linear_apply,
+    fold_packed_words,
     qk256_linear_from_codes,
     repack_codes_for_tpu,
     unpack_codes_host,
+    unpack_words_host,
 )
 from .rmsnorm import rms_norm
 from .rope import apply_rope, build_rope_tables
@@ -21,9 +23,11 @@ __all__ = [
     "dense_linear",
     "dequantize_weight",
     "linear_apply",
+    "fold_packed_words",
     "qk256_linear_from_codes",
     "repack_codes_for_tpu",
     "unpack_codes_host",
+    "unpack_words_host",
     "rms_norm",
     "apply_rope",
     "build_rope_tables",

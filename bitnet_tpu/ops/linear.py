@@ -13,9 +13,17 @@ Replaces the reference's ``QuantizedLinear`` + ``KernelProvider`` dispatch
 
 Packed layout ("tile-local interleave", tile KT=256 rows of K):
 for K-tile ``t`` and in-tile row ``r = j*(KT/4) + i``,
-``code(t*KT + r, n)`` is bits ``[2j+1:2j]`` of ``packed[t*(KT/4) + i, n]``.
-Unpacking a packed K-tile therefore yields the *contiguous* K-tile of the
-logical weight: ``concat_j (tile >> 2j) & 3``.
+``code(t*KT + r, n)`` is bits ``[2j+1:2j]`` of byte ``i`` of the tile.
+
+**Device storage is int32 words** [Kp/16, N]: word ``s`` packs byte rows
+``4s..4s+3`` little-endian.  This is bit-identical to the byte layout but
+lets Pallas kernels unpack 4 codes per lane per shift plane:
+``(word >> 2p) & 0x03030303`` extracts plane ``p`` of all 4 bytes at once,
+and a cross-size ``pltpu.bitcast`` (i32 -> i8, sublane-major little-endian
+— verified on v5e) splits the bytes back into rows ``4s+j``.  Output row
+``p*64 + 4s + j`` of a 256-subtile is exactly logical row ``p*(KT/4) + i``
+with ``i = 4s+j`` — i.e. the SAME interleave as the byte layout, so the
+two views share one packer (experiments/exp_w2a8.py P1/P4).
 """
 
 from __future__ import annotations
@@ -73,6 +81,27 @@ def unpack_codes_host(packed: np.ndarray, k: int, kt: int = KT_PACK) -> np.ndarr
     return parts.reshape(ntiles * kt, N)[:k]
 
 
+def fold_packed_words(packed_bytes: np.ndarray) -> np.ndarray:
+    """[Kp/4, N] uint8 bytes -> [Kp/16, N] int32 words (device storage).
+
+    Word ``s`` = byte rows ``4s..4s+3`` little-endian; bit-identical view
+    of the same interleave (see module docstring).
+    """
+    Kp4, N = packed_bytes.shape
+    b = packed_bytes.reshape(Kp4 // 4, 4, N).astype(np.uint32)
+    words = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+    return words.view(np.int32)
+
+
+def unpack_words_host(words: np.ndarray, k: int, kt: int = KT_PACK) -> np.ndarray:
+    """[Kp/16, N] int32 words -> [K, N] uint8 codes (host/numpy)."""
+    w = words.view(np.uint32)
+    R, N = w.shape
+    by = np.stack([(w >> (8 * j)) & 0xFF for j in range(4)],
+                  axis=1).reshape(R * 4, N).astype(np.uint8)
+    return unpack_codes_host(by, k, kt)
+
+
 # --------------------------------------------------------------------------
 # Parameter pytree
 # --------------------------------------------------------------------------
@@ -87,10 +116,11 @@ class TernaryLinear:
 
     kind:
       'dense'    — ``weight`` [K, N] floats, plain matmul
-      'qk256'    — ``packed`` [Kp/4, N]; value = LUT[code] (scales is a
-                   broadcastable per-tensor scalar array, usually 1.0)
-      'bitnet32' — ``packed`` [Kp/4, N]; ``scales`` [K/32, N] f32;
-                   value = LUT[code] * scale
+      'qk256'    — ``packed`` [Kp/16, N] int32 words; value = LUT[code]
+                   (scales is a broadcastable per-tensor scalar array,
+                   usually 1.0)
+      'bitnet32' — ``packed`` [Kp/16, N] int32 words; ``scales``
+                   [K/32, N] f32; value = LUT[code] * scale
     """
 
     kind: str
@@ -109,14 +139,19 @@ def _codes_to_values(codes: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def _unpack_packed(packed: jnp.ndarray, kt: int = KT_PACK) -> jnp.ndarray:
-    """[Kp/4, N] bytes → [Kp, N] uint8 codes (tile-local interleave)."""
-    Kp4, N = packed.shape
-    ntiles = Kp4 // (kt // 4)
-    p = packed.reshape(ntiles, kt // 4, N)
+    """[Kp/16, N] int32 words → [Kp, N] uint8 codes (XLA fallback path).
+
+    Word ``s``, byte ``j``, bit-plane ``p`` → logical row ``p*64 + 4s + j``
+    within each 256-row subtile (matches the Pallas word unpack).
+    """
+    R, N = packed.shape
+    ntiles = R // (kt // 16)
+    w = packed.reshape(ntiles, kt // 16, N)
+    # [ntiles, plane(4), word(kt/16), byte(4), N] → row = p*64 + 4s + j
     parts = jnp.stack(
-        [(p >> (2 * j)) & 3 for j in range(4)], axis=1
-    )  # [ntiles, 4, kt/4, N]
-    return parts.reshape(ntiles * kt, N)
+        [jnp.stack([(w >> (8 * j + 2 * p)) & 3 for j in range(4)], axis=2)
+         for p in range(4)], axis=1)
+    return parts.reshape(ntiles * kt, N).astype(jnp.uint8)
 
 
 def dequantize_weight(lin: TernaryLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -147,17 +182,23 @@ def linear_apply(
 ) -> jnp.ndarray:
     """``y = x @ W`` for [..., K] activations.
 
-    ``path``: 'xla' = dequantize-then-matmul (XLA fuses the unpack);
-    'pallas' = fused unpack+MXU kernel (see ops/ternary_matmul.py).
+    ``path``:
+      'xla'    — dequantize-then-matmul (XLA fuses the unpack);
+      'pallas' — fused unpack+MXU kernel, bf16 activations (exact);
+      'w2a8'   — fused kernel with int8-quantized activations feeding the
+                 int8 MXU (per-token absmax — the TPU translation of the
+                 reference's W2A8 ``matmul_i2s_avx2``,
+                 bitnet-kernels/src/cpu/x86.rs:417).  qk256 only;
+                 bitnet32 falls back to the exact bf16 kernel.
     """
     if lin.kind == "dense":
         return jnp.matmul(
             x, lin.weight.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
-    if path == "pallas":
+    if path in ("pallas", "w2a8"):
         from .ternary_matmul import ternary_matmul_pallas
 
-        return ternary_matmul_pallas(lin, x)
+        return ternary_matmul_pallas(lin, x, variant=path)
     w = dequantize_weight(lin, x.dtype)
     return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
@@ -239,7 +280,7 @@ def qk256_linear_from_codes(
     codes_kn: np.ndarray, scale: float | np.ndarray = 1.0
 ) -> TernaryLinear:
     k, n = codes_kn.shape
-    packed = jnp.asarray(_pad_cols(_repack(codes_kn)))
+    packed = jnp.asarray(_pad_cols(fold_packed_words(_repack(codes_kn))))
     return TernaryLinear(
         kind="qk256", k=k, n=n, packed=packed,
         scales=jnp.asarray(np.float32(scale)),
@@ -253,7 +294,7 @@ def bitnet32_linear_from_codes(
     k, n = codes_kn.shape
     if k % 32 != 0:
         raise QuantizationError(f"bitnet32 needs K % 32 == 0, got {k}")
-    packed = jnp.asarray(_pad_cols(_repack(codes_kn)))
+    packed = jnp.asarray(_pad_cols(fold_packed_words(_repack(codes_kn))))
     scales = _pad_cols(np.asarray(scales_blocks_kn, dtype=np.float32))
     return TernaryLinear(
         kind="bitnet32", k=k, n=n, packed=packed,

@@ -6,17 +6,27 @@ matrix (``bitnet-kernels/src/cpu/x86.rs`` AVX2/AVX-512 ``matmul_i2s``,
 OpenCL/Metal/Vulkan/HIP/WGSL clones): ONE kernel family instead of seven
 backends.
 
-Design (SURVEY.md §7 P2):
-- ternary codes stay **packed in HBM** (4 codes/byte, tile-local interleave
-  from ops/linear.py); the kernel unpacks 2-bit→int8 in VMEM with
-  shift/mask — no gather, no LUT table walk (the AVX2 nibble-LUT approach
-  translates to pure VPU arithmetic: ``v = c + (c>=2) - 2``);
-- the MXU consumes the dequantized tile directly from VMEM: bf16 x bf16 →
-  f32 accumulate (per-block-scaled BitNet32) or the values themselves for
-  QK256 no-scale;
-- grid (M/BM, N/BN, K/BK) with K innermost; the f32 accumulator lives in
-  VMEM scratch across the K sweep; Pallas double-buffers the HBM→VMEM
-  streams automatically.
+Design (SURVEY.md §7 P2, round-2 rework — see experiments/exp_w2a8.py):
+- ternary codes stay **packed in HBM** as int32 words (16 codes/word,
+  tile-local interleave from ops/linear.py);
+- the kernel unpacks 4 codes per lane per shift plane —
+  ``(word >> 2p) & 0x03030303`` — then **biases** each byte to
+  ``code + (code>>1) ∈ {0,1,3,4}`` (= LUT value + 2) while still in i32
+  lanes, and splits bytes into rows with one cross-size ``pltpu.bitcast``
+  (i32→i8).  ~1.6 VPU ops/value vs ~6 for the round-1 per-byte unpack;
+- the +2 bias is removed *after* the MXU via the zero-point identity
+  ``Σ w·x = Σ (w+2)·x − 2·Σ x`` (per-token activation sums are a [M,1]
+  column computed outside the kernel);
+- two activation modes:
+    * **bf16** ("pallas"): biased i8 → bf16, MXU bf16×bf16→f32.  Exact
+      (all integer products < 2^24 are exact in f32 accumulation).
+    * **w2a8** ("w2a8"): per-token absmax int8 activations, MXU
+      int8×int8→int32 (2× MXU throughput, no i8→bf16 convert) — the TPU
+      translation of the reference's quantized-activation kernels
+      (``bitnet-kernels/src/cpu/x86.rs:417`` ``matmul_i2s_avx2``).
+- grid (M/BM, N/BN, K/BK) with K innermost; the accumulator lives in VMEM
+  scratch across the K sweep; Pallas double-buffers the HBM→VMEM streams
+  across grid steps (keep ≥ 2 K steps).
 
 Decode (M=1) is HBM-bandwidth bound: reading 2-bit weights moves 8× fewer
 bytes than bf16 — that is the whole ternary speedup on TPU.
@@ -35,42 +45,54 @@ from ..errors import KernelError
 
 # K-granule of the packed interleave layout (must match ops.linear.KT_PACK)
 KT = 256
-DEFAULT_BM = 512
-DEFAULT_BN = 512
-DEFAULT_BKT = 4          # K-subtiles per grid step (BK = BKT * 256)
+MASK2 = 0x03030303
+MASK1 = 0x01010101
 
 
-def _unpack_subtile(p32: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """[KT/4, BN] int32 bytes → [KT, BN] ternary-LUT values in ``dtype``.
+def _bitcast_i32_to_i8(x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """[R, N] i32 → [4R, N] i8, row ``4s+j`` = byte ``j`` of word ``s``.
 
-    Tile-local interleave (ops/linear.py): code plane j of byte row i is
-    logical row ``j*(KT/4) + i``; concatenating the four shift planes along
-    the sublane axis reconstructs the contiguous K-subtile.
-    LUT {-2,-1,1,2} realized as ``v = c + (c>=2) - 2`` (no gather; Mosaic
-    vector arith needs i32/i16, so codes are widened before math).
+    Hardware path: Mosaic's cross-size bitcast expands sublanes
+    row-major little-endian (verified on v5e, exp_w2a8.py P1).  Interpret
+    mode lacks it, so emulate with lax.bitcast + reshape (same order).
     """
-    planes = [(p32 >> (2 * j)) & 3 for j in range(4)]
-    c = jnp.concatenate(planes, axis=0)           # [KT, BN] int32 codes
-    v = c + (c >= 2).astype(jnp.int32) - 2        # {-2,-1,1,2}
-    return v.astype(dtype)
+    if not interpret:
+        return pltpu.bitcast(x, jnp.int8)
+    R, N = x.shape
+    b = jax.lax.bitcast_convert_type(x, jnp.int8)      # [R, N, 4]
+    return jnp.transpose(b, (0, 2, 1)).reshape(R * 4, N)
+
+
+def _unpack_words_biased_i8(p32: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """[R, BN] i32 words → [16R, BN] i8 **biased** values {0,1,3,4}.
+
+    Biased value = LUT{-2,-1,1,2}[code] + 2 = code + (code >> 1); callers
+    remove the bias via the zero-point correction.  Output rows follow the
+    tile-local interleave: within a KT=256 subtile (R=16), plane p / word s
+    / byte j lands at row p*64 + 4s + j = logical row (ops/linear.py).
+    """
+    planes = []
+    for p in range(4):
+        t = (p32 >> (2 * p)) & MASK2
+        b = t + ((t >> 1) & MASK1)
+        planes.append(_bitcast_i32_to_i8(b, interpret))
+    return jnp.concatenate(planes, axis=0)
 
 
 # --------------------------------------------------------------------------
-# QK256 kernel (no per-block scales; optional per-tensor scalar)
+# bf16-activation kernels (exact; per-tensor / per-column / per-32-row scales)
 # --------------------------------------------------------------------------
-def _qk256_kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref,
-                  *, n_k: int, bkt: int):
+def _qk256_kernel(x_ref, w_ref, sumx_ref, scale_ref, out_ref, acc_ref,
+                  *, n_k: int, bkt: int, interpret: bool, vecscale: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # loop over the BKT interleave subtiles of this K-block; each unpacks
-    # independently and feeds one MXU pass (K=256 contraction)
     for t in range(bkt):
-        p32 = w_ref[pl.ds(t * (KT // 4), KT // 4), :].astype(jnp.int32)
-        w = _unpack_subtile(p32, jnp.bfloat16)    # [KT, BN]
+        p32 = w_ref[pl.ds(t * (KT // 16), KT // 16), :]
+        w = _unpack_words_biased_i8(p32, interpret).astype(jnp.bfloat16)
         acc_ref[:] += jnp.dot(
             x_ref[:, pl.ds(t * KT, KT)], w,
             preferred_element_type=jnp.float32,
@@ -78,14 +100,16 @@ def _qk256_kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref,
 
     @pl.when(k == n_k - 1)
     def _():
-        out_ref[:] = (acc_ref[:] * scale_ref[0, 0]).astype(out_ref.dtype)
+        corr = acc_ref[:] - 2.0 * sumx_ref[:]          # remove +2 bias
+        if vecscale:
+            out_ref[:] = (corr * scale_ref[0, :][None, :]).astype(
+                out_ref.dtype)
+        else:
+            out_ref[:] = (corr * scale_ref[0, 0]).astype(out_ref.dtype)
 
 
-# --------------------------------------------------------------------------
-# QK256 kernel with per-column scales (fused QKV / gate+up projections)
-# --------------------------------------------------------------------------
-def _qk256_vecscale_kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref,
-                           *, n_k: int, bkt: int):
+def _bitnet32_kernel(x_ref, w_ref, s_ref, corr_ref, out_ref, acc_ref,
+                     *, n_k: int, bkt: int, interpret: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -93,39 +117,14 @@ def _qk256_vecscale_kernel(x_ref, w_ref, scale_ref, out_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     for t in range(bkt):
-        p32 = w_ref[pl.ds(t * (KT // 4), KT // 4), :].astype(jnp.int32)
-        w = _unpack_subtile(p32, jnp.bfloat16)
-        acc_ref[:] += jnp.dot(
-            x_ref[:, pl.ds(t * KT, KT)], w,
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(k == n_k - 1)
-    def _():
-        out_ref[:] = (acc_ref[:] * scale_ref[0, :][None, :]).astype(
-            out_ref.dtype)
-
-
-# --------------------------------------------------------------------------
-# BitNet32 kernel (per-32-row f32 scales)
-# --------------------------------------------------------------------------
-def _bitnet32_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref,
-                     *, n_k: int, bkt: int):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    for t in range(bkt):
-        p32 = w_ref[pl.ds(t * (KT // 4), KT // 4), :].astype(jnp.int32)
-        v = _unpack_subtile(p32, jnp.float32)     # [KT, BN]
+        p32 = w_ref[pl.ds(t * (KT // 16), KT // 16), :]
+        v = _unpack_words_biased_i8(p32, interpret).astype(jnp.float32)
         s = s_ref[pl.ds(t * (KT // 32), KT // 32), :]   # [KT/32, BN] f32
         # elementwise row-repeat ×32 (NOT pltpu.repeat, which tiles copies)
         s32 = jnp.broadcast_to(
             s[:, None, :], (s.shape[0], 32, s.shape[1])
         ).reshape(s.shape[0] * 32, s.shape[1])
-        w = (v * s32).astype(jnp.bfloat16)
+        w = (v * s32).astype(jnp.bfloat16)              # biased, scaled
         acc_ref[:] += jnp.dot(
             x_ref[:, pl.ds(t * KT, KT)], w,
             preferred_element_type=jnp.float32,
@@ -133,7 +132,41 @@ def _bitnet32_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref,
 
     @pl.when(k == n_k - 1)
     def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        # bias removal 2·Σ_b s[b,n]·sum32[m,b] is a 32×-smaller matmul,
+        # precomputed in XLA (a [M, K/32] block couldn't lane-align as a
+        # Pallas input anyway) and subtracted in the epilogue
+        out_ref[:] = (acc_ref[:] - corr_ref[:]).astype(out_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# W2A8 kernels: int8 activations on the int8 MXU (qk256 flavors)
+# --------------------------------------------------------------------------
+def _qk256_w2a8_kernel(xq_ref, w_ref, sumq_ref, sx_ref, scale_ref,
+                       out_ref, acc_ref,
+                       *, n_k: int, bkt: int, interpret: bool,
+                       vecscale: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for t in range(bkt):
+        p32 = w_ref[pl.ds(t * (KT // 16), KT // 16), :]
+        w = _unpack_words_biased_i8(p32, interpret)     # i8 {0,1,3,4}
+        acc_ref[:] += jnp.dot(
+            xq_ref[:, pl.ds(t * KT, KT)], w,
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        corr = (acc_ref[:] - 2 * sumq_ref[:]).astype(jnp.float32)
+        y = corr * sx_ref[:].astype(jnp.float32)        # per-token scale
+        if vecscale:
+            out_ref[:] = (y * scale_ref[0, :][None, :]).astype(out_ref.dtype)
+        else:
+            out_ref[:] = (y * scale_ref[0, 0]).astype(out_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -148,14 +181,15 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "k_dim", "n_dim", "bm", "bn", "bkt",
+    static_argnames=("kind", "variant", "k_dim", "n_dim", "bm", "bn", "bkt",
                      "interpret", "out_dtype"),
 )
 def _ternary_matmul_2d(
     x: jnp.ndarray,            # [M, K] float
-    packed: jnp.ndarray,       # [Kp/4, Np] uint8
+    packed: jnp.ndarray,       # [Kp/16, Np] int32 words
     scales: jnp.ndarray,       # [] scalar (qk256) or [K/32, Np] (bitnet32)
     kind: str,
+    variant: str,              # 'pallas' (bf16) | 'w2a8'
     k_dim: int,
     n_dim: int,
     bm: int,
@@ -165,55 +199,101 @@ def _ternary_matmul_2d(
     out_dtype,
 ) -> jnp.ndarray:
     M, K = x.shape
-    Kp = packed.shape[0] * 4
+    Kp = packed.shape[0] * 16
     Np = packed.shape[1]
     bk = bkt * KT
 
-    x = x.astype(jnp.bfloat16)
-    if K != Kp:  # pad K → Kp (padded weight rows hit zero activations)
-        x = jnp.pad(x, ((0, 0), (0, Kp - K)))
+    if K != Kp:  # pad K → Kp (padded weight rows are code 0 → biased 0)
+        x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, Kp - K)))
     Mp = -(-M // bm) * bm
-    x = _pad_to(x, 0, bm)
 
     n_m, n_n, n_k = Mp // bm, Np // bn, Kp // bk
     grid = (n_m, n_n, n_k)
 
-    x_spec = pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
-                          memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((bk // 4, bn), lambda m, n, k: (k, n),
+    w_spec = pl.BlockSpec((bk // 16, bn), lambda m, n, k: (k, n),
                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0),
                             memory_space=pltpu.VMEM)
 
     flops = 2 * Mp * Kp * Np
     bytes_accessed = Mp * Kp * 2 + (Kp // 4) * Np + Mp * Np * 4
 
+    use_w2a8 = variant == "w2a8" and kind == "qk256"
+    if use_w2a8:
+        # per-token absmax int8 quantization (BitNet W2A8 recipe)
+        xf = x.astype(jnp.float32)
+        absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                             1e-8)
+        sx = absmax / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        sumq = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+        xq = _pad_to(xq, 0, bm)
+        sumq = _pad_to(sumq, 0, bm)
+        sx = _pad_to(sx, 0, bm)
+        x_in, sum_in, sx_in = xq, sumq, sx
+        x_spec = pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
+                              memory_space=pltpu.VMEM)
+        acc_dtype = jnp.int32
+    else:
+        xb = x.astype(jnp.bfloat16)
+        # the bias correction must sum the SAME values the MXU multiplies:
+        # the bf16-rounded activations, accumulated in f32
+        sumx = jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
+        x_in = _pad_to(xb, 0, bm)
+        sum_in = _pad_to(sumx, 0, bm)
+        sx_in = None
+        x_spec = pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
+                              memory_space=pltpu.VMEM)
+        acc_dtype = jnp.float32
+
     if kind == "qk256":
         s = jnp.asarray(scales, jnp.float32)
-        if s.ndim >= 2:        # per-column scale vector (fused projections)
-            kernel = functools.partial(_qk256_vecscale_kernel, n_k=n_k,
-                                       bkt=bkt)
+        vecscale = s.ndim >= 2
+        if vecscale:       # per-column scale vector (fused projections)
             s = s.reshape(1, -1)
             if s.shape[1] != Np:   # pad scale cols with 1s (lane padding)
                 s = jnp.pad(s, ((0, 0), (0, Np - s.shape[1])),
                             constant_values=1.0)
             s_spec = pl.BlockSpec((1, bn), lambda m, n, k: (0, n),
                                   memory_space=pltpu.VMEM)
-            operands = (x, packed, s)
         else:
-            kernel = functools.partial(_qk256_kernel, n_k=n_k, bkt=bkt)
+            s = s.reshape(1, 1)
             s_spec = pl.BlockSpec((1, 1), lambda m, n, k: (0, 0),
                                   memory_space=pltpu.SMEM)
-            operands = (x, packed, s.reshape(1, 1))
+        if use_w2a8:
+            kernel = functools.partial(
+                _qk256_w2a8_kernel, n_k=n_k, bkt=bkt, interpret=interpret,
+                vecscale=vecscale)
+            in_specs = [x_spec, w_spec, col_spec, col_spec, s_spec]
+            operands = (x_in, packed, sum_in, sx_in, s)
+        else:
+            kernel = functools.partial(
+                _qk256_kernel, n_k=n_k, bkt=bkt, interpret=interpret,
+                vecscale=vecscale)
+            in_specs = [x_spec, w_spec, col_spec, s_spec]
+            operands = (x_in, packed, sum_in, s)
     elif kind == "bitnet32":
-        kernel = functools.partial(_bitnet32_kernel, n_k=n_k, bkt=bkt)
         # pad scales along K-blocks to Kp/32
         s = jnp.asarray(scales, jnp.float32)
         if s.shape[0] * 32 != Kp:
             s = jnp.pad(s, ((0, Kp // 32 - s.shape[0]), (0, 0)))
         s_spec = pl.BlockSpec((bk // 32, bn), lambda m, n, k: (k, n),
                               memory_space=pltpu.VMEM)
-        operands = (x, packed, s)
+        # bias correction 2·(sum32 @ s) precomputed in XLA (exact: HIGHEST
+        # precision f32 MXU) — sums over the same bf16-rounded values the
+        # main dot consumes
+        sum32 = jnp.sum(
+            x_in.astype(jnp.float32).reshape(Mp, Kp // 32, 32), axis=-1)
+        corr = 2.0 * jnp.matmul(sum32, s,
+                                precision=jax.lax.Precision.HIGHEST)
+        corr_spec = pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
+                                 memory_space=pltpu.VMEM)
+        kernel = functools.partial(_bitnet32_kernel, n_k=n_k, bkt=bkt,
+                                   interpret=interpret)
+        in_specs = [x_spec, w_spec, s_spec, corr_spec]
+        operands = (x_in, packed, s, corr)
     else:
         raise KernelError(f"unknown ternary kind {kind!r}")
 
@@ -221,9 +301,9 @@ def _ternary_matmul_2d(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         grid=grid,
-        in_specs=[x_spec, w_spec, s_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -245,20 +325,21 @@ def _largest_divisor(x: int, cap: int, mult: int) -> int:
     return best
 
 
-def _pick_blocks(M: int, Kp: int, Np: int) -> tuple[int, int, int]:
+def _pick_blocks(M: int, Kp: int, Np: int, variant: str
+                 ) -> tuple[int, int, int]:
     """(bm, bn, bkt) — empirically tuned on v5e (sweep logs in commit
-    history).  Decode (M≤32) is VPU-unpack + DMA-pipeline bound: widest
-    lane-aligned N block up to 2560, K split so the grid keeps ≥2 K-steps
-    (Pallas double-buffers across grid steps — a single-step grid can't
-    overlap DMA with compute: 2560² went 13.8→10.1 µs, 6912×2560 went
-    48.7→20.3 µs with this rule).  Prefill wants one M block so each
-    weight tile is unpacked exactly once (512/768/5 ≈ 82% of v5e bf16
-    peak).
+    history + experiments/exp_w2a8.py P5).  Decode (M≤32) is VPU-unpack +
+    DMA-pipeline bound: widest lane-aligned N block, K split so the grid
+    keeps ≥2 K-steps (Pallas double-buffers across grid steps — a
+    single-step grid can't overlap DMA with compute).  Prefill wants one
+    M block so each weight tile is unpacked exactly once.
     """
     nk = Kp // KT
     if M <= 32:
         bm = max(16, -(-M // 8) * 8)
-        bn = _largest_divisor(Np, 2560, 128)
+        # w2a8 decode sweep favored much wider N blocks than bf16
+        bn_cap = 7168 if variant == "w2a8" else 2560
+        bn = _largest_divisor(Np, bn_cap, 128)
         # largest divisor of nk with packed block ≤ ~1.6 MB that still
         # leaves ≥2 K grid steps for pipelining
         cap = max(1, (16 * (1 << 20)) // (10 * 64 * bn))
@@ -283,11 +364,13 @@ def _pick_blocks(M: int, Kp: int, Np: int) -> tuple[int, int, int]:
 
 
 def ternary_matmul_pallas(lin, x: jnp.ndarray,
-                          interpret: bool | None = None) -> jnp.ndarray:
+                          interpret: bool | None = None,
+                          variant: str = "pallas") -> jnp.ndarray:
     """``y = x @ W`` with W packed ternary — fused unpack+MXU kernel.
 
     ``lin``: ops.linear.TernaryLinear (kind 'qk256' or 'bitnet32');
-    ``x``: [..., K] activations. Returns [..., N] in x.dtype.
+    ``x``: [..., K] activations; ``variant``: 'pallas' (bf16-exact) or
+    'w2a8' (int8 activations, qk256 only).  Returns [..., N] in x.dtype.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -296,13 +379,14 @@ def ternary_matmul_pallas(lin, x: jnp.ndarray,
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
-    Kp = lin.packed.shape[0] * 4
+    Kp = lin.packed.shape[0] * 16
     Np = lin.packed.shape[1]
-    bm, bn, bkt = _pick_blocks(M, Kp, Np)
+    bm, bn, bkt = _pick_blocks(M, Kp, Np, variant)
 
     scales = lin.scales if lin.scales is not None else jnp.float32(1.0)
     y = _ternary_matmul_2d(
-        x2, lin.packed, scales, kind=lin.kind, k_dim=lin.k, n_dim=lin.n,
+        x2, lin.packed, scales, kind=lin.kind, variant=variant,
+        k_dim=lin.k, n_dim=lin.n,
         bm=bm, bn=bn, bkt=bkt, interpret=interpret, out_dtype=x.dtype,
     )
     return y.reshape(*lead, lin.n)

@@ -48,8 +48,9 @@ def bench_ternary_kernel(k: int, n: int, m: int = 1, name: str = "",
     rng = np.random.default_rng(seed)
     kp = -(-k // 256) * 256
     npad = -(-n // 128) * 128
-    packed = jnp.asarray(
-        rng.integers(0, 256, size=(kp // 4, npad), dtype=np.uint8))
+    packed = jnp.asarray(rng.integers(
+        np.iinfo(np.int32).min, np.iinfo(np.int32).max,
+        size=(kp // 16, npad), dtype=np.int32))
     lin = TernaryLinear(kind="qk256", k=k, n=n, packed=packed,
                         scales=jnp.float32(0.02))
 

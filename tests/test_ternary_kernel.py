@@ -128,3 +128,93 @@ class TestPallasVsXLAPath:
         y_xla = np.asarray(linear_apply(lin, x, path="xla"))
         y_pal = np.asarray(ternary_matmul_pallas(lin, x, interpret=True))
         np.testing.assert_allclose(y_xla, y_pal, rtol=2e-2, atol=2e-2)
+
+
+def _w2a8_emulate(x: np.ndarray, w_lut: np.ndarray, scale) -> np.ndarray:
+    """Numpy mirror of the W2A8 kernel numerics (f32 quantization, exact
+    int32 accumulation, same scale-multiply order)."""
+    xf = x.astype(np.float32)
+    absmax = np.maximum(np.max(np.abs(xf), axis=1, keepdims=True),
+                        np.float32(1e-8))
+    sx = (absmax / np.float32(127.0)).astype(np.float32)
+    xq = np.clip(np.round(xf / sx), -127, 127).astype(np.int64)
+    acc = xq @ w_lut.astype(np.int64)
+    y = acc.astype(np.float32) * sx
+    return (y * np.float32(scale)).astype(np.float32)
+
+
+class TestW2A8Kernel:
+    """Int8-activation path (reference W2A8 numerics,
+    bitnet-kernels/src/cpu/x86.rs:417 matmul_i2s_avx2)."""
+
+    @pytest.mark.parametrize("m,k,n", [
+        (1, 256, 128),      # decode GEMV
+        (16, 512, 256),
+        (100, 300, 100),    # ragged
+    ])
+    def test_matches_int_emulation(self, rng, m, k, n):
+        codes = random_codes(rng, k, n)
+        lin = qk256_linear_from_codes(codes, scale=0.25)
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        y = np.asarray(ternary_matmul_pallas(
+            lin, jnp.asarray(x, jnp.float32), interpret=True,
+            variant="w2a8"))
+        want = _w2a8_emulate(x, LUT_SYM[codes], 0.25)
+        np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+    def test_cosine_vs_exact(self, rng):
+        """Per-token int8 activations keep cosine > 0.999 vs exact bf16."""
+        k, n = 512, 512
+        codes = random_codes(rng, k, n)
+        lin = qk256_linear_from_codes(codes, scale=0.02)
+        x = rng.standard_normal((4, k)).astype(np.float32)
+        y8 = np.asarray(ternary_matmul_pallas(
+            lin, jnp.asarray(x), interpret=True, variant="w2a8")
+        ).astype(np.float64)
+        y = (x.astype(np.float64) @ LUT_SYM[codes]) * 0.02
+        for i in range(4):
+            cos = np.dot(y8[i], y[i]) / (
+                np.linalg.norm(y8[i]) * np.linalg.norm(y[i]) + 1e-30)
+            assert cos > 0.999, cos
+
+    def test_fused_vecscale(self, rng):
+        """Per-column scales (fused QKV / gate|up projections)."""
+        from bitnet_tpu.ops.linear import concat_linears
+
+        k = 256
+        codes_a = random_codes(rng, k, 128)
+        codes_b = random_codes(rng, k, 256)
+        fused = concat_linears([
+            qk256_linear_from_codes(codes_a, scale=0.5),
+            qk256_linear_from_codes(codes_b, scale=0.02),
+        ])
+        x = rng.standard_normal((3, k)).astype(np.float32)
+        y = np.asarray(ternary_matmul_pallas(
+            fused, jnp.asarray(x), interpret=True, variant="w2a8"))
+        wa = _w2a8_emulate(x, LUT_SYM[codes_a], 0.5)
+        wb = _w2a8_emulate(x, LUT_SYM[codes_b], 0.02)
+        np.testing.assert_allclose(y[:, :128], wa, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(y[:, 128:], wb, rtol=1e-4, atol=1e-5)
+
+    def test_bitnet32_falls_back_exact(self, rng):
+        """variant='w2a8' on bitnet32 uses the exact bf16 kernel."""
+        k, n = 256, 128
+        codes = random_codes(rng, k, n)
+        scales = rng.uniform(0.05, 1.5, size=(k // 32, n)).astype(np.float32)
+        lin = bitnet32_linear_from_codes(codes, scales)
+        x = rng.standard_normal((4, k)).astype(np.float32) * 0.1
+        y8 = np.asarray(ternary_matmul_pallas(
+            lin, jnp.asarray(x), interpret=True, variant="w2a8"))
+        yb = np.asarray(ternary_matmul_pallas(
+            lin, jnp.asarray(x), interpret=True, variant="pallas"))
+        np.testing.assert_allclose(y8, yb, rtol=1e-6, atol=1e-6)
+
+
+class TestWordStorage:
+    def test_words_roundtrip(self, rng):
+        from bitnet_tpu.ops.linear import fold_packed_words, unpack_words_host
+
+        codes = random_codes(rng, 512, 128)
+        words = fold_packed_words(repack_codes_for_tpu(codes))
+        assert words.shape == (32, 128) and words.dtype == np.int32
+        np.testing.assert_array_equal(unpack_words_host(words, 512), codes)
