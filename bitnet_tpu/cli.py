@@ -342,8 +342,13 @@ def cmd_compat_check(args) -> int:
         fixed = export_fixed(args.model, args.fix_out)
         report["applied"] = fixed["applied"]
         report["out_path"] = args.fix_out
+        # exit code reflects whether errors REMAIN after the fix, not
+        # whether a fix was requested
+        report["remaining_errors"] = diagnose(args.fix_out)["errors"]
+        print(json.dumps(report, indent=2))
+        return 0 if not report["remaining_errors"] else 1
     print(json.dumps(report, indent=2))
-    return 0 if not report["errors"] or getattr(args, "fix_out", None) else 1
+    return 0 if not report["errors"] else 1
 
 
 def cmd_st_inspect(args) -> int:
@@ -439,14 +444,13 @@ def cmd_crossval(args) -> int:
     if args.backend == "cpp":
         res = cv.crossval_cpp(engine, args.model, ids,
                               threshold=args.threshold)
+    elif args.backend == "cppref":
+        res = cv.crossval_cppref(engine, args.model, ids,
+                                 threshold=args.threshold)
     else:
-        # golden backend needs the float weights — only fixture models
-        # carry them; real models use the cpp backend
-        from .gguf.fixtures import MiniModel
-
-        raise SystemExit(
-            "golden crossval runs in tests (fixtures carry float weights); "
-            "use --backend cpp with BITNET_CPP_DIR for real checkpoints")
+        # golden: numpy reference forward over the dequantized GGUF
+        res = cv.crossval_golden_gguf(engine, args.model, ids,
+                                      threshold=args.threshold)
     if args.baselines:
         cv.record_baseline(res, args.baselines, {"model": args.model})
     print(json.dumps(res.as_dict(), indent=2))
@@ -476,8 +480,25 @@ def cmd_gate(args) -> int:
             checks["receipt_valid"] = False
     if args.require_tpu:
         checks["tpu"] = probe.is_tpu
+    extra: dict = {}
+    if getattr(args, "crossval_model", None):
+        # engine vs the in-repo independent C++ golden (>0.99 cosine)
+        from .engine import InferenceEngine
+        from .verify import crossval as cv
+
+        try:
+            engine = InferenceEngine.from_gguf(args.crossval_model)
+            ids = [int(t) for t in args.crossval_tokens.split(",")]
+            res = cv.crossval_cppref(engine, args.crossval_model, ids)
+            checks["crossval_cppref"] = res.passed
+            extra["crossval"] = {"min_cosine": res.min_cosine,
+                                 "backend": res.backend}
+        except Exception as e:
+            checks["crossval_cppref"] = False
+            extra["crossval"] = {"error": str(e)}
     verdict = all(checks.values())
-    print(json.dumps({"checks": checks, "passed": verdict}, indent=2))
+    print(json.dumps({"checks": checks, "passed": verdict, **extra},
+                     indent=2))
     return 0 if verdict else 1
 
 
@@ -651,7 +672,12 @@ def main(argv: list[str] | None = None) -> int:
     _add_gen_flags(p)
     p.add_argument("--tokens", default=None,
                    help="comma-separated token ids (else encode --prompt)")
-    p.add_argument("--backend", default="cpp", choices=["cpp", "golden"])
+    p.add_argument("--backend", default="cppref",
+                   choices=["cppref", "cpp", "golden"],
+                   help="cppref = in-repo independent C++ forward pass; "
+                        "cpp = external bitnet.cpp/llama.cpp via "
+                        "BITNET_CPP_DIR; golden = numpy reference over "
+                        "the dequantized GGUF")
     p.add_argument("--threshold", type=float, default=0.99)
     p.add_argument("--baselines", default=None,
                    help="append the result to this baselines.json")
@@ -661,6 +687,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--receipt", default=None)
     p.add_argument("--require-tpu", action="store_true")
     p.add_argument("--require-native", action="store_true")
+    p.add_argument("--crossval-model", default=None,
+                   help="GGUF to cross-validate against the independent "
+                        "C++ golden (cosine gate, VERDICT #2)")
+    p.add_argument("--crossval-tokens", default="1,2,3,4,5",
+                   help="comma-separated token ids for --crossval-model")
     p.set_defaults(fn=cmd_gate)
 
     p = sub.add_parser("verify-receipt",

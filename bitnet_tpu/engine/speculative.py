@@ -113,11 +113,14 @@ class EngineDraft:
 
     def begin(self, tokens: list[int]) -> None:
         self._logits = self.engine.prefill(tokens)
-        self._pos = len(tokens)
+        self._ctx = list(tokens)
 
     def propose(self, tokens: list[int], k: int) -> list[int]:
-        # resync if the accepted sequence diverged from what we drafted
-        if self._pos != len(tokens):
+        # resync if the accepted sequence diverged from what we drafted —
+        # compare CONTENT, not length: when exactly k-1 drafts are accepted
+        # the lengths match but the draft cache holds its rejected k-th
+        # token, and all later proposals would condition on a wrong token
+        if list(tokens) != self._ctx:
             self.begin(tokens)
         eng = self.engine
         out = []
@@ -135,7 +138,7 @@ class EngineDraft:
             lg, eng.cache = decode(eng.params, jnp.asarray(tok), eng.cache,
                                    jnp.asarray(posa))
         self._logits = lg
-        self._pos = len(tokens) + k
+        self._ctx = list(tokens) + out
         return out
 
 
@@ -211,12 +214,18 @@ class SpeculativeDecoder:
 
         def emit(t: int) -> bool:
             nonlocal stop_reason
-            out_tokens.append(t)
-            tokens.append(t)
             piece = ""
             if eng.tokenizer is not None:
                 piece = eng.tokenizer.token_to_piece(t)
+            # check BEFORE appending: stop tokens / EOS are not emitted,
+            # mirroring generate_stream (engine.rs stop handling) — the
+            # speculative path must stay lossless vs normal greedy output
             r = stop.check(t, piece)
+            if r in (StopReason.STOP_TOKEN, StopReason.EOS):
+                stop_reason = r
+                return True
+            out_tokens.append(t)
+            tokens.append(t)
             if r is not None:
                 stop_reason = r
                 return True

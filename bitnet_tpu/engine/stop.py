@@ -19,6 +19,7 @@ class StopReason(enum.Enum):
     EOS = "eos"
     STOP_SEQUENCE = "stop_sequence"
     CANCELLED = "cancelled"
+    TIMEOUT = "timeout"
     CONTEXT_FULL = "context_full"
 
 

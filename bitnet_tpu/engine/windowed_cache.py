@@ -88,8 +88,19 @@ def forward_windowed(
     engine's OOB padding convention) neither write nor affect lengths.
     """
     from ..models.bitnet import forward
+    from ..errors import InferenceError
 
     W = cache.window
+    if tokens.shape[1] > W:
+        # two tokens at positions p and p+W would scatter to the SAME ring
+        # slot in one call, and duplicate-index .at[].set order is
+        # unspecified in JAX — both the KV rows and the positions mask
+        # could silently keep the stale token.  Long prefills must be
+        # chunked to ≤ window tokens per call (the engine's prefill
+        # bucketing does this naturally when max bucket ≤ W).
+        raise InferenceError(
+            f"forward_windowed got {tokens.shape[1]} tokens > window {W}; "
+            f"chunk the prefill into ≤{W}-token calls")
     if num_real_tokens is None:
         num_real_tokens = tokens.shape[1]
 

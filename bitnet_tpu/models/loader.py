@@ -86,7 +86,8 @@ def _to_float(reader: GGUFReader, info: TensorInfo) -> np.ndarray:
         flat = fn(reader.tensor_bytes(info.name), info.nelems)
         return flat.reshape(info.logical_shape)
     if t == GGMLType.I2_S:
-        flavor = detect_i2s_flavor(info.nelems, info.nbytes, name=info.name)
+        flavor = detect_i2s_flavor(info.nelems, info.nbytes, name=info.name,
+                                   cols=int(info.shape[0]) if info.shape else None)
         raw = bytes(reader.tensor_bytes(info.name))
         shape = info.logical_shape
         if flavor == I2SFlavor.GGML_QK256_NO_SCALE:
@@ -189,7 +190,8 @@ def _load_linear(
         )
 
     if mode != "dense" and info.ggml_type == GGMLType.I2_S and not transposed:
-        flavor = detect_i2s_flavor(info.nelems, info.nbytes, name=name)
+        flavor = detect_i2s_flavor(info.nelems, info.nbytes, name=name,
+                                   cols=int(info.shape[0]) if info.shape else None)
         report.flavors[name] = flavor.value
         codes, scales = _i2s_codes_and_scales(reader, info, flavor)
         if flavor == I2SFlavor.GGML_QK256_NO_SCALE:

@@ -52,12 +52,19 @@ def detect_i2s_flavor(
     has_scale_sibling: bool = False,
     strict: bool = False,
     name: str = "<tensor>",
+    cols: int | None = None,
 ) -> I2SFlavor:
+    """``cols`` (ne[0], the innermost dim) matters for QK256: each ROW is
+    padded independently to whole 256-blocks (i2s_qk256.rs:53-67), so a
+    [64, 64] tensor needs 64 rows × 64 B, not ceil(4096/256) × 64 B."""
     blocks32 = -(-nelems // 32)
-    blocks256 = -(-nelems // 256)
     split_need = blocks32 * 8
     inline_need = blocks32 * 10
-    qk256_need = blocks256 * 64
+    if cols and cols > 0:
+        rows = nelems // cols
+        qk256_need = rows * (-(-cols // 256)) * 64
+    else:
+        qk256_need = -(-nelems // 256) * 64
 
     diff_split = abs(available_bytes - split_need)
     diff_inline = abs(available_bytes - inline_need)

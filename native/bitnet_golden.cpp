@@ -1,0 +1,551 @@
+// bitnet_golden: standalone C++ reference forward pass for cross-validation.
+//
+// This is the in-repo equivalent of the reference repo's independent C++
+// gate (crossval/src/cpp_bindings.rs:438 eval_bitnet +
+// crates/bitnet-sys/csrc/bitnet_c_shim.cc): a from-scratch GGUF parser,
+// dequantizer and transformer forward that shares NO code with the
+// Python/JAX path (different language, different loop structure, scalar
+// math), emitting per-position logits for the >0.99-cosine gate.  In a
+// zero-egress environment this plays the role Microsoft's bitnet.cpp plays
+// upstream (VERDICT round 1, missing #1).
+//
+//   bitnet_golden --model m.gguf --tokens 1,2,3 --out logits.bin
+//
+// Output: T * vocab float32 little-endian.
+//
+// Supported tensor types: F32, F16, Q8_0, I2_S in both flavors
+// (BitNet32-F16 inline-scale 10 B/32-elem blocks; GGML QK256 no-scale
+// 64 B/256-elem blocks, LUT {-2,-1,1,2}), flavor-detected by payload size
+// exactly like /root/reference formats/gguf/types.rs:868-925.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <map>
+#include <string>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+// ---------------------------------------------------------------- utils
+[[noreturn]] void die(const std::string& msg) {
+  std::fprintf(stderr, "bitnet_golden: %s\n", msg.c_str());
+  std::exit(1);
+}
+
+float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h >> 15) << 31;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t mant = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {
+    if (mant == 0) {
+      bits = sign;
+    } else {  // subnormal
+      int e = -1;
+      do { mant <<= 1; ++e; } while (!(mant & 0x400));
+      mant &= 0x3FF;
+      bits = sign | ((uint32_t)(127 - 15 - e) << 23) | (mant << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (mant << 13);
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+// ------------------------------------------------------------ GGUF parse
+struct Cursor {
+  const uint8_t* p;
+  size_t n;
+  size_t off = 0;
+  template <typename T>
+  T read() {
+    if (off + sizeof(T) > n) die("truncated GGUF header");
+    T v;
+    std::memcpy(&v, p + off, sizeof(T));
+    off += sizeof(T);
+    return v;
+  }
+  std::string read_string() {
+    uint64_t len = read<uint64_t>();
+    if (off + len > n) die("truncated GGUF string");
+    std::string s(reinterpret_cast<const char*>(p + off), len);
+    off += len;
+    return s;
+  }
+};
+
+struct TensorMeta {
+  std::string name;
+  uint64_t ne[4] = {1, 1, 1, 1};
+  uint32_t n_dims = 0;
+  uint32_t type = 0;
+  uint64_t offset = 0;
+  uint64_t extent = 0;  // bytes to next tensor / EOF
+  uint64_t nelems() const { return ne[0] * ne[1] * ne[2] * ne[3]; }
+};
+
+// GGUF value type ids (spec)
+enum : uint32_t {
+  GV_U8 = 0, GV_I8, GV_U16, GV_I16, GV_U32, GV_I32, GV_F32, GV_BOOL,
+  GV_STRING, GV_ARRAY, GV_U64, GV_I64, GV_F64
+};
+
+struct Gguf {
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  std::map<std::string, double> nums;
+  std::map<std::string, std::string> strs;
+  std::map<std::string, TensorMeta> tensors;
+  size_t data_start = 0;
+
+  double num(const std::string& k, double dflt) const {
+    auto it = nums.find(k);
+    return it == nums.end() ? dflt : it->second;
+  }
+  bool has_tensor(const std::string& k) const { return tensors.count(k) > 0; }
+
+  double read_scalar(Cursor& c, uint32_t t) {
+    switch (t) {
+      case GV_U8: return c.read<uint8_t>();
+      case GV_I8: return c.read<int8_t>();
+      case GV_U16: return c.read<uint16_t>();
+      case GV_I16: return c.read<int16_t>();
+      case GV_U32: return c.read<uint32_t>();
+      case GV_I32: return c.read<int32_t>();
+      case GV_F32: return c.read<float>();
+      case GV_BOOL: return c.read<uint8_t>();
+      case GV_U64: return (double)c.read<uint64_t>();
+      case GV_I64: return (double)c.read<int64_t>();
+      case GV_F64: return c.read<double>();
+      default: die("unknown scalar type " + std::to_string(t));
+    }
+  }
+
+  void parse(const uint8_t* buf, size_t len) {
+    data = buf;
+    size = len;
+    Cursor c{buf, len};
+    if (c.read<uint32_t>() != 0x46554747u) die("bad magic");
+    uint32_t version = c.read<uint32_t>();
+    if (version != 2 && version != 3) die("unsupported GGUF version");
+    uint64_t n_tensors = c.read<uint64_t>();
+    uint64_t n_kv = c.read<uint64_t>();
+    if (n_tensors > 100000 || n_kv > 100000) die("implausible header counts");
+
+    for (uint64_t i = 0; i < n_kv; ++i) {
+      std::string key = c.read_string();
+      uint32_t t = c.read<uint32_t>();
+      if (t == GV_STRING) {
+        strs[key] = c.read_string();
+      } else if (t == GV_ARRAY) {
+        uint32_t et = c.read<uint32_t>();
+        uint64_t count = c.read<uint64_t>();
+        for (uint64_t j = 0; j < count; ++j) {
+          if (et == GV_STRING) c.read_string();
+          else read_scalar(c, et);
+        }
+      } else {
+        nums[key] = read_scalar(c, t);
+      }
+    }
+
+    std::vector<TensorMeta*> order;
+    for (uint64_t i = 0; i < n_tensors; ++i) {
+      TensorMeta m;
+      m.name = c.read_string();
+      m.n_dims = c.read<uint32_t>();
+      if (m.n_dims > 4) die("tensor " + m.name + ": too many dims");
+      for (uint32_t d = 0; d < m.n_dims; ++d) m.ne[d] = c.read<uint64_t>();
+      m.type = c.read<uint32_t>();
+      m.offset = c.read<uint64_t>();
+      tensors[m.name] = m;
+    }
+    uint64_t align = (uint64_t)num("general.alignment", 32.0);
+    if (align == 0) align = 32;
+    data_start = (c.off + align - 1) / align * align;
+
+    // extents: to the next tensor offset (sorted) or EOF
+    std::vector<TensorMeta*> by_off;
+    for (auto& kv : tensors) by_off.push_back(&kv.second);
+    std::sort(by_off.begin(), by_off.end(),
+              [](auto* a, auto* b) { return a->offset < b->offset; });
+    for (size_t i = 0; i < by_off.size(); ++i) {
+      uint64_t end = (i + 1 < by_off.size()) ? by_off[i + 1]->offset
+                                             : size - data_start;
+      by_off[i]->extent = end - by_off[i]->offset;
+    }
+  }
+
+  const uint8_t* payload(const TensorMeta& m) const {
+    if (data_start + m.offset + m.extent > size)
+      die("tensor " + m.name + ": payload out of bounds");
+    return data + data_start + m.offset;
+  }
+};
+
+// ------------------------------------------------------------- dequant
+// ggml type ids we understand
+enum : uint32_t { GT_F32 = 0, GT_F16 = 1, GT_Q8_0 = 8, GT_I2S = 36 };
+
+const float LUT[4] = {-2.0f, -1.0f, 1.0f, 2.0f};
+
+// Dequantize a whole tensor to float32 row-major [nelems].
+// For 2-D weights GGUF ne[0] = innermost = input dim (cols).
+std::vector<float> dequant(const Gguf& g, const TensorMeta& m) {
+  std::vector<float> out(m.nelems());
+  const uint8_t* p = g.payload(m);
+  uint64_t n = m.nelems();
+  switch (m.type) {
+    case GT_F32: {
+      if (m.extent < n * 4) die(m.name + ": f32 payload too small");
+      std::memcpy(out.data(), p, n * 4);
+      return out;
+    }
+    case GT_F16: {
+      if (m.extent < n * 2) die(m.name + ": f16 payload too small");
+      for (uint64_t i = 0; i < n; ++i) {
+        uint16_t h;
+        std::memcpy(&h, p + 2 * i, 2);
+        out[i] = half_to_float(h);
+      }
+      return out;
+    }
+    case GT_Q8_0: {  // 34 B per 32 elems: f16 d + 32 x i8
+      uint64_t nb = (n + 31) / 32;
+      if (m.extent < nb * 34) die(m.name + ": q8_0 payload too small");
+      for (uint64_t b = 0; b < nb; ++b) {
+        const uint8_t* bp = p + b * 34;
+        uint16_t h;
+        std::memcpy(&h, bp, 2);
+        float d = half_to_float(h);
+        for (int j = 0; j < 32; ++j) {
+          uint64_t idx = b * 32 + j;
+          if (idx < n) out[idx] = d * (float)(int8_t)bp[2 + j];
+        }
+      }
+      return out;
+    }
+    case GT_I2S: {
+      // flavor detection by payload size (types.rs:868-925): QK256 pads
+      // each ROW to whole 256-blocks; BitNet32 packs 10-byte blocks over
+      // the flat tensor.
+      uint64_t cols = m.ne[0];
+      uint64_t rows = n / (cols ? cols : 1);
+      uint64_t qk_need = rows * ((cols + 255) / 256) * 64;
+      uint64_t b32_need = ((n + 31) / 32) * 10;
+      bool qk256;
+      if (m.extent + 128 >= qk_need && m.extent < b32_need) qk256 = true;
+      else if (m.extent >= b32_need &&
+               (qk_need + 128 < b32_need || m.extent + 128 < qk_need))
+        qk256 = false;
+      else  // both plausible: prefer the closer nominal size
+        qk256 = (uint64_t)llabs((long long)(m.extent - qk_need)) <=
+                (uint64_t)llabs((long long)(m.extent - b32_need));
+      if (qk256) {
+        uint64_t stride = ((cols + 255) / 256) * 64;  // bytes per row
+        for (uint64_t r = 0; r < rows; ++r) {
+          const uint8_t* rp = p + r * stride;
+          for (uint64_t cidx = 0; cidx < cols; ++cidx) {
+            uint8_t byte = rp[cidx >> 2];
+            uint8_t code = (byte >> (2 * (cidx & 3))) & 3;  // LSB-first
+            out[r * cols + cidx] = LUT[code];
+          }
+        }
+      } else {
+        uint64_t nb = (n + 31) / 32;
+        for (uint64_t b = 0; b < nb; ++b) {
+          const uint8_t* bp = p + b * 10;
+          uint16_t h;
+          std::memcpy(&h, bp + 8, 2);
+          float s = std::fabs(half_to_float(h));
+          if (s < 1e-3f) s = 1e-3f;
+          if (s > 1e3f) s = 1e3f;
+          for (int j = 0; j < 32; ++j) {
+            uint64_t idx = b * 32 + j;
+            if (idx < n)
+              out[idx] = LUT[(bp[j >> 2] >> (2 * (j & 3))) & 3] * s;
+          }
+        }
+      }
+      return out;
+    }
+    default:
+      die(m.name + ": unsupported ggml type " + std::to_string(m.type));
+  }
+}
+
+// ------------------------------------------------------------- forward
+struct Model {
+  int V, H, F, L, nh, nkv, D;
+  double eps, rope_base;
+  std::vector<float> emb;        // [V, H]
+  std::vector<float> out_w;      // [V, H] or empty (tied)
+  std::vector<float> final_norm; // [H]
+  struct Layer {
+    std::vector<float> attn_norm, ffn_norm;          // [H]
+    std::vector<float> attn_sub_norm, ffn_sub_norm;  // optional
+    std::vector<float> wq, wk, wv, wo;               // [out, in]
+    std::vector<float> wg, wu, wd;
+  };
+  std::vector<Layer> layers;
+};
+
+Model load_model(const Gguf& g) {
+  Model m;
+  auto arch_it = g.strs.find("general.architecture");
+  std::string arch = arch_it == g.strs.end() ? "llama" : arch_it->second;
+  auto key = [&](const char* s) { return arch + "." + s; };
+  m.H = (int)g.num(key("embedding_length"), 0);
+  m.L = (int)g.num(key("block_count"), 0);
+  m.nh = (int)g.num(key("attention.head_count"), 0);
+  m.nkv = (int)g.num(key("attention.head_count_kv"), m.nh);
+  m.F = (int)g.num(key("feed_forward_length"), 0);
+  m.eps = g.num(key("attention.layer_norm_rms_epsilon"), 1e-5);
+  m.rope_base = g.num(key("rope.freq_base"), 10000.0);
+  if (m.H <= 0 || m.L <= 0 || m.nh <= 0) die("missing model metadata");
+  m.D = m.H / m.nh;
+
+  auto t = [&](const std::string& name) -> std::vector<float> {
+    auto it = g.tensors.find(name);
+    if (it == g.tensors.end()) die("missing tensor " + name);
+    return dequant(g, it->second);
+  };
+  auto opt = [&](const std::string& name) -> std::vector<float> {
+    auto it = g.tensors.find(name);
+    if (it == g.tensors.end()) return {};
+    return dequant(g, it->second);
+  };
+
+  {
+    auto it = g.tensors.find("token_embd.weight");
+    if (it == g.tensors.end()) die("missing token_embd.weight");
+    m.V = (int)(it->second.nelems() / m.H);
+  }
+  m.emb = t("token_embd.weight");
+  m.final_norm = t("output_norm.weight");
+  m.out_w = opt("output.weight");
+  for (int i = 0; i < m.L; ++i) {
+    char buf[64];
+    auto blk = [&](const char* role) {
+      std::snprintf(buf, sizeof buf, "blk.%d.%s.weight", i, role);
+      return std::string(buf);
+    };
+    Model::Layer ly;
+    ly.attn_norm = t(blk("attn_norm"));
+    ly.ffn_norm = t(blk("ffn_norm"));
+    ly.attn_sub_norm = opt(blk("attn_sub_norm"));
+    ly.ffn_sub_norm = opt(blk("ffn_sub_norm"));
+    ly.wq = t(blk("attn_q"));
+    ly.wk = t(blk("attn_k"));
+    ly.wv = t(blk("attn_v"));
+    ly.wo = t(blk("attn_output"));
+    ly.wg = t(blk("ffn_gate"));
+    ly.wu = t(blk("ffn_up"));
+    ly.wd = t(blk("ffn_down"));
+    m.layers.push_back(std::move(ly));
+  }
+  return m;
+}
+
+void rms_norm(std::vector<double>& x, const std::vector<float>& w,
+              double eps) {
+  size_t n = w.size();
+  for (size_t row = 0; row + n <= x.size(); row += n) {
+    double ss = 0;
+    for (size_t i = 0; i < n; ++i) ss += x[row + i] * x[row + i];
+    double inv = 1.0 / std::sqrt(ss / (double)n + eps);
+    for (size_t i = 0; i < n; ++i) x[row + i] *= inv * (double)w[i];
+  }
+}
+
+// y[out] = W[out, in] . x[in]
+void matvec(const std::vector<float>& w, const double* x, double* y,
+            int out, int in) {
+#pragma omp parallel for schedule(static)
+  for (int o = 0; o < out; ++o) {
+    double acc = 0;
+    const float* row = w.data() + (size_t)o * in;
+    for (int i = 0; i < in; ++i) acc += (double)row[i] * x[i];
+    y[o] = acc;
+  }
+}
+
+// split-half RoPE at absolute position pos; x: [heads, D] contiguous
+void rope(double* x, int heads, int D, int pos, double base) {
+  int half = D / 2;
+  for (int h = 0; h < heads; ++h) {
+    double* v = x + (size_t)h * D;
+    for (int j = 0; j < half; ++j) {
+      double inv_freq = std::pow(base, -2.0 * j / (double)D);
+      double ang = pos * inv_freq;
+      double c = std::cos(ang), s = std::sin(ang);
+      double a = v[j], b = v[j + half];
+      v[j] = a * c - b * s;
+      v[j + half] = a * s + b * c;
+    }
+  }
+}
+
+std::vector<float> forward(const Model& m, const std::vector<int>& toks) {
+  int T = (int)toks.size();
+  int H = m.H, nh = m.nh, nkv = m.nkv, D = m.D, F = m.F;
+  int G = nh / nkv;
+  std::vector<double> x((size_t)T * H);
+  for (int t = 0; t < T; ++t)
+    for (int i = 0; i < H; ++i)
+      x[(size_t)t * H + i] = m.emb[(size_t)toks[t] * H + i];
+
+  std::vector<double> h((size_t)T * H);
+  std::vector<double> q((size_t)T * nh * D), k((size_t)T * nkv * D),
+      v((size_t)T * nkv * D);
+  std::vector<double> attn((size_t)T * nh * D);
+  std::vector<double> tmp(std::max((size_t)T * (size_t)std::max(H, 2 * F),
+                                   (size_t)T * nh * D));
+
+  for (const auto& ly : m.layers) {
+    // --- attention ---
+    h = x;
+    rms_norm(h, ly.attn_norm, m.eps);
+    for (int t = 0; t < T; ++t) {
+      matvec(ly.wq, &h[(size_t)t * H], &q[(size_t)t * nh * D], nh * D, H);
+      matvec(ly.wk, &h[(size_t)t * H], &k[(size_t)t * nkv * D], nkv * D, H);
+      matvec(ly.wv, &h[(size_t)t * H], &v[(size_t)t * nkv * D], nkv * D, H);
+      rope(&q[(size_t)t * nh * D], nh, D, t, m.rope_base);
+      rope(&k[(size_t)t * nkv * D], nkv, D, t, m.rope_base);
+    }
+    double scale = 1.0 / std::sqrt((double)D);
+    std::vector<double> scores(T);
+    for (int t = 0; t < T; ++t) {
+      for (int hd = 0; hd < nh; ++hd) {
+        int kvh = hd / G;
+        const double* qv = &q[((size_t)t * nh + hd) * D];
+        double mx = -1e300;
+        for (int s = 0; s <= t; ++s) {
+          const double* kv = &k[((size_t)s * nkv + kvh) * D];
+          double dot = 0;
+          for (int d = 0; d < D; ++d) dot += qv[d] * kv[d];
+          scores[s] = dot * scale;
+          if (scores[s] > mx) mx = scores[s];
+        }
+        double denom = 0;
+        for (int s = 0; s <= t; ++s) {
+          scores[s] = std::exp(scores[s] - mx);
+          denom += scores[s];
+        }
+        double* out = &attn[((size_t)t * nh + hd) * D];
+        for (int d = 0; d < D; ++d) out[d] = 0;
+        for (int s = 0; s <= t; ++s) {
+          const double w = scores[s] / denom;
+          const double* vv = &v[((size_t)s * nkv + kvh) * D];
+          for (int d = 0; d < D; ++d) out[d] += w * vv[d];
+        }
+      }
+    }
+    if (!ly.attn_sub_norm.empty())
+      rms_norm(attn, ly.attn_sub_norm, m.eps);
+    for (int t = 0; t < T; ++t) {
+      matvec(ly.wo, &attn[(size_t)t * nh * D], &tmp[(size_t)t * H], H,
+             nh * D);
+      for (int i = 0; i < H; ++i) x[(size_t)t * H + i] += tmp[(size_t)t * H + i];
+    }
+
+    // --- FFN (SwiGLU) ---
+    h = x;
+    rms_norm(h, ly.ffn_norm, m.eps);
+    std::vector<double> gu((size_t)T * F);
+    for (int t = 0; t < T; ++t) {
+      std::vector<double> gate(F), up(F);
+      matvec(ly.wg, &h[(size_t)t * H], gate.data(), F, H);
+      matvec(ly.wu, &h[(size_t)t * H], up.data(), F, H);
+      for (int i = 0; i < F; ++i) {
+        double g = gate[i] / (1.0 + std::exp(-gate[i]));  // silu
+        gu[(size_t)t * F + i] = g * up[i];
+      }
+    }
+    if (!ly.ffn_sub_norm.empty())
+      rms_norm(gu, ly.ffn_sub_norm, m.eps);
+    for (int t = 0; t < T; ++t) {
+      matvec(ly.wd, &gu[(size_t)t * F], &tmp[(size_t)t * H], H, F);
+      for (int i = 0; i < H; ++i) x[(size_t)t * H + i] += tmp[(size_t)t * H + i];
+    }
+  }
+
+  rms_norm(x, m.final_norm, m.eps);
+  const std::vector<float>& head = m.out_w.empty() ? m.emb : m.out_w;
+  std::vector<float> logits((size_t)T * m.V);
+  for (int t = 0; t < T; ++t) {
+    std::vector<double> lg(m.V);
+    matvec(head, &x[(size_t)t * H], lg.data(), m.V, H);
+    for (int vv = 0; vv < m.V; ++vv)
+      logits[(size_t)t * m.V + vv] = (float)lg[vv];
+  }
+  return logits;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string model_path, tokens_csv, out_path;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() -> std::string {
+      if (i + 1 >= argc) die("missing value for " + a);
+      return argv[++i];
+    };
+    if (a == "--model" || a == "-m") model_path = next();
+    else if (a == "--tokens") tokens_csv = next();
+    else if (a == "--out" || a == "-o") out_path = next();
+    else die("unknown arg " + a);
+  }
+  if (model_path.empty() || tokens_csv.empty() || out_path.empty())
+    die("usage: bitnet_golden --model M.gguf --tokens 1,2,3 --out L.bin");
+
+  std::vector<int> toks;
+  {
+    const char* s = tokens_csv.c_str();
+    while (*s) {
+      char* end;
+      long v = std::strtol(s, &end, 10);
+      if (end == s) die("bad --tokens");
+      toks.push_back((int)v);
+      s = (*end == ',') ? end + 1 : end;
+    }
+  }
+  if (toks.empty()) die("no tokens");
+
+  int fd = open(model_path.c_str(), O_RDONLY);
+  if (fd < 0) die("cannot open " + model_path);
+  struct stat st;
+  if (fstat(fd, &st) != 0) die("stat failed");
+  void* buf = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (buf == MAP_FAILED) die("mmap failed");
+  close(fd);
+
+  Gguf g;
+  g.parse(reinterpret_cast<const uint8_t*>(buf), (size_t)st.st_size);
+  Model m = load_model(g);
+  for (int t : toks)
+    if (t < 0 || t >= m.V) die("token id out of range");
+  std::vector<float> logits = forward(m, toks);
+
+  FILE* f = std::fopen(out_path.c_str(), "wb");
+  if (!f) die("cannot write " + out_path);
+  std::fwrite(logits.data(), sizeof(float), logits.size(), f);
+  std::fclose(f);
+  std::fprintf(stderr, "bitnet_golden: %zu tokens x %d vocab -> %s\n",
+               toks.size(), m.V, out_path.c_str());
+  return 0;
+}
