@@ -48,10 +48,15 @@ def probe_device() -> DeviceProbe:
 
     devs = jax.devices()
     local = jax.local_devices()
-    d0 = devs[0]
+    # memory_stats is only legal on ADDRESSABLE devices — under multi-host
+    # (jax.distributed), devices[0] may belong to another process
+    d0 = local[0] if local else devs[0]
     platform = d0.platform
     hbm = None
-    stats = getattr(d0, "memory_stats", lambda: None)()
+    try:
+        stats = getattr(d0, "memory_stats", lambda: None)()
+    except Exception:
+        stats = None
     if stats:
         hbm = stats.get("bytes_limit")
     return DeviceProbe(

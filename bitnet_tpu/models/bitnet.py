@@ -185,6 +185,45 @@ def block_forward(
     # cache write: scatter at write slots; slot==S drops (padding)
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
     quantized = k_scale is not None
+
+    # --- fused decode-attention fast path (T=1, plain dense cache) ---
+    # one Pallas kernel replaces ~12 XLA fusions per layer (the measured
+    # ~37 µs/layer decode overhead); the new token's KV is handled
+    # in-kernel so the cache scatter moves off the critical path.
+    # B-gated: the kernel's grid steps scale with B while the XLA einsum
+    # path batches rows, so big pools keep XLA (v5e: B=1 3.17→2.57 ms/tok
+    # with the kernel; B=8 was faster on XLA attention)
+    if (T == 1 and B <= 2 and not quantized and kv_positions is None
+            and window is None and write_slots is q_positions
+            and kernel_path in ("pallas", "w2a8")):
+        from .. import ops as _ops  # noqa: F401 (namespace)
+        from ..ops.decode_attention import decode_attention
+
+        attn1 = decode_attention(
+            q[:, 0], k[:, 0], v[:, 0], k_cache, v_cache, kv_valid_len,
+            interpret=jax.default_backend() != "tpu")
+        k_cache = k_cache.at[b_idx, write_slots].set(
+            k.astype(k_cache.dtype), mode="drop")
+        v_cache = v_cache.at[b_idx, write_slots].set(
+            v.astype(v_cache.dtype), mode="drop")
+        attn = attn1[:, None].reshape(B, T, nh * D)
+        if bp.attn_sub_norm is not None:
+            attn = rms_norm(attn, bp.attn_sub_norm, cfg.rms_norm_eps)
+        x = x + lap(bp.wo, attn)
+        h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
+        if bp.w_gateup is not None:
+            F = bp.w_gateup.n // 2
+            gu = lap(bp.w_gateup, h)
+            gate = _act(cfg.hidden_act, gu[..., :F])
+            up = gu[..., F:]
+        else:
+            gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
+            up = lap(bp.w_up, h)
+        gu = gate * up
+        if bp.ffn_sub_norm is not None:
+            gu = rms_norm(gu, bp.ffn_sub_norm, cfg.rms_norm_eps)
+        x = x + lap(bp.w_down, gu)
+        return x, k_cache, v_cache, k_scale, v_scale
     if quantized:
         kq, ks = _quantize_kv(k, k_cache.dtype)
         vq, vs = _quantize_kv(v, v_cache.dtype)

@@ -90,6 +90,8 @@ class _Slot:
     key: Any = None                       # per-slot PRNG key stream
     mirostat: MirostatState | None = None
     deadline: float | None = None
+    pages: list = dataclasses.field(default_factory=list)  # paged mode
+    admitted_at: float = 0.0
 
 
 def _request_seed(gen: GenerationConfig) -> int:
@@ -111,12 +113,25 @@ class ContinuousBatchingScheduler:
         num_slots: int = 4,
         mesh=None,
         max_admissions_per_step: int = 2,
+        paged: bool = False,
+        num_pages: int | None = None,
+        page_size: int = 16,
     ):
         """``mesh``: optional (data, model) jax Mesh — the slot pool's
         batch axis shards across ``data`` and attention heads / FFN
         columns across ``model``, so ONE scheduler drives a whole slice
         (SURVEY §2.3 "continuous batching across hosts" made real;
-        GSPMD owns the collectives)."""
+        GSPMD owns the collectives).
+
+        ``paged=True`` backs the slots with the shared page pool
+        (engine/paged_cache.py — ``kv_cache_optimized.rs`` parity): HBM is
+        sized by ``num_pages × page_size`` total live tokens instead of
+        ``B × max_seq_len``; pages are allocated at admission and at
+        page-boundary crossings, shared-prefix prompts fork refcounted
+        pages, finished requests release them.  When the pool runs dry at
+        a decode boundary, the youngest slot is finished CONTEXT_FULL
+        (documented eviction policy, mirroring the reference's cache
+        eviction)."""
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -125,13 +140,29 @@ class ContinuousBatchingScheduler:
         self.S = self.engine_cfg.max_seq_len
         self.mesh = mesh
         self.max_admissions_per_step = max(1, max_admissions_per_step)
+        self.paged = paged
+        self.page_size = page_size
         self._kp = (
             "w2a8" if (self.engine_cfg.kernel_path == "auto"
                        and jax.default_backend() == "tpu")
             else ("xla" if self.engine_cfg.kernel_path == "auto"
                   else self.engine_cfg.kernel_path)
         )
-        if mesh is not None:
+        if paged:
+            from ..engine.paged_cache import allocate_paged_cache
+
+            if mesh is not None:
+                raise InferenceError(
+                    "paged scheduler does not support mesh sharding yet")
+            if self.engine_cfg.kv_cache_dtype not in ("bf16", "f32"):
+                raise InferenceError(
+                    "paged scheduler: quantized KV pages not supported")
+            nb = -(-self.S // page_size)
+            self.cache, self.pool = allocate_paged_cache(
+                cfg, self.B, num_pages or self.B * nb, page_size, nb,
+                self.engine_cfg.kv_cache_dtype)
+            self.S_view = nb * page_size
+        elif mesh is not None:
             from ..parallel.sharding import (
                 allocate_sharded_cache,
                 shard_params,
@@ -168,32 +199,14 @@ class ContinuousBatchingScheduler:
     def _build_programs(self) -> None:
         cfg, kp = self.cfg, self._kp
 
-        @partial(jax.jit, donate_argnums=(3,),
-                 static_argnames=("use_typical",))
-        def decode_step(params, tokens, positions, cache: KVCache,
-                        active, temps, top_ks, top_ps, min_ps, typ_ps,
-                        rep_pens, history, keys, use_typical=False):
-            """One batched decode step + per-slot sampling.
-
-            The sampler replicates ``engine.sampling.SamplerChain`` exactly
-            (repetition penalty → temperature → top-k → top-p → min-p →
-            [typical-p] → per-slot categorical), with every parameter
-            traced per slot and an independent PRNG stream per slot — so a
-            request produces the same tokens here as via
-            ``InferenceEngine.generate`` with the same seed.
-            """
-            pos_in = jnp.where(active, positions, self.S)
-            h, k, v, ks, vs = forward(
-                cfg, params, tokens[:, None], pos_in[:, None],
-                cache.k, cache.v, positions,
-                num_real_tokens=active.astype(jnp.int32),
-                kernel_path=kp, k_scale=cache.k_scale, v_scale=cache.v_scale,
-            )
-            cache = dataclasses.replace(
-                cache, k=k, v=v, k_scale=ks, v_scale=vs,
-                lengths=cache.lengths + active.astype(jnp.int32))
-            raw = model_logits(cfg, params, h, kp)[:, 0, :].astype(jnp.float32)
-
+        def pooled_sample(raw, temps, top_ks, top_ps, min_ps, typ_ps,
+                          rep_pens, history, keys, use_typical):
+            """Per-slot sampling replicating ``engine.sampling.SamplerChain``
+            exactly (repetition penalty → temperature → top-k → top-p →
+            min-p → [typical-p] → per-slot categorical), with every
+            parameter traced per slot and an independent PRNG stream per
+            slot — so a request produces the same tokens here as via
+            ``InferenceEngine.generate`` with the same seed."""
             B, V = raw.shape
             # repetition penalty over the live per-slot history
             hist = jnp.where(history < 0, V, history)
@@ -246,9 +259,98 @@ class ContinuousBatchingScheduler:
                 lambda kk, row: jax.random.categorical(kk, row[None, :])[0]
             )(subs, lt).astype(jnp.int32)
             nxt = jnp.where(temps <= 0.0, greedy_tok, sampled)
+            return nxt, subs, new_keys
+
+        @partial(jax.jit, donate_argnums=(3,),
+                 static_argnames=("use_typical",))
+        def decode_step(params, tokens, positions, cache: KVCache,
+                        active, temps, top_ks, top_ps, min_ps, typ_ps,
+                        rep_pens, history, keys, use_typical=False):
+            """One batched decode step + per-slot sampling."""
+            pos_in = jnp.where(active, positions, self.S)
+            h, k, v, ks, vs = forward(
+                cfg, params, tokens[:, None], pos_in[:, None],
+                cache.k, cache.v, positions,
+                num_real_tokens=active.astype(jnp.int32),
+                kernel_path=kp, k_scale=cache.k_scale, v_scale=cache.v_scale,
+            )
+            cache = dataclasses.replace(
+                cache, k=k, v=v, k_scale=ks, v_scale=vs,
+                lengths=cache.lengths + active.astype(jnp.int32))
+            raw = model_logits(cfg, params, h, kp)[:, 0, :].astype(jnp.float32)
+            nxt, subs, new_keys = pooled_sample(
+                raw, temps, top_ks, top_ps, min_ps, typ_ps, rep_pens,
+                history, keys, use_typical)
             return nxt, raw, subs, new_keys, cache
 
         self._decode_step = decode_step
+
+        if self.paged:
+            from ..engine.paged_cache import PagedKVCache, paged_forward
+
+            S_view, page = self.S_view, self.page_size
+
+            @partial(jax.jit, donate_argnums=(3,),
+                     static_argnames=("use_typical",))
+            def decode_step_paged(params, tokens, positions, cache,
+                                  active, temps, top_ks, top_ps, min_ps,
+                                  typ_ps, rep_pens, history, keys,
+                                  use_typical=False):
+                pos_in = jnp.where(active, positions, S_view)
+                h, cache = paged_forward(
+                    cfg, params, tokens[:, None], pos_in[:, None], cache,
+                    num_real_tokens=active.astype(jnp.int32),
+                    kernel_path=kp, pad_marker=S_view)
+                raw = model_logits(cfg, params, h, kp)[:, 0, :].astype(
+                    jnp.float32)
+                nxt, subs, new_keys = pooled_sample(
+                    raw, temps, top_ks, top_ps, min_ps, typ_ps, rep_pens,
+                    history, keys, use_typical)
+                return nxt, raw, subs, new_keys, cache
+
+            self._decode_step_paged = decode_step_paged
+
+            def make_prefill_paged(T: int):
+                @partial(jax.jit, donate_argnums=(1, 2))
+                def prefill(params, pool_k, pool_v, table_row, tokens,
+                            positions, prefix_len, n_real, last_idx):
+                    """B=1 prefill straight into the slot's pages: a
+                    one-row PagedKVCache VIEW shares the pool arrays, so
+                    paged_forward's scatter lands in the pool — no dense
+                    splice, and forked prefix pages are attended to via
+                    ``prefix_len``."""
+                    sub = PagedKVCache(
+                        k=pool_k, v=pool_v, tables=table_row[None],
+                        lengths=prefix_len[None], page_size=page)
+                    h, sub = paged_forward(
+                        cfg, params, tokens, positions, sub, n_real, kp,
+                        pad_marker=S_view)
+                    h_last = h[jnp.arange(1), last_idx][:, None, :]
+                    lg = model_logits(cfg, params, h_last, kp)[:, 0, :]
+                    return lg, sub.k, sub.v
+                return prefill
+
+            self._make_prefill_paged = make_prefill_paged
+            self._prefill_paged_cache: dict[int, Callable] = {}
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def splice_paged(pool_k, pool_v, table_row, k_rows, v_rows,
+                             length):
+                """Scatter restored KV rows [L, S_view, KV, D] into the
+                slot's pages (rows ≥ length drop via OOB page id)."""
+                local = jnp.arange(S_view, dtype=jnp.int32)
+                gpage = jnp.take(table_row, local // page)
+                gpage = jnp.where((local < length) & (gpage >= 0), gpage,
+                                  pool_k.shape[1])
+                goff = local % page
+                l_idx = jnp.arange(pool_k.shape[0])[:, None]
+                k = pool_k.at[l_idx, gpage[None], goff[None]].set(
+                    k_rows.astype(pool_k.dtype), mode="drop")
+                v = pool_v.at[l_idx, gpage[None], goff[None]].set(
+                    v_rows.astype(pool_v.dtype), mode="drop")
+                return k, v
+
+            self._splice_paged = splice_paged
 
         def make_prefill(T: int):
             @jax.jit
@@ -351,17 +453,33 @@ class ContinuousBatchingScheduler:
             if not slot.active or slot.req is None:
                 continue
             kv_len = slot.pos
+            if self.paged:
+                # gather the slot's pages into contiguous rows
+                nb = -(-kv_len // self.page_size)
+                pages = slot.pages[:nb]
+                kr = np.asarray(self.cache.k[:, pages]).reshape(
+                    self.cfg.num_layers, -1,
+                    self.cfg.num_kv_heads, self.cfg.head_dim)[:, :kv_len]
+                vr = np.asarray(self.cache.v[:, pages]).reshape(
+                    self.cfg.num_layers, -1,
+                    self.cfg.num_kv_heads, self.cfg.head_dim)[:, :kv_len]
+                ks = vs = None
+            else:
+                kr = np.asarray(self.cache.k[:, i, :kv_len])
+                vr = np.asarray(self.cache.v[:, i, :kv_len])
+                ks = (np.asarray(self.cache.k_scale[:, i, :kv_len])
+                      if self.cache.k_scale is not None else None)
+                vs = (np.asarray(self.cache.v_scale[:, i, :kv_len])
+                      if self.cache.v_scale is not None else None)
             state = ckpt.DecodeState(
                 prompt_ids=list(slot.req.token_ids),
                 generated_ids=list(slot.out_ids),
                 rng_key=None,
                 kv_len=kv_len,
-                k=np.asarray(self.cache.k[:, i, :kv_len]),
-                v=np.asarray(self.cache.v[:, i, :kv_len]),
-                k_scale=(np.asarray(self.cache.k_scale[:, i, :kv_len])
-                         if self.cache.k_scale is not None else None),
-                v_scale=(np.asarray(self.cache.v_scale[:, i, :kv_len])
-                         if self.cache.v_scale is not None else None),
+                k=kr,
+                v=vr,
+                k_scale=ks,
+                v_scale=vs,
             )
             path = _os.path.join(directory, f"slot{i}_req{slot.req.id}")
             ckpt.save(state, path)
@@ -422,22 +540,47 @@ class ContinuousBatchingScheduler:
             L, KV, D = (self.cfg.num_layers, self.cfg.num_kv_heads,
                         self.cfg.head_dim)
             kd = np.dtype(self.cache.k.dtype)
-            kc = np.zeros((L, 1, self.S, KV, D), kd)
-            vc = np.zeros_like(kc)
-            kc[:, 0, : state.kv_len] = state.k
-            vc[:, 0, : state.kv_len] = state.v
-            ks = vs = None
-            if self.cache.k_scale is not None:
-                ks = np.ones((L, 1, self.S, KV), np.float32)
-                vs = np.ones_like(ks)
-                ks[:, 0, : state.kv_len] = state.k_scale
-                vs[:, 0, : state.kv_len] = state.v_scale
-            self.cache = self._splice(
-                self.cache, jnp.asarray(kc), jnp.asarray(vc),
-                None if ks is None else jnp.asarray(ks),
-                None if vs is None else jnp.asarray(vs),
-                jnp.asarray(slot_idx, jnp.int32),
-                jnp.asarray(state.kv_len, jnp.int32))
+            if self.paged:
+                from ..engine.paged_cache import pages_needed
+
+                pages = self.pool.alloc(
+                    pages_needed(state.kv_len, self.page_size))
+                self.slots[slot_idx].pages = pages
+                self.cache = dataclasses.replace(
+                    self.cache,
+                    tables=self.cache.tables.at[
+                        slot_idx, : len(pages)].set(
+                        jnp.asarray(pages, jnp.int32)))
+                kc = np.zeros((L, self.S_view, KV, D), kd)
+                vc = np.zeros_like(kc)
+                kc[:, : state.kv_len] = state.k
+                vc[:, : state.kv_len] = state.v
+                new_k, new_v = self._splice_paged(
+                    self.cache.k, self.cache.v,
+                    self.cache.tables[slot_idx],
+                    jnp.asarray(kc), jnp.asarray(vc),
+                    jnp.asarray(state.kv_len, jnp.int32))
+                self.cache = dataclasses.replace(
+                    self.cache, k=new_k, v=new_v,
+                    lengths=self.cache.lengths.at[slot_idx].set(
+                        state.kv_len))
+            else:
+                kc = np.zeros((L, 1, self.S, KV, D), kd)
+                vc = np.zeros_like(kc)
+                kc[:, 0, : state.kv_len] = state.k
+                vc[:, 0, : state.kv_len] = state.v
+                ks = vs = None
+                if self.cache.k_scale is not None:
+                    ks = np.ones((L, 1, self.S, KV), np.float32)
+                    vs = np.ones_like(ks)
+                    ks[:, 0, : state.kv_len] = state.k_scale
+                    vs[:, 0, : state.kv_len] = state.v_scale
+                self.cache = self._splice(
+                    self.cache, jnp.asarray(kc), jnp.asarray(vc),
+                    None if ks is None else jnp.asarray(ks),
+                    None if vs is None else jnp.asarray(vs),
+                    jnp.asarray(slot_idx, jnp.int32),
+                    jnp.asarray(state.kv_len, jnp.int32))
 
             slot = self.slots[slot_idx]
             eos = getattr(self.tokenizer, "eos_token_id", None)
@@ -455,6 +598,7 @@ class ContinuousBatchingScheduler:
             slot.mirostat = (MirostatState.from_config(gen)
                              if gen.mirostat else None)
             slot.deadline = None
+            slot.admitted_at = time.time()
             slot.active = True
             # the interrupted pending token becomes the next decode input
             self._tokens[slot_idx] = state.generated_ids[-1]
@@ -495,18 +639,28 @@ class ContinuousBatchingScheduler:
             if T == 0 or T >= self.S:
                 req.out.put((None, "", True, StopReason.CONTEXT_FULL))
                 continue
-            Tp = self._bucket(T)
-            toks = np.zeros((1, Tp), np.int32)
-            toks[0, :T] = req.token_ids
-            pos = np.full((1, Tp), self.S, np.int32)
-            pos[0, :T] = np.arange(T)
-            if Tp not in self._prefill_cache:
-                self._prefill_cache[Tp] = self._make_prefill(Tp)
-            lg, kc, vc, ks, vs = self._prefill_cache[Tp](
-                self.params, jnp.asarray(toks), jnp.asarray(pos),
-                jnp.asarray([T], jnp.int32), jnp.asarray([T - 1], jnp.int32))
-            self.cache = self._splice(self.cache, kc, vc, ks, vs,
-                                      slot_idx, jnp.asarray(T, jnp.int32))
+            if self.paged:
+                lg = self._paged_prefill_slot(slot_idx, req, T)
+                if lg is None:
+                    # pool exhausted: requeue and stop admitting this step
+                    self.pending.put(
+                        (req.priority, req.submitted_at, req.id, req))
+                    return
+            else:
+                Tp = self._bucket(T)
+                toks = np.zeros((1, Tp), np.int32)
+                toks[0, :T] = req.token_ids
+                pos = np.full((1, Tp), self.S, np.int32)
+                pos[0, :T] = np.arange(T)
+                if Tp not in self._prefill_cache:
+                    self._prefill_cache[Tp] = self._make_prefill(Tp)
+                lg, kc, vc, ks, vs = self._prefill_cache[Tp](
+                    self.params, jnp.asarray(toks), jnp.asarray(pos),
+                    jnp.asarray([T], jnp.int32),
+                    jnp.asarray([T - 1], jnp.int32))
+                self.cache = self._splice(
+                    self.cache, kc, vc, ks, vs,
+                    slot_idx, jnp.asarray(T, jnp.int32))
             admitted += 1
 
             # first token comes from the prefill logits (greedy/sampled)
@@ -526,9 +680,128 @@ class ContinuousBatchingScheduler:
                              if req.gen.mirostat else None)
             slot.deadline = (req.submitted_at + req.timeout_s
                              if req.timeout_s is not None else None)
+            slot.admitted_at = time.time()
             slot.active = True
             first = self._sample_first(slot, lg)
             self._emit(slot_idx, first)
+
+    # ------------------------------------------------------------ paged ops
+    def _find_fork_source(self, prompt: list[int], T: int
+                          ) -> tuple[int, int | None]:
+        """Longest page-aligned common prefix with an active slot's prompt
+        (shared system prompts → refcounted page fork, prefix_cache.rs /
+        kv_cache_optimized.rs parity).  Returns (m, source_slot|None)."""
+        page = self.page_size
+        best_m, best_j = 0, None
+        for j, s in enumerate(self.slots):
+            if not s.active or s.req is None:
+                continue
+            sp = s.req.token_ids
+            m = 0
+            for a, b in zip(prompt, sp):
+                if a != b:
+                    break
+                m += 1
+            m = (m // page) * page
+            m = min(m, ((T - 1) // page) * page)   # ≥1 suffix token
+            if m >= page and m > best_m and s.pos >= m:
+                best_m, best_j = m, j
+        return best_m, best_j
+
+    def _paged_prefill_slot(self, slot_idx: int, req: Request, T: int):
+        """Admit one request into the page pool: fork shared-prefix pages,
+        allocate the rest, prefill the suffix straight into the pages.
+        Returns last-position logits, or None when the pool is exhausted.
+        """
+        from ..engine import paged_cache as pc
+
+        page = self.page_size
+        slot = self.slots[slot_idx]
+        m, src = self._find_fork_source(req.token_ids, T)
+        need_new = pc.pages_needed(T, page) - m // page
+        if need_new > self.pool.free_pages:
+            return None
+        pages: list[int] = []
+        if m > 0 and src is not None:
+            shared = self.slots[src].pages[: m // page]
+            self.pool.retain(shared)
+            pages.extend(shared)
+            self.stats["prefix_forked_pages"] = (
+                self.stats.get("prefix_forked_pages", 0) + len(shared))
+        pages.extend(self.pool.alloc(need_new))
+        slot.pages = pages
+        self.cache = dataclasses.replace(
+            self.cache,
+            tables=self.cache.tables.at[slot_idx, : len(pages)].set(
+                jnp.asarray(pages, jnp.int32)))
+
+        Ts = T - m
+        Tp = self._bucket(Ts)
+        toks = np.zeros((1, Tp), np.int32)
+        toks[0, :Ts] = req.token_ids[m:]
+        pos = np.full((1, Tp), self.S_view, np.int32)   # pad_marker
+        pos[0, :Ts] = np.arange(m, T)
+        if Tp not in self._prefill_paged_cache:
+            self._prefill_paged_cache[Tp] = self._make_prefill_paged(Tp)
+        lg, new_k, new_v = self._prefill_paged_cache[Tp](
+            self.params, self.cache.k, self.cache.v,
+            self.cache.tables[slot_idx], jnp.asarray(toks),
+            jnp.asarray(pos), jnp.asarray(m, jnp.int32),
+            jnp.asarray([Ts], jnp.int32), jnp.asarray([Ts - 1], jnp.int32))
+        self.cache = dataclasses.replace(
+            self.cache, k=new_k, v=new_v,
+            lengths=self.cache.lengths.at[slot_idx].set(T))
+        return lg
+
+    def _release_slot_pages(self, slot_idx: int) -> None:
+        slot = self.slots[slot_idx]
+        if not self.paged or not slot.pages:
+            return
+        self.pool.release(slot.pages)
+        slot.pages = []
+        self.cache = dataclasses.replace(
+            self.cache,
+            tables=self.cache.tables.at[slot_idx].set(-1),
+            lengths=self.cache.lengths.at[slot_idx].set(0))
+
+    def _paged_grow(self, active_idx: list[int]) -> list[int]:
+        """Allocate page-boundary pages for this step's writes; when the
+        pool is dry, evict the youngest slot(s) CONTEXT_FULL until the
+        rest fit.  Returns the surviving active indices."""
+        from ..engine import paged_cache as pc
+
+        survivors = list(active_idx)
+        # youngest last: eviction order
+        survivors.sort(key=lambda i: self.slots[i].admitted_at)
+        kept = []
+        for i in survivors:
+            slot = self.slots[i]
+            need = pc.pages_needed(slot.pos + 1, self.page_size)
+            grow = need - len(slot.pages)
+            if grow <= 0:
+                kept.append(i)
+                continue
+            if grow > self.pool.free_pages:
+                # evict: emit what we have and free the pages
+                if slot.req is not None:
+                    slot.req.out.put((None, "", True,
+                                      StopReason.CONTEXT_FULL))
+                slot.active = False
+                slot.req = None
+                self.stats["completed"] += 1
+                self.stats["evictions"] = self.stats.get("evictions", 0) + 1
+                self._release_slot_pages(i)
+                continue
+            new = self.pool.alloc(grow)
+            self.cache = dataclasses.replace(
+                self.cache,
+                tables=self.cache.tables.at[
+                    i, len(slot.pages): len(slot.pages) + grow].set(
+                    jnp.asarray(new, jnp.int32)))
+            slot.pages.extend(new)
+            kept.append(i)
+        kept.sort()
+        return kept
 
     def _sample_first(self, slot: _Slot, lg: jnp.ndarray) -> int:
         """Sample the prefill token with the slot's key stream + the
@@ -564,6 +837,7 @@ class ContinuousBatchingScheduler:
         slot.active = False
         slot.req = None
         self.stats["completed"] += 1
+        self._release_slot_pages(slot_idx)
         if reason == StopReason.CANCELLED:
             self.stats["cancelled"] += 1
         elif reason == StopReason.TIMEOUT:
@@ -593,6 +867,7 @@ class ContinuousBatchingScheduler:
         slot.active = False
         slot.req = None
         self.stats["completed"] += 1
+        self._release_slot_pages(slot_idx)
 
     def _loop(self) -> None:
         zero_keys = np.zeros((self.B, 2), np.uint32)
@@ -608,6 +883,8 @@ class ContinuousBatchingScheduler:
                     self._finish(i, StopReason.TIMEOUT)
             self._admit()
             active_idx = [i for i, s in enumerate(self.slots) if s.active]
+            if self.paged and active_idx:
+                active_idx = self._paged_grow(active_idx)
             self.stats["active_slots"] = len(active_idx)
             self.stats["queue_depth"] = self.pending.qsize()
             if not active_idx:
@@ -641,7 +918,9 @@ class ContinuousBatchingScheduler:
                 positions[i] = s.pos
                 hist[i] = self._slot_history(s)
                 keys[i] = np.asarray(s.key, np.uint32)
-            nxt, raw_lg, subs, new_keys, self.cache = self._decode_step(
+            step_fn = (self._decode_step_paged if self.paged
+                       else self._decode_step)
+            nxt, raw_lg, subs, new_keys, self.cache = step_fn(
                 self.params, jnp.asarray(self._tokens),
                 jnp.asarray(positions), self.cache,
                 jnp.asarray(active), jnp.asarray(temps),

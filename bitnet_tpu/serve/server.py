@@ -558,7 +558,18 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     from aiohttp import web
 
     from ..models.loader import load_model
+    from ..parallel.multihost import init_distributed, is_primary
     from ..tokenizer import load_tokenizer
+
+    # multi-host entry: join the cluster when $BITNET_COORDINATOR is set
+    # (see parallel/multihost.py for the serve story — process 0 owns the
+    # frontend; GSPMD spans all hosts' chips through the shard mesh)
+    distributed = init_distributed()
+    if distributed and not is_primary():
+        raise NotImplementedError(
+            "multi-host serving requires a worker follower loop (every "
+            "process must execute the same jitted steps); run the server "
+            "on process 0 only — see parallel/multihost.py")
 
     mesh = None
     if shard:

@@ -1,10 +1,13 @@
-"""Tokenizers: GGUF-embedded vocab, HF tokenizer.json, mock.
+"""Tokenizers: GGUF-embedded vocab, HF tokenizer.json, SentencePiece
+``.model``, mock.
 
 Discovery + fallback chain mirrors the reference
 (``bitnet-tokenizers/src/{discovery,strategy,fallback}.rs``):
 1. sibling ``tokenizer.json`` next to the model file (HF backend),
-2. GGUF-embedded vocab (``tokenizer.ggml.*`` metadata),
-3. mock (only when allowed — strict mode bans it).
+2. sibling ``tokenizer.model`` / ``spiece.model`` (SentencePiece backend —
+   a llama-family checkpoint shipping only the SPM file loads fine),
+3. GGUF-embedded vocab (``tokenizer.ggml.*`` metadata),
+4. mock (only when allowed — strict mode bans it).
 """
 
 from __future__ import annotations
@@ -16,12 +19,20 @@ from .base import Tokenizer
 from .gguf_vocab import GGUFTokenizer
 from .hf import HFTokenizer
 from .mock import MockTokenizer
+from .spm import SPMTokenizer
+
+# (filename, backend) in priority order — strategy.rs chain
+_SIBLINGS: tuple[tuple[str, str], ...] = (
+    ("tokenizer.json", "hf"),
+    ("tokenizer.model", "spm"),
+    ("spiece.model", "spm"),
+)
 
 
 def discover_sibling_tokenizer(model_path: str) -> str | None:
     """Sibling tokenizer file discovery (``discovery.rs``)."""
     d = os.path.dirname(os.path.abspath(model_path))
-    for cand in ("tokenizer.json",):
+    for cand, _kind in _SIBLINGS:
         p = os.path.join(d, cand)
         if os.path.isfile(p):
             return p
@@ -30,12 +41,17 @@ def discover_sibling_tokenizer(model_path: str) -> str | None:
 
 def load_tokenizer(model_path: str, allow_mock: bool = True) -> Tokenizer:
     """Fallback strategy chain (``strategy.rs`` / ``fallback.rs``)."""
-    sib = discover_sibling_tokenizer(model_path)
-    if sib is not None:
+    d = os.path.dirname(os.path.abspath(model_path))
+    for cand, kind in _SIBLINGS:
+        p = os.path.join(d, cand)
+        if not os.path.isfile(p):
+            continue
         try:
-            return HFTokenizer(sib)
+            if kind == "hf":
+                return HFTokenizer(p)
+            return SPMTokenizer(p)
         except Exception:
-            pass
+            continue
     try:
         from ..gguf.reader import GGUFReader
 
@@ -57,6 +73,7 @@ __all__ = [
     "GGUFTokenizer",
     "HFTokenizer",
     "MockTokenizer",
+    "SPMTokenizer",
     "load_tokenizer",
     "discover_sibling_tokenizer",
 ]

@@ -12,12 +12,16 @@ from bitnet_tpu.quant import ggml_classic as gc
 
 
 class TestRoundTrips:
-    def test_q8_0_roundtrip_error(self, rng):
-        x = rng.normal(size=256).astype(np.float32)
+    def test_q8_0_roundtrip_error(self):
+        # own deterministic rng: the shared session fixture's state depends
+        # on test order, and this bound is data-sensitive
+        x = np.random.default_rng(123).normal(size=256).astype(np.float32)
         y = gc.dequantize_q8_0(gc.quantize_q8_0(x), x.size)
         amax = np.abs(x.reshape(-1, 32)).max(axis=1)
         err = np.abs(y - x).reshape(-1, 32).max(axis=1)
-        assert (err <= amax / 127.0 * 0.51 + 1e-6).all()
+        # 0.5 steps of round-to-nearest + up to ~0.062 steps from the f16
+        # scale storage (|q| ≤ 127 × relative eps 2^-11)
+        assert (err <= amax / 127.0 * 0.57 + 1e-6).all()
 
     def test_q4_0_roundtrip_error(self, rng):
         x = rng.normal(size=128).astype(np.float32)

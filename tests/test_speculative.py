@@ -96,8 +96,10 @@ class TestSpeculativeLossless:
         gen2 = GenerationConfig(max_new_tokens=16, greedy=True,
                                 stop_token_ids=(stop_at,))
         res = dec.generate(prompt, gen2)
-        assert res.token_ids[-1] == stop_at
-        assert len(res.token_ids) <= 6
+        # stop tokens are NOT emitted — same contract as generate_stream
+        cut = golden.index(stop_at)
+        assert stop_at not in res.token_ids
+        assert res.token_ids == golden[:cut]
 
 
 class TestThresholdPolicy:

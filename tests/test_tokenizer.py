@@ -110,3 +110,88 @@ class TestMockTokenizer:
         tk = MockTokenizer()
         s = "héllo ∑ world"
         assert tk.decode(tk.encode(s, add_bos=False)) == s
+
+
+class TestSPMBackend:
+    """SentencePiece .model backend (no sentencepiece dependency —
+    native ModelProto wire parsing, VERDICT round 1 #9)."""
+
+    @staticmethod
+    def _pieces():
+        from bitnet_tpu.tokenizer.gguf_vocab import SPM_SPACE as W
+
+        pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+        pieces += [(f"<0x{b:02X}>", 0.0, 6) for b in range(256)]
+        base = len(pieces)
+        for i, (p, s) in enumerate([
+            (W, -1.0), (W + "hello", -2.0), (W + "he", -4.0),
+            (W + "h", -6.0),
+            ("h", -10.0), ("e", -10.0), ("l", -10.0), ("o", -10.0),
+            ("ll", -5.0), ("llo", -3.0), (W + "world", -2.5),
+            (W + "w", -6.0), (W + "wo", -5.0), (W + "wor", -4.0),
+            (W + "worl", -3.0),
+            ("w", -10.0), ("r", -10.0), ("d", -10.0),
+        ]):
+            pieces.append((p, s, 1))
+        return pieces, base
+
+    def test_model_file_roundtrip(self, tmp_path):
+        from bitnet_tpu.tokenizer.spm import SPMTokenizer, write_spm_model
+
+        pieces, _ = self._pieces()
+        path = str(tmp_path / "tokenizer.model")
+        write_spm_model(path, pieces)
+        tk = SPMTokenizer(path)
+        assert len(tk.tokens) == len(pieces)
+        assert tk.bos_token_id == 1 and tk.eos_token_id == 2
+        ids = tk.encode("hello world", add_bos=True)
+        assert ids[0] == 1
+        text = tk.decode(ids[1:])
+        assert text.strip() == "hello world"
+
+    def test_merge_prefers_high_score(self, tmp_path):
+        from bitnet_tpu.tokenizer.spm import SPMTokenizer, write_spm_model
+
+        pieces, _ = self._pieces()
+        path = str(tmp_path / "tokenizer.model")
+        write_spm_model(path, pieces)
+        tk = SPMTokenizer(path)
+        ids = tk.encode("hello", add_bos=False)
+        assert [tk.tokens[i] for i in ids] == ["▁hello"]
+
+    def test_byte_fallback(self, tmp_path):
+        from bitnet_tpu.tokenizer.spm import SPMTokenizer, write_spm_model
+
+        pieces, _ = self._pieces()
+        path = str(tmp_path / "tokenizer.model")
+        write_spm_model(path, pieces)
+        tk = SPMTokenizer(path)
+        ids = tk.encode("héllo", add_bos=False)   # é not in vocab → bytes
+        assert tk.decode(ids) .strip() == "héllo"
+
+    def test_discovery_chain_finds_model_file(self, tmp_path):
+        """A checkpoint directory shipping ONLY tokenizer.model loads."""
+        from bitnet_tpu.gguf.fixtures import MiniModelSpec, generate_mini_gguf
+        from bitnet_tpu.tokenizer import load_tokenizer
+        from bitnet_tpu.tokenizer.spm import SPMTokenizer, write_spm_model
+
+        gguf = str(tmp_path / "model.gguf")
+        spec = MiniModelSpec()
+        generate_mini_gguf(gguf, spec)
+        # strip the embedded vocab case by placing a sibling .model —
+        # discovery must prefer it (strategy.rs order)
+        pieces, _ = self._pieces()
+        write_spm_model(str(tmp_path / "tokenizer.model"), pieces)
+        tk = load_tokenizer(gguf)
+        assert isinstance(tk, SPMTokenizer)
+
+    def test_corrupt_model_falls_through(self, tmp_path):
+        from bitnet_tpu.gguf.fixtures import MiniModelSpec, generate_mini_gguf
+        from bitnet_tpu.tokenizer import load_tokenizer
+        from bitnet_tpu.tokenizer.gguf_vocab import GGUFTokenizer
+
+        gguf = str(tmp_path / "model.gguf")
+        generate_mini_gguf(gguf, MiniModelSpec())
+        (tmp_path / "tokenizer.model").write_bytes(b"\xff\xff\xff\x07garbo")
+        tk = load_tokenizer(gguf)      # falls through to embedded vocab
+        assert isinstance(tk, GGUFTokenizer)
