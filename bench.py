@@ -36,10 +36,10 @@ REFERENCE_BASELINE_TOK_S = 55.0  # RTX 4090 measured (BASELINE.md)
 
 # v5e HBM ≈ 819 GB/s; per-token decode bytes at S=1024:
 #   packed ternary weights  (2.08 G params / 4/byte)   ≈ 521 MB
-#   bf16 embedding read for tied logits (32000×2560×2) ≈ 164 MB
+#   int8 embedding read for tied logits (32000×2560)   ≈  82 MB
 #   KV cache read+write (30L × 1024 × 5KV × 128 × 2B×2×2)  ≈ 79 MB
 _HBM_GBPS = 819.0
-_DECODE_BYTES = 521e6 + 164e6 + 79e6
+_DECODE_BYTES = 521e6 + 82e6 + 79e6
 
 
 def build_synthetic_2b(seed: int = 0, fuse: bool = True):
@@ -181,9 +181,16 @@ def main() -> None:
     kernel_path = "w2a8" if backend == "tpu" else "xla"
     t0 = time.time()
     cfg, params = build_synthetic_2b(fuse=True)
+    if kernel_path == "w2a8":
+        # int8 tied-logits head (EngineConfig logits_dtype='int8'): halves
+        # the dominant [V, H] HBM read of the LM head
+        from bitnet_tpu.models.bitnet import quantize_head
+
+        params = quantize_head(params)
     build_s = time.time() - t0
     print(f"# model built in {build_s:.1f}s; backend={backend} "
-          f"kernel_path={kernel_path} fused_projections=True",
+          f"kernel_path={kernel_path} fused_projections=True "
+          f"logits_dtype={'int8' if kernel_path == 'w2a8' else 'bf16'}",
           file=sys.stderr)
 
     dt_decode = bench_decode(cfg, params, kernel_path, B=1)

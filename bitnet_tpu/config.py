@@ -188,6 +188,7 @@ class EngineConfig:
     kernel_path: str = "auto"        # 'auto' | 'w2a8' | 'pallas' | 'xla'
     # dtype used for dequantized weights on the XLA fallback path
     compute_dtype: str = "bf16"      # 'bf16' | 'f32'
+    logits_dtype: str = "auto"       # 'auto' | 'bf16' | 'int8' tied head
     prefill_chunk: int = 512         # prefill bucketing granularity
     donate_cache: bool = True
     # host-side prompt-prefix KV cache budget in tokens (0 = disabled);
@@ -202,6 +203,8 @@ class EngineConfig:
     def __post_init__(self) -> None:
         if self.kv_cache_dtype not in ("bf16", "f32", "int8", "fp8"):
             raise ConfigError(f"bad kv_cache_dtype {self.kv_cache_dtype!r}")
+        if self.logits_dtype not in ("auto", "bf16", "int8"):
+            raise ConfigError(f"bad logits_dtype {self.logits_dtype!r}")
         if self.kernel_path not in ("auto", "w2a8", "pallas", "xla"):
             raise ConfigError(f"bad kernel_path {self.kernel_path!r}")
         if self.compute_dtype not in ("bf16", "f32"):

@@ -125,6 +125,11 @@ class InferenceEngine:
                 f"model context {cfg.max_seq_len}"
             )
         self._kernel_path = self._resolve_kernel_path()
+        if (self.engine_cfg.logits_dtype == "int8"
+                and self._kernel_path == "w2a8"):
+            from ..models.bitnet import quantize_head
+
+            self.params = quantize_head(self.params)
         self._buckets = prefill_buckets(self.engine_cfg.max_seq_len)
         self._prefill_jit = {}
         self._decode_jit = None

@@ -75,7 +75,7 @@ class BlockParams:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["embed", "blocks", "final_norm", "lm_head",
-                 "rope_sin", "rope_cos"],
+                 "rope_sin", "rope_cos", "embed_q", "embed_q_scale"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -86,6 +86,22 @@ class BitNetParams:
     lm_head: Optional[TernaryLinear]   # None when tied
     rope_sin: jnp.ndarray              # [S_rope, D/2]
     rope_cos: jnp.ndarray              # [S_rope, D/2]
+    # optional int8 tied-logits head (quantize_head): the decode LM head
+    # is HBM-bound on the [V, H] table read — int8 halves the bytes
+    embed_q: Optional[jnp.ndarray] = None        # [V, H] int8
+    embed_q_scale: Optional[jnp.ndarray] = None  # [V] f32 per-row scales
+
+
+def quantize_head(params: BitNetParams) -> BitNetParams:
+    """Attach an int8 per-row-quantized copy of the tied embedding for the
+    logits projection (EngineConfig ``logits_dtype='int8'``).  The f32/bf16
+    table stays for token embedding lookups; the head read halves."""
+    if params.lm_head is not None:
+        return params   # untied head: already a ternary linear
+    emb = params.embed.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(emb), axis=1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(emb / scale[:, None]), -127, 127).astype(jnp.int8)
+    return dataclasses.replace(params, embed_q=q, embed_q_scale=scale)
 
 
 def fuse_block_params(blocks: BlockParams) -> BlockParams:
@@ -113,6 +129,54 @@ def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:
     if name == "gelu":
         return jax.nn.gelu(x)
     raise ValueError(f"unknown hidden_act {name!r}")
+
+
+def _ffn(cfg: ModelConfig, bp: "BlockParams", h: jnp.ndarray,
+         kernel_path: str) -> jnp.ndarray:
+    """SwiGLU FFN (reference lib.rs:751-793); ``h`` is post-ffn_norm.
+
+    On the w2a8 path (SiLU models without the 2B-4T ffn_sub_norm, which
+    normalizes over the full F row) the whole FFN runs as ONE fused
+    Pallas kernel (ops/ffn_fused.py) — decode is launch-overhead bound.
+    """
+    from functools import partial as _p
+
+    import os as _os
+
+    B, T, H = h.shape
+    lap = _p(linear_apply, path=kernel_path)
+    # opt-in: measured on v5e the fused-FFN kernel LOSES to the two tuned
+    # standalone kernels at B=1 (2.76 vs 2.57 ms/token — its F-tiled
+    # streams overlap worse than the wide-N dedicated blocks); kept for
+    # future tuning and for launch-bound hosts
+    if (_os.environ.get("BITNET_FUSED_FFN") == "1"
+            and kernel_path == "w2a8" and cfg.hidden_act == "silu"
+            and bp.ffn_sub_norm is None and bp.w_gateup is not None):
+        from ..ops.ffn_fused import ffn_fused_supported, ffn_w2a8_fused
+
+        F = bp.w_gateup.n // 2
+        if (ffn_fused_supported(bp.w_gateup, bp.w_down, F, B * T)
+                and bp.w_gateup.packed.shape[1] == 2 * F):
+            y = ffn_w2a8_fused(
+                h.reshape(B * T, H), bp.w_gateup.packed,
+                bp.w_gateup.scales, bp.w_down.packed,
+                (bp.w_down.scales if bp.w_down.scales is not None
+                 else jnp.float32(1.0)),
+                k_dim=H, f_dim=F, n_dim=bp.w_down.n,
+                interpret=jax.default_backend() != "tpu")
+            return y.reshape(B, T, bp.w_down.n)
+    if bp.w_gateup is not None:
+        F = bp.w_gateup.n // 2
+        gu = lap(bp.w_gateup, h)                   # ONE fused kernel call
+        gate = _act(cfg.hidden_act, gu[..., :F])
+        up = gu[..., F:]
+    else:
+        gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
+        up = lap(bp.w_up, h)
+    gu = gate * up
+    if bp.ffn_sub_norm is not None:      # BitNet 2B-4T sub-layernorm
+        gu = rms_norm(gu, bp.ffn_sub_norm, cfg.rms_norm_eps)
+    return lap(bp.w_down, gu)
 
 
 def embed_tokens(params: BitNetParams, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -177,8 +241,12 @@ def block_forward(
         k = lap(bp.wk, h).reshape(B, T, nkv, D)
         v = lap(bp.wv, h).reshape(B, T, nkv, D)
 
-    # RoPE at absolute positions (clamp padded S-positions into table range)
-    rope_pos = jnp.minimum(q_positions, rope_sin.shape[0] - 1)
+    # RoPE at absolute positions (clamp padded S-positions into table
+    # range); pre-gathered rows skip the per-layer table lookup
+    if rope_sin.ndim == 2:
+        rope_pos = jnp.minimum(q_positions, rope_sin.shape[0] - 1)
+    else:
+        rope_pos = q_positions  # ignored by apply_rope for row inputs
     q = apply_rope(q, rope_sin, rope_cos, rope_pos)
     k = apply_rope(k, rope_sin, rope_cos, rope_pos)
 
@@ -211,18 +279,7 @@ def block_forward(
             attn = rms_norm(attn, bp.attn_sub_norm, cfg.rms_norm_eps)
         x = x + lap(bp.wo, attn)
         h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
-        if bp.w_gateup is not None:
-            F = bp.w_gateup.n // 2
-            gu = lap(bp.w_gateup, h)
-            gate = _act(cfg.hidden_act, gu[..., :F])
-            up = gu[..., F:]
-        else:
-            gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
-            up = lap(bp.w_up, h)
-        gu = gate * up
-        if bp.ffn_sub_norm is not None:
-            gu = rms_norm(gu, bp.ffn_sub_norm, cfg.rms_norm_eps)
-        x = x + lap(bp.w_down, gu)
+        x = x + _ffn(cfg, bp, h, kernel_path)
         return x, k_cache, v_cache, k_scale, v_scale
     if quantized:
         kq, ks = _quantize_kv(k, k_cache.dtype)
@@ -259,18 +316,7 @@ def block_forward(
 
     # --- FFN (SwiGLU; reference lib.rs:751-793) ---
     h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
-    if bp.w_gateup is not None:
-        F = bp.w_gateup.n // 2
-        gu = lap(bp.w_gateup, h)               # ONE fused kernel call
-        gate = _act(cfg.hidden_act, gu[..., :F])
-        up = gu[..., F:]
-    else:
-        gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
-        up = lap(bp.w_up, h)
-    gu = gate * up
-    if bp.ffn_sub_norm is not None:      # BitNet 2B-4T sub-layernorm
-        gu = rms_norm(gu, bp.ffn_sub_norm, cfg.rms_norm_eps)
-    x = x + lap(bp.w_down, gu)
+    x = x + _ffn(cfg, bp, h, kernel_path)
     return x, k_cache, v_cache, k_scale, v_scale
 
 
@@ -308,11 +354,17 @@ def forward(
     # pre_len + T == kv_valid_len + num_real_tokens.
     _pre_len = kv_valid_len + jnp.asarray(num_real_tokens, jnp.int32) - T
 
+    # gather the RoPE rows ONCE — identical for every layer; gathering
+    # inside the scan repeated the table lookup 30× per decode step
+    rope_pos = jnp.minimum(q_positions, params.rope_sin.shape[0] - 1)
+    sin_rows = params.rope_sin[rope_pos][:, :, None, :]
+    cos_rows = params.rope_cos[rope_pos][:, :, None, :]
+
     def body(carry, xs):
         h = carry
         bp, kc, vc, ks, vs = xs
         y, kc, vc, ks, vs = block_forward(
-            cfg, h, bp, params.rope_sin, params.rope_cos,
+            cfg, h, bp, sin_rows, cos_rows,
             q_positions, kc, vc, _pre_len, kernel_path, ks, vs,
             write_slots, kv_positions, window,
         )
@@ -362,6 +414,21 @@ def logits(
     """Project hidden states to vocab logits (reference: lib.rs:1599)."""
     if params.lm_head is not None:
         return linear_apply(params.lm_head, hidden, path=kernel_path)
+    if params.embed_q is not None and kernel_path == "w2a8":
+        # int8 head (quantize_head): per-row table scales × per-token
+        # activation scale, int8×int8→int32 MXU — halves the dominant
+        # [V, H] HBM read of tied-logits decode
+        hf = hidden.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        hq = jnp.clip(jnp.round(hf / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            hq, params.embed_q,
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * sx
+                * params.embed_q_scale[None, None, :])
     # tied embeddings: x @ E^T on the MXU in the table's stored dtype with
     # f32 accumulation — casting the [V, H] table up to f32 would read it
     # at 2x the bytes (the whole op is HBM-bound at decode)

@@ -37,12 +37,18 @@ def apply_rope(
     """Rotate ``x`` at absolute ``positions``.
 
     x:         [B, T, n_heads, head_dim]
-    sin/cos:   [max_seq_len, head_dim//2] tables
+    sin/cos:   [max_seq_len, head_dim//2] tables, OR pre-gathered
+               [B, T, 1, head_dim//2] rows (positions then ignored —
+               the decode scan gathers ONCE for all layers instead of
+               30 redundant per-layer table lookups)
     positions: [B, T] int32 absolute positions
     """
     half = x.shape[-1] // 2
-    s = sin[positions][:, :, None, :]  # [B, T, 1, half]
-    c = cos[positions][:, :, None, :]
+    if sin.ndim == 2:
+        s = sin[positions][:, :, None, :]  # [B, T, 1, half]
+        c = cos[positions][:, :, None, :]
+    else:
+        s, c = sin, cos
     x0 = x[..., :half].astype(jnp.float32)
     x1 = x[..., half:].astype(jnp.float32)
     r0 = x0 * c - x1 * s

@@ -92,6 +92,9 @@ def param_pspecs(cfg: ModelConfig, params: BitNetParams) -> BitNetParams:
         lm_head=lm_head,
         rope_sin=P(None, None),
         rope_cos=P(None, None),
+        embed_q=(P(None, None) if params.embed_q is not None else None),
+        embed_q_scale=(P(None) if params.embed_q_scale is not None
+                       else None),
     )
 
 

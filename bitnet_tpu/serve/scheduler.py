@@ -148,6 +148,10 @@ class ContinuousBatchingScheduler:
             else ("xla" if self.engine_cfg.kernel_path == "auto"
                   else self.engine_cfg.kernel_path)
         )
+        if self.engine_cfg.logits_dtype == "int8" and self._kp == "w2a8":
+            from ..models.bitnet import quantize_head
+
+            self.params = quantize_head(self.params)
         if paged:
             from ..engine.paged_cache import allocate_paged_cache
 
@@ -629,15 +633,18 @@ class ContinuousBatchingScheduler:
             if req.cancelled:
                 req.out.put((None, "", True, StopReason.CANCELLED))
                 self.stats["cancelled"] += 1
+                self.stats["completed"] += 1
                 continue
             if (req.queue_timeout_s is not None
                     and now - req.submitted_at > req.queue_timeout_s):
                 req.out.put((None, "", True, StopReason.TIMEOUT))
                 self.stats["timeouts"] += 1
+                self.stats["completed"] += 1
                 continue
             T = len(req.token_ids)
             if T == 0 or T >= self.S:
                 req.out.put((None, "", True, StopReason.CONTEXT_FULL))
+                self.stats["completed"] += 1
                 continue
             if self.paged:
                 lg = self._paged_prefill_slot(slot_idx, req, T)

@@ -133,6 +133,29 @@ class BitNetServer:
         from .health import HealthMonitor
 
         self.health = HealthMonitor(self.manager)
+        # OTLP/HTTP metrics push (monitoring/otlp.rs parity) — inert
+        # unless OTEL_EXPORTER_OTLP_ENDPOINT is configured
+        from ..obs.otlp import OTLPExporter
+
+        self.otlp = OTLPExporter(self._collect_metrics)
+        self.otlp.start()
+
+    def _collect_metrics(self) -> dict[str, float]:
+        agg: dict[str, float] = {}
+        try:
+            for info in self.manager.list():
+                st = self.manager.get(info["name"]).stats
+                for k, v in st.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+        except Exception:
+            pass
+        agg["uptime_seconds"] = time.time() - START_TIME
+        # cumulative counters get OTLP sum semantics via the _total suffix
+        for k in ("requests", "completed", "tokens_generated",
+                  "decode_steps", "cancelled", "timeouts"):
+            if k in agg:
+                agg[f"{k}_total"] = agg.pop(k)
+        return agg
 
     @property
     def scheduler(self):
@@ -614,6 +637,7 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     app = server.build_app()
 
     async def on_shutdown(app):
+        server.otlp.stop()
         server.manager.shutdown()
 
     app.on_shutdown.append(on_shutdown)

@@ -148,3 +148,54 @@ class TestCosineCompare:
         res = compare_logits(a, b)
         assert not res["passed"]
         assert res["first_divergence"] == 2
+
+
+class TestInt8Head:
+    def test_int8_head_cosine(self, mini_gguf_qk256):
+        """quantize_head: int8 tied-logits head stays >0.999 cosine vs the
+        bf16 head (EngineConfig logits_dtype='int8')."""
+        import numpy as np
+
+        from bitnet_tpu.models import load_model
+        from bitnet_tpu.models.bitnet import (
+            forward,
+            logits as model_logits,
+            quantize_head,
+        )
+
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        pq = quantize_head(params)
+        assert pq.embed_q is not None and pq.embed_q.dtype == jnp.int8
+        S = 16
+        kc = jnp.zeros((cfg.num_layers, 1, S, cfg.num_kv_heads,
+                        cfg.head_dim), jnp.float32)
+        tok = jnp.asarray([[5, 9, 2]], jnp.int32)
+        pos = jnp.asarray([[0, 1, 2]], jnp.int32)
+        h, *_ = forward(cfg, params, tok, pos, kc, jnp.zeros_like(kc),
+                        jnp.zeros((1,), jnp.int32), 3, "xla")
+        lg_bf = np.asarray(model_logits(cfg, params, h, "xla"),
+                           np.float64)[0]
+        lg_i8 = np.asarray(model_logits(cfg, pq, h, "w2a8"), np.float64)[0]
+        for t in range(3):
+            cos = lg_i8[t] @ lg_bf[t] / (
+                np.linalg.norm(lg_i8[t]) * np.linalg.norm(lg_bf[t]) + 1e-30)
+            assert cos > 0.999, (t, cos)
+
+    def test_engine_config_knob(self, mini_gguf_qk256):
+        from bitnet_tpu.config import EngineConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.models import load_model
+
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        eng = InferenceEngine(cfg, params, EngineConfig(
+            max_seq_len=32, kernel_path="w2a8", logits_dtype="int8"))
+        assert eng.params.embed_q is not None
+        # generation still runs end to end on the int8 head
+        out = eng.generate([1, 5, 9],
+                           __import__("bitnet_tpu.config",
+                                      fromlist=["GenerationConfig"]
+                                      ).GenerationConfig(
+                               max_new_tokens=3, greedy=True))
+        assert len(out.token_ids) >= 1
