@@ -354,17 +354,11 @@ def forward(
     # pre_len + T == kv_valid_len + num_real_tokens.
     _pre_len = kv_valid_len + jnp.asarray(num_real_tokens, jnp.int32) - T
 
-    # gather the RoPE rows ONCE — identical for every layer; gathering
-    # inside the scan repeated the table lookup 30× per decode step
-    rope_pos = jnp.minimum(q_positions, params.rope_sin.shape[0] - 1)
-    sin_rows = params.rope_sin[rope_pos][:, :, None, :]
-    cos_rows = params.rope_cos[rope_pos][:, :, None, :]
-
     def body(carry, xs):
         h = carry
         bp, kc, vc, ks, vs = xs
         y, kc, vc, ks, vs = block_forward(
-            cfg, h, bp, sin_rows, cos_rows,
+            cfg, h, bp, params.rope_sin, params.rope_cos,
             q_positions, kc, vc, _pre_len, kernel_path, ks, vs,
             write_slots, kv_positions, window,
         )

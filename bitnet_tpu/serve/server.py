@@ -136,9 +136,12 @@ class BitNetServer:
         # OTLP/HTTP metrics push (monitoring/otlp.rs parity) — inert
         # unless OTEL_EXPORTER_OTLP_ENDPOINT is configured
         from ..obs.otlp import OTLPExporter
+        from .recovery import FailoverRouter, GracefulDegradation
 
         self.otlp = OTLPExporter(self._collect_metrics)
         self.otlp.start()
+        self.router = FailoverRouter(self.manager)
+        self.degradation = GracefulDegradation()
 
     def _collect_metrics(self) -> dict[str, float]:
         agg: dict[str, float] = {}
@@ -163,7 +166,23 @@ class BitNetServer:
         return self.manager.get()
 
     def _sched_for(self, body: dict):
-        return self.manager.get(body.get("model"))
+        """Health-gated routing with model failover
+        (execution_router.rs parity; see serve/recovery.py)."""
+        sched, _name = self.router.route(body.get("model"))
+        return sched
+
+    def _gen_for(self, body: dict, sched) -> GenerationConfig:
+        """GenerationConfig with graceful degradation: queue pressure caps
+        max_new_tokens (error_recovery.rs GracefulDegradation)."""
+        gen = _gen_config_from_body(body)
+        level = self.degradation.level(sched.stats.get("queue_depth", 0),
+                                       sched.B)
+        cap = self.degradation.cap_tokens(level, gen.max_new_tokens)
+        if cap != gen.max_new_tokens:
+            import dataclasses as _dc
+
+            gen = _dc.replace(gen, max_new_tokens=cap)
+        return gen
 
     def _check_auth(self, request):
         """Bearer-token gate. Returns a 401 response or None."""
@@ -270,7 +289,7 @@ class BitNetServer:
             return web.json_response({"error": str(e)}, status=404)
         ids = self._encode(body, sched)
         t0 = time.time()
-        req = sched.submit(ids, _gen_config_from_body(body),
+        req = sched.submit(ids, self._gen_for(body, sched),
                            **_submit_kwargs(body))
         text, toks, reason = await self._collect(req)
         return web.json_response({
@@ -295,7 +314,7 @@ class BitNetServer:
         except Exception as e:
             return web.json_response({"error": str(e)}, status=404)
         ids = self._encode(body, sched)
-        req = sched.submit(ids, _gen_config_from_body(body),
+        req = sched.submit(ids, self._gen_for(body, sched),
                            **_submit_kwargs(body))
 
         resp = web.StreamResponse(headers={
@@ -341,7 +360,7 @@ class BitNetServer:
         except Exception as e:
             return web.json_response({"error": str(e)}, status=404)
         ids = self._encode(body, sched)
-        req = sched.submit(ids, _gen_config_from_body(body),
+        req = sched.submit(ids, self._gen_for(body, sched),
                            **_submit_kwargs(body))
         text, toks, reason = await self._collect(req)
         return web.json_response({
@@ -489,7 +508,7 @@ class BitNetServer:
                         continue
                     sched = self._sched_for(body)
                     ids = self._encode(body, sched)
-                    req = sched.submit(ids, _gen_config_from_body(body),
+                    req = sched.submit(ids, self._gen_for(body, sched),
                                        **_submit_kwargs(body))
                 except Exception as e:
                     await ws.send_json({"error": str(e)})

@@ -20,6 +20,9 @@ class TemplateType(enum.Enum):
     CHATML = "chatml"
     MISTRAL_INSTRUCT = "mistral-instruct"
     ALPACA = "alpaca"
+    PHI3 = "phi3"
+    GEMMA = "gemma"
+    ZEPHYR = "zephyr"
 
     @classmethod
     def parse(cls, s: str) -> "TemplateType":
@@ -62,6 +65,12 @@ SPECS: dict[TemplateType, TemplateSpec] = {
         TemplateType.MISTRAL_INSTRUCT, stop_sequences=("[INST]",)),
     TemplateType.ALPACA: TemplateSpec(
         TemplateType.ALPACA, stop_sequences=("### Instruction:",)),
+    TemplateType.PHI3: TemplateSpec(
+        TemplateType.PHI3, stop_sequences=("<|end|>", "<|user|>")),
+    TemplateType.GEMMA: TemplateSpec(
+        TemplateType.GEMMA, stop_sequences=("<end_of_turn>",)),
+    TemplateType.ZEPHYR: TemplateSpec(
+        TemplateType.ZEPHYR, stop_sequences=("</s>", "<|user|>")),
 }
 
 
@@ -79,8 +88,22 @@ def detect(metadata: dict | None = None, model_name: str = "") -> TemplateType:
         return TemplateType.CHATML
     if "[INST]" in jinja:
         return TemplateType.MISTRAL_INSTRUCT
+    if "<start_of_turn>" in jinja:
+        return TemplateType.GEMMA
+    if "<|end|>" in jinja and "<|assistant|>" in jinja:
+        return TemplateType.PHI3
+    if "<|assistant|>" in jinja and "</s>" in jinja:
+        return TemplateType.ZEPHYR
     if "llama-3" in name or "llama3" in name:
         return TemplateType.LLAMA3_CHAT
+    if "phi-3" in name or "phi3" in name:
+        return TemplateType.PHI3
+    if "gemma" in name:
+        return TemplateType.GEMMA
+    if "zephyr" in name:
+        return TemplateType.ZEPHYR
+    if "qwen" in name:
+        return TemplateType.CHATML
     if "bitnet" in name and "instruct" not in name and not jinja:
         # base BitNet checkpoints (e.g. b1.58-2B-4T) ship llama3-style chat
         return TemplateType.LLAMA3_CHAT
@@ -133,6 +156,41 @@ def render_chat(
                 system = ""
             else:
                 out.append(f" {m.content}</s>")
+        return "".join(out)
+
+    if template == TemplateType.PHI3:
+        out = []
+        for m in messages:
+            out.append(f"<|{m.role}|>\n{m.content}<|end|>\n")
+        if add_generation_prompt:
+            out.append("<|assistant|>\n")
+        return "".join(out)
+
+    if template == TemplateType.GEMMA:
+        # gemma has no system role: a system prompt prefixes the first
+        # user turn; the assistant role is called "model"
+        out = []
+        system = ""
+        for m in messages:
+            if m.role == "system":
+                system = m.content + "\n\n"
+            elif m.role == "user":
+                out.append(f"<start_of_turn>user\n{system}{m.content}"
+                           f"<end_of_turn>\n")
+                system = ""
+            else:
+                out.append(f"<start_of_turn>model\n{m.content}"
+                           f"<end_of_turn>\n")
+        if add_generation_prompt:
+            out.append("<start_of_turn>model\n")
+        return "".join(out)
+
+    if template == TemplateType.ZEPHYR:
+        out = []
+        for m in messages:
+            out.append(f"<|{m.role}|>\n{m.content}</s>\n")
+        if add_generation_prompt:
+            out.append("<|assistant|>\n")
         return "".join(out)
 
     if template == TemplateType.ALPACA:
@@ -188,6 +246,9 @@ def validate_output(template: TemplateType, text: str) -> list[str]:
         TemplateType.INSTRUCT: ["### Instruction:", "### Response:"],
         TemplateType.MISTRAL_INSTRUCT: ["[INST]", "[/INST]"],
         TemplateType.ALPACA: ["### Instruction:", "### Input:"],
+        TemplateType.PHI3: ["<|end|>", "<|user|>", "<|assistant|>"],
+        TemplateType.GEMMA: ["<start_of_turn>", "<end_of_turn>"],
+        TemplateType.ZEPHYR: ["<|user|>", "<|assistant|>"],
     }.get(template, [])
     problems = [f"template marker leaked into output: {m!r}"
                 for m in leak_markers if m in text]

@@ -95,7 +95,7 @@ class TestCABI:
         if not os.path.exists(smoke):
             r = subprocess.run(
                 ["make", "-C", os.path.join(REPO, "native"), "build/c_smoke"],
-                capture_output=True, text=True, timeout=180)
+                capture_output=True, text=True, timeout=600)
             if r.returncode != 0:
                 pytest.skip(f"c_smoke build failed: {r.stderr[-500:]}")
         env = dict(os.environ, JAX_PLATFORMS="cpu")

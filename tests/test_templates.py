@@ -82,3 +82,63 @@ class TestOutputValidation:
         from bitnet_tpu.templates import TemplateType, validate_output
 
         assert validate_output(TemplateType.RAW, "[INST] ok") == []
+
+
+class TestExtendedTemplates:
+    """Round-2 template additions (phi3 / gemma / zephyr) — detection,
+    rendering, stop sequences, leak markers."""
+
+    def test_phi3_render_and_detect(self):
+        from bitnet_tpu import templates as T
+
+        msgs = [T.Message("system", "be brief"),
+                T.Message("user", "hi")]
+        out = T.render_chat(T.TemplateType.PHI3, msgs)
+        assert out == ("<|system|>\nbe brief<|end|>\n"
+                       "<|user|>\nhi<|end|>\n<|assistant|>\n")
+        jinja = "{{'<|user|>'}}...{{'<|end|>'}}<|assistant|>"
+        assert T.detect({"tokenizer.chat_template": jinja}) == \
+            T.TemplateType.PHI3
+        assert T.detect({}, "microsoft/Phi-3-mini") == T.TemplateType.PHI3
+        assert "<|end|>" in T.spec_for(T.TemplateType.PHI3).stop_sequences
+
+    def test_gemma_render_and_detect(self):
+        from bitnet_tpu import templates as T
+
+        msgs = [T.Message("system", "sys"), T.Message("user", "q"),
+                T.Message("assistant", "a"), T.Message("user", "q2")]
+        out = T.render_chat(T.TemplateType.GEMMA, msgs)
+        # no system role: prefixed into the first user turn
+        assert out.startswith("<start_of_turn>user\nsys\n\nq<end_of_turn>")
+        assert "<start_of_turn>model\na<end_of_turn>" in out
+        assert out.endswith("<start_of_turn>model\n")
+        assert T.detect({"tokenizer.chat_template":
+                         "...<start_of_turn>..."}) == T.TemplateType.GEMMA
+        assert T.detect({}, "google/gemma-2b") == T.TemplateType.GEMMA
+
+    def test_zephyr_render_and_detect(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(T.TemplateType.ZEPHYR,
+                            [T.Message("user", "x")])
+        assert out == "<|user|>\nx</s>\n<|assistant|>\n"
+        assert T.detect({}, "HuggingFaceH4/zephyr-7b") == \
+            T.TemplateType.ZEPHYR
+
+    def test_qwen_maps_to_chatml(self):
+        from bitnet_tpu import templates as T
+
+        assert T.detect({}, "Qwen/Qwen2-7B") == T.TemplateType.CHATML
+
+    def test_leak_markers(self):
+        from bitnet_tpu import templates as T
+
+        assert T.validate_output(T.TemplateType.GEMMA,
+                                 "hi <end_of_turn> there")
+        assert not T.validate_output(T.TemplateType.GEMMA, "clean")
+
+    def test_parse_all_values(self):
+        from bitnet_tpu import templates as T
+
+        for t in T.TemplateType:
+            assert T.TemplateType.parse(t.value) is t
