@@ -575,7 +575,10 @@ def cmd_serve(args) -> int:
           max_seq_len=args.max_seq_len, shard=args.shard,
           num_slots=args.num_slots,
           kv_cache_dtype=args.kv_cache_dtype,
-          kernel_path=args.kernel_path)
+          kernel_path=args.kernel_path,
+          auth_token=args.auth_token, model_dirs=args.model_dir,
+          paged=args.paged, num_pages=args.num_pages,
+          page_size=args.page_size)
     return 0
 
 
@@ -623,6 +626,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--kv-cache-dtype", default="bf16")
     p.add_argument("--kernel-path", default="auto")
     p.add_argument("--num-slots", type=int, default=4)
+    p.add_argument("--auth-token", default=None,
+                   help="bearer-token auth (also $BITNET_AUTH_TOKEN)")
+    p.add_argument("--model-dir", action="append", default=None,
+                   help="whitelist dir for /v1/models/load (repeatable)")
+    p.add_argument("--paged", action="store_true",
+                   help="back the slot pool with the shared page pool "
+                        "(HBM sized by live tokens, prefix forking)")
+    p.add_argument("--num-pages", type=int, default=None)
+    p.add_argument("--page-size", type=int, default=16)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert", help="SafeTensors → GGUF")

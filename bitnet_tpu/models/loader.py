@@ -228,17 +228,53 @@ def _stack_linears(lins: list[TernaryLinear]) -> TernaryLinear:
     )
 
 
+def _resolve_checkpoint(path: str) -> str:
+    """Format dispatch (reference ``ModelLoader::load``, loader.rs:52-75):
+    GGUF passes through; a SafeTensors file or an HF checkpoint directory
+    is converted once to a cached sibling GGUF (mtime-validated) via the
+    st2gguf converter (LayerNorms preserved in f16, config.json honored).
+    """
+    import os as _os
+
+    is_st = path.endswith(".safetensors")
+    is_dir = _os.path.isdir(path)
+    if is_dir:
+        sts = [f for f in sorted(_os.listdir(path))
+               if f.endswith(".safetensors")]
+        if not sts:
+            raise ModelError(f"{path}: directory has no .safetensors")
+        is_st = True
+    if not is_st:
+        return path
+
+    from ..tools.st2gguf import convert_safetensors_to_gguf
+
+    src_mtime = max(
+        _os.path.getmtime(_os.path.join(path, f))
+        for f in _os.listdir(path) if f.endswith(".safetensors")
+    ) if is_dir else _os.path.getmtime(path)
+    cache = (path.rstrip("/") + ".converted.gguf") if is_dir \
+        else path[: -len(".safetensors")] + ".converted.gguf"
+    if (not _os.path.exists(cache)
+            or _os.path.getmtime(cache) < src_mtime):
+        convert_safetensors_to_gguf(path, cache)
+    return cache
+
+
 def load_model(
     path: str,
     mode: str = "auto",
     max_seq_len: int | None = None,
     param_dtype=jnp.bfloat16,
 ) -> tuple[ModelConfig, BitNetParams, LoadReport]:
-    """Load a BitNet GGUF checkpoint.
+    """Load a BitNet checkpoint: GGUF natively, SafeTensors / HF
+    checkpoint directories via a cached conversion (``ModelLoader``
+    format dispatch, loader.rs:52-75).
 
     mode: 'auto' keeps I2_S weights packed (fused-kernel/XLA-unpack path);
           'dense' dequantizes everything to ``param_dtype``.
     """
+    path = _resolve_checkpoint(path)
     report = LoadReport(path=path, flavors={}, kinds={}, dequantized=[])
     with GGUFReader(path) as r:
         cfg = config_from_gguf(r)

@@ -595,7 +595,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           max_seq_len: int = 2048, kv_cache_dtype: str = "bf16",
           kernel_path: str = "auto", num_slots: int = 4,
           shard: str | None = None, auth_token: str | None = None,
-          model_dirs: list[str] | None = None) -> None:
+          model_dirs: list[str] | None = None, paged: bool = False,
+          num_pages: int | None = None, page_size: int = 16) -> None:
     """Load model + start the server (blocking)."""
     from aiohttp import web
 
@@ -640,7 +641,9 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
         ecfg = ecfg.replace(max_seq_len=cfg.max_seq_len)
     tokenizer = load_tokenizer(model_path)
     sched = ContinuousBatchingScheduler(cfg, params, tokenizer, ecfg,
-                                        num_slots=num_slots, mesh=mesh)
+                                        num_slots=num_slots, mesh=mesh,
+                                        paged=paged, num_pages=num_pages,
+                                        page_size=page_size)
     from .model_manager import ModelManager
 
     manager = ModelManager(ecfg, num_slots=num_slots, mesh=mesh)

@@ -20,6 +20,11 @@ if __name__ == "__main__":
     ap.add_argument("--model-dir", action="append", default=None,
                     help="whitelist dir for /v1/models/load (repeatable; "
                          "default: the started model's directory)")
+    ap.add_argument("--paged", action="store_true",
+                    help="back the slot pool with the shared page pool")
+    ap.add_argument("--num-pages", type=int, default=None)
+    ap.add_argument("--page-size", type=int, default=16)
     a = ap.parse_args()
     serve(a.model, a.host, a.port, a.max_seq_len, a.kv_cache_dtype,
-          a.kernel_path, a.num_slots, a.shard, a.auth_token, a.model_dir)
+          a.kernel_path, a.num_slots, a.shard, a.auth_token, a.model_dir,
+          a.paged, a.num_pages, a.page_size)

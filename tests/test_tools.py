@@ -5,6 +5,7 @@ import os
 import subprocess
 import sys
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -129,3 +130,74 @@ class TestTraceDiffCLI:
         b2.record("x", np.full((4,), 99.0))
         b2.dump(pb)
         assert main(["trace-diff", pa, pb]) == 1
+
+
+class TestSafeTensorsDirectLoad:
+    """load_model dispatches SafeTensors / HF dirs via cached conversion
+    (reference ModelLoader::load format dispatch, loader.rs:52-75)."""
+
+    def _write_st_checkpoint(self, tmp_path, rng):
+        import json
+
+        from safetensors.numpy import save_file
+
+        H, F, V, L, NH, NKV = 64, 128, 96, 2, 4, 2
+        t = {}
+        t["model.embed_tokens.weight"] = (
+            rng.standard_normal((V, H)).astype(np.float32) * 0.05)
+        for i in range(L):
+            p = f"model.layers.{i}."
+            t[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+            t[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+            for nm, shape in (("self_attn.q_proj", (H, H)),
+                              ("self_attn.k_proj", (H // 2, H)),
+                              ("self_attn.v_proj", (H // 2, H)),
+                              ("self_attn.o_proj", (H, H)),
+                              ("mlp.gate_proj", (F, H)),
+                              ("mlp.up_proj", (F, H)),
+                              ("mlp.down_proj", (H, F))):
+                t[p + nm + ".weight"] = (
+                    rng.standard_normal(shape).astype(np.float32) * 0.05)
+        t["model.norm.weight"] = np.ones(H, np.float32)
+        st = str(tmp_path / "model.safetensors")
+        save_file(t, st)
+        with open(tmp_path / "config.json", "w") as f:
+            json.dump({"hidden_size": H, "intermediate_size": F,
+                       "num_hidden_layers": L, "num_attention_heads": NH,
+                       "num_key_value_heads": NKV, "vocab_size": V,
+                       "max_position_embeddings": 128,
+                       "rope_theta": 10000.0}, f)
+        return st
+
+    def test_load_safetensors_file(self, tmp_path, rng):
+        import os
+
+        from bitnet_tpu.models import load_model
+
+        st = self._write_st_checkpoint(tmp_path, rng)
+        cfg, params, report = load_model(st, param_dtype=jnp.float32)
+        assert cfg.hidden_size == 64 and cfg.num_layers == 2
+        assert report.path.endswith(".converted.gguf")
+        assert os.path.exists(report.path)
+        # cached: loading again reuses the sibling GGUF (same mtime)
+        m1 = os.path.getmtime(report.path)
+        load_model(st, param_dtype=jnp.float32)
+        assert os.path.getmtime(report.path) == m1
+
+    def test_load_hf_directory(self, tmp_path, rng):
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+
+        self._write_st_checkpoint(tmp_path, rng)
+        eng = InferenceEngine.from_gguf(
+            str(tmp_path), EngineConfig(max_seq_len=32, compute_dtype="f32"))
+        out = eng.generate([1, 5, 9], GenerationConfig(max_new_tokens=3,
+                                                       greedy=True))
+        assert len(out.token_ids) >= 1
+
+    def test_missing_safetensors_dir(self, tmp_path):
+        from bitnet_tpu.errors import ModelError
+        from bitnet_tpu.models import load_model
+
+        with pytest.raises((ModelError, Exception)):
+            load_model(str(tmp_path / "empty_dir_nope"))
