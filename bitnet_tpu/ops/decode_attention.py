@@ -45,52 +45,81 @@ def _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
     b = pl.program_id(0)
     c = pl.program_id(1)
     pos = pos_ref[b, 0]
+    HH = n_kv * G
+
+    # block-diagonal trick: row i belongs to head i//G, so only its
+    # lane-block h*D:(h+1)*D is live.  ALL heads then ride ONE MXU dot per
+    # chunk — the per-head small dots cost ~0.3-0.5 µs each in pipeline
+    # overhead and dominated this kernel (~29 µs/layer measured).  Masks
+    # stay [H, 1] row vectors (a full [H, KV*D] i1 mask trips a Mosaic
+    # relayout bug).
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
+
+    def rowmask(h, dtype):
+        return (row_head == h).astype(dtype)              # [H, 1]
+
+    def select_rows(wide):
+        """[H, KV*D] → [H, D]: each row keeps its own head's lane-block."""
+        acc = None
+        for h in range(n_kv):
+            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
+            acc = seg if acc is None else acc + seg
+        return acc
+
+    qf = q_ref[0].reshape(HH, D)                          # [H, D]
+    q_wide = jnp.concatenate(
+        [qf * rowmask(h, qf.dtype) for h in range(n_kv)], axis=1)
 
     @pl.when(c == 0)
     def _():
         # accumulators start from the NEW token: m = s_new, denom = 1,
-        # ctx = v_new (their e-weight is exp(0) = 1)
+        # ctx = v_new (their e-weight is exp(0) = 1).  Slice the REFS per
+        # head then broadcast — lane-slicing a sublane-broadcast value is
+        # an invalid Mosaic layout.
+        kn_sel = None
+        vn_sel = None
         for h in range(n_kv):
-            q = q_ref[0, h]                               # [G, D]
-            kn = kn_ref[0, :, pl.ds(h * D, D)]            # [1, D]
-            s_new = jnp.sum(
-                q.astype(jnp.float32) * kn.astype(jnp.float32),
-                axis=1, keepdims=True) * scale            # [G, 1]
-            m_scr[pl.ds(h * G, G), :] = s_new
-            d_scr[pl.ds(h * G, G), :] = jnp.ones((G, 1), jnp.float32)
-            ctx_scr[pl.ds(h * G, G), :] = jnp.broadcast_to(
-                vn_ref[0, :, pl.ds(h * D, D)].astype(jnp.float32), (G, D))
+            rm = rowmask(h, jnp.float32)
+            kh = jnp.broadcast_to(
+                kn_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32),
+                (HH, D)) * rm
+            vh = jnp.broadcast_to(
+                vn_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32),
+                (HH, D)) * rm
+            kn_sel = kh if kn_sel is None else kn_sel + kh
+            vn_sel = vh if vn_sel is None else vn_sel + vh
+        s_new = jnp.sum(
+            qf.astype(jnp.float32) * kn_sel,
+            axis=1, keepdims=True) * scale                # [H, 1]
+        m_scr[:] = s_new
+        d_scr[:] = jnp.ones((HH, 1), jnp.float32)
+        ctx_scr[:] = vn_sel
 
     base = c * chunk
-    for h in range(n_kv):
-        q = q_ref[0, h]                                   # [G, D]
-        kc = k_ref[0, :, pl.ds(h * D, D)]                 # [chunk, D]
-        vc = v_ref[0, :, pl.ds(h * D, D)]                 # [chunk, D]
-        s = jax.lax.dot_general(
-            q, kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [G, chunk]
-        idx = base + jax.lax.broadcasted_iota(jnp.int32, (G, chunk), 1)
-        s = jnp.where(idx < pos, s, NEG_INF)
+    kc = k_ref[0]                                         # [chunk, KV*D]
+    vc = v_ref[0]
+    s = jax.lax.dot_general(
+        q_wide, kc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [H, chunk]
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (HH, chunk), 1)
+    s = jnp.where(idx < pos, s, NEG_INF)
 
-        m_old = m_scr[pl.ds(h * G, G), :]                 # [G, 1]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)                    # [G, 1]
-        e = jnp.exp(s - m_new)                            # [G, chunk]
-        m_scr[pl.ds(h * G, G), :] = m_new
-        d_scr[pl.ds(h * G, G), :] = (
-            d_scr[pl.ds(h * G, G), :] * alpha
-            + jnp.sum(e, axis=-1, keepdims=True))
-        ctx_scr[pl.ds(h * G, G), :] = (
-            ctx_scr[pl.ds(h * G, G), :] * alpha
-            + jax.lax.dot_general(
-                e.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    e = jnp.exp(s - m_new)                                # [H, chunk]
+    m_scr[:] = m_new
+    d_scr[:] = d_scr[:] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+    # one PV dot over ALL heads; rows pick their own head's lane-block
+    r = jax.lax.dot_general(
+        e.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [H, KV*D]
+    ctx_scr[:] = ctx_scr[:] * alpha + select_rows(r)
 
     @pl.when(c == n_chunks - 1)
     def _():
-        for h in range(n_kv):
-            ctx = ctx_scr[pl.ds(h * G, G), :] / d_scr[pl.ds(h * G, G), :]
-            out_ref[0, h] = ctx.astype(out_ref.dtype)
+        out_ref[0] = (ctx_scr[:] / d_scr[:]).reshape(
+            n_kv, G, D).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

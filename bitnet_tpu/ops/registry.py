@@ -26,10 +26,20 @@ class KernelSpec:
 
 
 REGISTRY: list[KernelSpec] = [
+    KernelSpec("ternary_matmul_qk256_w2a8", "matmul", "pallas", True,
+               "fused word-unpack + int8 MXU matmul with per-token int8 "
+               "activations (shipped TPU default)"),
     KernelSpec("ternary_matmul_qk256_pallas", "matmul", "pallas", True,
                "fused 2-bit unpack + MXU matmul, QK256 no-scale"),
     KernelSpec("ternary_matmul_bitnet32_pallas", "matmul", "pallas", True,
                "fused 2-bit unpack + per-32-block scale + MXU matmul"),
+    KernelSpec("decode_attention_pallas", "attention", "pallas", True,
+               "fused flash-decode attention (online softmax over "
+               "S-chunks, T=1)"),
+    KernelSpec("ffn_w2a8_fused_pallas", "matmul", "pallas", True,
+               "single-kernel gate|up + SiLU + down FFN (opt-in)"),
+    KernelSpec("logits_head_int8", "matmul", "xla", False,
+               "int8 tied-embedding LM head (quantize_head)"),
     KernelSpec("ternary_matmul_xla", "matmul", "xla", False,
                "dequantize-then-matmul, XLA-fused unpack"),
     KernelSpec("dense_matmul_xla", "matmul", "xla", False,

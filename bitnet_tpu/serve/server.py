@@ -230,16 +230,20 @@ class BitNetServer:
         if "tokens" in body:
             return [int(t) for t in body["tokens"]]
         prompt = body.get("prompt", "")
+        add_bos = True
         if "messages" in body:
             from .. import templates
 
             msgs = [templates.Message(m["role"], m["content"])
                     for m in body["messages"]]
             # the model's DETECTED template, not hardcoded ChatML — same
-            # detection the CLI chat path uses (templates.detect)
+            # detection the CLI chat path uses (templates.detect); the
+            # template's BOS policy applies (llama3 embeds its own BOS —
+            # double-BOS skews the first logits)
             ttype = self.manager.template_for(sched)
             prompt = templates.render_chat(ttype, msgs)
-        return tk.encode(prompt, add_bos=True)
+            add_bos = templates.spec_for(ttype).add_bos
+        return tk.encode(prompt, add_bos=add_bos)
 
     async def _collect(self, req) -> tuple[str, list[int], StopReason]:
         """Run one request to completion off the event loop; a dropped

@@ -44,6 +44,8 @@ def main():
             np.iinfo(np.int32).min, np.iinfo(np.int32).max,
             size=(L, kp // 16, npad), dtype=np.int32))
     const["norms"] = jnp.ones((L, 4, H), jnp.float32)
+    const["norm_f"] = jnp.ones((L, F), jnp.float32)
+    const["norm_a"] = jnp.ones((L, NH * D), jnp.float32)
     sin, cos = build_rope_tables(D, 4096, 500000.0)
     const["sin"] = jnp.asarray(sin)
     const["cos"] = jnp.asarray(cos)
@@ -64,7 +66,7 @@ def main():
             pos_b = jnp.full((1, 1), 0, jnp.int32) + pos
 
             def body(h, xs):
-                wq, wo, wg, wd, norms, kc, vc = xs
+                wq, wo, wg, wd, norms, nf, na, kc, vc = xs
                 hin = h
                 if level >= 1:
                     h = rms_norm(h[:, None], norms[0], 1e-5)[:, 0]
@@ -92,8 +94,7 @@ def main():
                 else:
                     attn = q.reshape(1, NH * D)
                 if level >= 1:
-                    attn = rms_norm(attn[:, None], norms[1][: NH * D],
-                                    1e-5)[:, 0]
+                    attn = rms_norm(attn[:, None], na, 1e-5)[:, 0]
                 o = mm(wo, attn, "o")
                 h2 = hin + o
                 hh = h2
@@ -102,19 +103,18 @@ def main():
                 gu = mm(wg, hh, "gateup")
                 act = gu[:, :F] * jax.nn.silu(gu[:, F:])
                 if level >= 1:
-                    act = rms_norm(act[:, None], norms[3][:F], 1e-5)[:, 0]
+                    act = rms_norm(act[:, None], nf, 1e-5)[:, 0]
                 dn = mm(wd, act, "down")
                 return h2 + dn, (kc, vc)
 
             def scan_body(h, xs):
-                wq, wo, wg, wd, norms, kc, vc = xs
-                y, (kc, vc) = body(h, (wq, wo, wg, wd, norms, kc, vc))
+                y, (kc, vc) = body(h, xs)
                 return y, (kc, vc)
 
             y, _ = jax.lax.scan(
                 scan_body, x,
                 (c["qkv"], c["o"], c["gateup"], c["down"], c["norms"],
-                 c["kc"], c["vc"]))
+                 c["norm_f"], c["norm_a"], c["kc"], c["vc"]))
             return (y * jnp.bfloat16(0.5), pos)
         return step
 
