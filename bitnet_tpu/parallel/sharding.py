@@ -183,3 +183,43 @@ def allocate_sharded_cache(mesh: Mesh, cfg: ModelConfig, batch_size: int,
                  if quantized else None),
         quantized=quantized,
     )
+
+
+def allocate_sharded_paged_cache(mesh: Mesh, cfg: ModelConfig,
+                                 batch_size: int, num_pages: int,
+                                 page_size: int = 16,
+                                 max_blocks_per_seq: int | None = None,
+                                 dtype: str = "bf16"):
+    """Paged page-pool cache allocated WITH its NamedShardings.
+
+    Layout: the pool ``[L, P, page, KV, D]`` shards KV heads on ``model``
+    (the same axis the dense cache uses) and is REPLICATED across ``data``
+    — pages have no batch identity, any data shard may gather any page
+    (the vLLM-on-TP layout).  Block tables / lengths shard their batch
+    axis on ``data`` so the gathered view partitions like the dense cache.
+    """
+    import jax.numpy as jnp
+
+    from ..engine.cache import _DTYPES
+    from ..engine.paged_cache import PagedKVCache, PagePool
+    from ..errors import InferenceError
+
+    if dtype in ("int8", "fp8"):
+        raise InferenceError("paged cache: quantized pages not yet supported")
+    if max_blocks_per_seq is None:
+        max_blocks_per_seq = num_pages
+    L, KV, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    jdtype = _DTYPES[dtype]
+    kv_sh = NamedSharding(mesh, P(None, None, None, MODEL_AXIS, None))
+    tab_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    len_sh = NamedSharding(mesh, P(DATA_AXIS))
+    shape = (L, num_pages, page_size, KV, D)
+    cache = PagedKVCache(
+        k=jnp.zeros(shape, jdtype, device=kv_sh),
+        v=jnp.zeros(shape, jdtype, device=kv_sh),
+        tables=jnp.full((batch_size, max_blocks_per_seq), -1, jnp.int32,
+                        device=tab_sh),
+        lengths=jnp.zeros((batch_size,), jnp.int32, device=len_sh),
+        page_size=page_size,
+    )
+    return cache, PagePool(num_pages)

@@ -155,16 +155,26 @@ class ContinuousBatchingScheduler:
         if paged:
             from ..engine.paged_cache import allocate_paged_cache
 
-            if mesh is not None:
-                raise InferenceError(
-                    "paged scheduler does not support mesh sharding yet")
             if self.engine_cfg.kv_cache_dtype not in ("bf16", "f32"):
                 raise InferenceError(
                     "paged scheduler: quantized KV pages not supported")
             nb = -(-self.S // page_size)
-            self.cache, self.pool = allocate_paged_cache(
-                cfg, self.B, num_pages or self.B * nb, page_size, nb,
-                self.engine_cfg.kv_cache_dtype)
+            if mesh is not None:
+                from ..parallel.sharding import (
+                    allocate_sharded_paged_cache,
+                    shard_params,
+                    validate_mesh_for,
+                )
+
+                validate_mesh_for(cfg, self.B, mesh, self.params)
+                self.params = shard_params(mesh, cfg, self.params)
+                self.cache, self.pool = allocate_sharded_paged_cache(
+                    mesh, cfg, self.B, num_pages or self.B * nb,
+                    page_size, nb, self.engine_cfg.kv_cache_dtype)
+            else:
+                self.cache, self.pool = allocate_paged_cache(
+                    cfg, self.B, num_pages or self.B * nb, page_size, nb,
+                    self.engine_cfg.kv_cache_dtype)
             self.S_view = nb * page_size
         elif mesh is not None:
             from ..parallel.sharding import (

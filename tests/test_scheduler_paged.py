@@ -148,3 +148,56 @@ class TestPagedScheduler:
             assert toks == eng.generate([1, 7, 20, 3], gen).token_ids
         finally:
             paged.shutdown()
+
+
+class TestPagedMeshScheduler:
+    """Paged pool + GSPMD mesh (VERDICT round 1 'paged+mesh combo').
+
+    Pool sharded KV-heads-on-model / replicated-on-data; block tables
+    sharded batch-on-data (parallel/sharding.allocate_sharded_paged_cache).
+    """
+
+    def test_paged_mesh_matches_dense_unsharded(self, model):
+        from bitnet_tpu.parallel import make_mesh
+
+        cfg, params, tok = model
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[1, 7, 20, 3], [3, 5, 8], [40, 41, 2, 6], [9, 10]]
+
+        dense = ContinuousBatchingScheduler(cfg, params, tok, ECFG,
+                                            num_slots=2)
+        try:
+            golden = [collect(dense.submit(p, gen))[0] for p in prompts]
+        finally:
+            dense.shutdown()
+
+        mesh = make_mesh(dp=2, tp=2)
+        paged = ContinuousBatchingScheduler(
+            cfg, params, tok, ECFG, paged=True, page_size=8,
+            num_slots=4, mesh=mesh)
+        try:
+            got = [collect(paged.submit(p, gen))[0] for p in prompts]
+            # all pages released once every request completes
+            assert paged.pool.free_pages == paged.pool.num_pages
+        finally:
+            paged.shutdown()
+        assert got == golden, (got, golden)
+
+    def test_paged_mesh_pool_smaller_than_BxS(self, model):
+        """Sharded pool still sized by live tokens, not B×S."""
+        from bitnet_tpu.parallel import make_mesh
+
+        cfg, params, tok = model
+        mesh = make_mesh(dp=2, tp=2)
+        paged = ContinuousBatchingScheduler(
+            cfg, params, tok, ECFG, paged=True, page_size=8,
+            num_slots=4, num_pages=8, mesh=mesh)   # 4×64 would need 32
+        try:
+            gen = GenerationConfig(max_new_tokens=4, greedy=True)
+            reqs = [paged.submit([1, i + 2, 9], gen) for i in range(6)]
+            for r in reqs:
+                toks, reason = collect(r)
+                assert len(toks) >= 1 and reason is not None
+            assert paged.pool.free_pages == 8
+        finally:
+            paged.shutdown()
