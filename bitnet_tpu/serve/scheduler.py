@@ -116,6 +116,8 @@ class ContinuousBatchingScheduler:
         paged: bool = False,
         num_pages: int | None = None,
         page_size: int = 16,
+        channel=None,
+        start_loop: bool = True,
     ):
         """``mesh``: optional (data, model) jax Mesh — the slot pool's
         batch axis shards across ``data`` and attention heads / FFN
@@ -138,6 +140,19 @@ class ContinuousBatchingScheduler:
         self.engine_cfg = engine_cfg or EngineConfig()
         self.B = num_slots
         self.S = self.engine_cfg.max_seq_len
+        # multi-host control plane (serve/follower.py): the frontend
+        # broadcasts every global device call; workers replay in follow()
+        self._channel = channel
+        if channel is not None:
+            if mesh is None:
+                raise InferenceError(
+                    "multi-host scheduling requires a mesh spanning all "
+                    "processes (parallel.multihost.host_mesh)")
+            if paged:
+                raise InferenceError(
+                    "multi-host scheduling does not support the paged "
+                    "pool yet (host-side block-table updates are global "
+                    "ops that would need mirroring)")
         self.mesh = mesh
         self.max_admissions_per_step = max(1, max_admissions_per_step)
         self.paged = paged
@@ -206,12 +221,27 @@ class ContinuousBatchingScheduler:
             "cancelled": 0, "timeouts": 0,
         }
         self._build_programs()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._thread = None
+        if start_loop:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
 
     # ------------------------------------------------------------------ jit
     def _build_programs(self) -> None:
         cfg, kp = self.cfg, self._kp
+
+        if self._channel is not None:
+            # multi-controller: host-read outputs must be fully replicated
+            # or their shards are non-addressable on the frontend
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            _rep_sh = NamedSharding(self.mesh, P())
+
+            def rep(x):
+                return jax.lax.with_sharding_constraint(x, _rep_sh)
+        else:
+            def rep(x):
+                return x
 
         def pooled_sample(raw, temps, top_ks, top_ps, min_ps, typ_ps,
                           rep_pens, history, keys, use_typical):
@@ -295,7 +325,7 @@ class ContinuousBatchingScheduler:
             nxt, subs, new_keys = pooled_sample(
                 raw, temps, top_ks, top_ps, min_ps, typ_ps, rep_pens,
                 history, keys, use_typical)
-            return nxt, raw, subs, new_keys, cache
+            return rep(nxt), rep(raw), rep(subs), rep(new_keys), cache
 
         self._decode_step = decode_step
 
@@ -384,7 +414,7 @@ class ContinuousBatchingScheduler:
                     jnp.zeros((B1,), jnp.int32), n_real, kp, ks, vs)
                 h_last = h[jnp.arange(B1), last_idx][:, None, :]
                 lg = model_logits(cfg, params, h_last, kp)[:, 0, :]
-                return lg, kc, vc, ks, vs
+                return rep(lg), kc, vc, ks, vs
             return prefill
 
         self._prefill_cache: dict[int, Callable] = {}
@@ -445,7 +475,55 @@ class ContinuousBatchingScheduler:
     def shutdown(self) -> None:
         self._stopping = True
         self._wake.set()
-        self._thread.join(timeout=30)
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # ----------------------------------------------------- multi-host
+    def follow(self) -> None:
+        """Worker follower loop (serve/follower.py): replay the frontend's
+        control stream so every process executes the same global device
+        programs in the same order.  Blocks until a ``stop`` record."""
+        ch = self._channel
+        if ch is None or ch.primary:
+            raise InferenceError(
+                "follow() runs on non-primary processes with a channel")
+        last_prefill = None
+        while True:
+            rec = ch.recv()
+            op = rec[0]
+            if op == "stop":
+                return
+            if op == "noop":
+                continue
+            if op == "prefill":
+                _, Tp, toks, pos, T = rec
+                if Tp not in self._prefill_cache:
+                    self._prefill_cache[Tp] = self._make_prefill(Tp)
+                last_prefill = self._prefill_cache[Tp](
+                    self.params, jnp.asarray(toks), jnp.asarray(pos),
+                    jnp.asarray([T], jnp.int32),
+                    jnp.asarray([T - 1], jnp.int32))
+            elif op == "splice":
+                _, slot_idx, T = rec
+                lg, kc, vc, ks, vs = last_prefill
+                self.cache = self._splice(
+                    self.cache, kc, vc, ks, vs,
+                    slot_idx, jnp.asarray(T, jnp.int32))
+                last_prefill = None
+            elif op == "decode":
+                (_, tokens, positions, active, temps, top_ks, top_ps,
+                 min_ps, typ_ps, reps, hist, keys, use_typical) = rec
+                out = self._decode_step(
+                    self.params, jnp.asarray(tokens),
+                    jnp.asarray(positions), self.cache,
+                    jnp.asarray(active), jnp.asarray(temps),
+                    jnp.asarray(top_ks), jnp.asarray(top_ps),
+                    jnp.asarray(min_ps), jnp.asarray(typ_ps),
+                    jnp.asarray(reps), jnp.asarray(hist),
+                    jnp.asarray(keys), use_typical=use_typical)
+                self.cache = out[4]
+            else:  # pragma: no cover - protocol guard
+                raise InferenceError(f"unknown control record {op!r}")
 
     # ------------------------------------------------- preemption recovery
     def checkpoint_requests(self, directory: str) -> list[str]:
@@ -461,6 +539,11 @@ class ContinuousBatchingScheduler:
 
         from ..engine import checkpoint as ckpt
 
+        if self._channel is not None:
+            raise InferenceError(
+                "checkpoint/resume is frontend-local and not mirrored to "
+                "followers; drain requests before stopping a multi-host "
+                "serve instead")
         _os.makedirs(directory, exist_ok=True)
         written = []
         for i, slot in enumerate(self.slots):
@@ -524,6 +607,10 @@ class ContinuousBatchingScheduler:
 
         from ..engine import checkpoint as ckpt
 
+        if self._channel is not None:
+            raise InferenceError(
+                "checkpoint/resume is frontend-local and not mirrored to "
+                "followers; resume before entering multi-host mode")
         restored = []
         for meta_path in sorted(_glob.glob(f"{directory}/*.req.json")):
             base = meta_path[: -len(".req.json")]
@@ -671,10 +758,16 @@ class ContinuousBatchingScheduler:
                 pos[0, :T] = np.arange(T)
                 if Tp not in self._prefill_cache:
                     self._prefill_cache[Tp] = self._make_prefill(Tp)
+                if self._channel is not None:
+                    self._channel.send(("prefill", Tp, toks, pos, T))
                 lg, kc, vc, ks, vs = self._prefill_cache[Tp](
                     self.params, jnp.asarray(toks), jnp.asarray(pos),
                     jnp.asarray([T], jnp.int32),
                     jnp.asarray([T - 1], jnp.int32))
+                if self._channel is not None:
+                    self._channel.send(("splice", slot_idx, T))
+                    # copy out so first-token sampling stays process-local
+                    lg = np.asarray(lg)
                 self.cache = self._splice(
                     self.cache, kc, vc, ks, vs,
                     slot_idx, jnp.asarray(T, jnp.int32))
@@ -887,6 +980,14 @@ class ContinuousBatchingScheduler:
         self._release_slot_pages(slot_idx)
 
     def _loop(self) -> None:
+        try:
+            self._loop_body()
+        finally:
+            if self._channel is not None:
+                # release the followers even if the loop died
+                self._channel.send(("stop",))
+
+    def _loop_body(self) -> None:
         zero_keys = np.zeros((self.B, 2), np.uint32)
         while not self._stopping:
             # cancellations / deadlines first: free slots before admitting
@@ -905,6 +1006,11 @@ class ContinuousBatchingScheduler:
             self.stats["active_slots"] = len(active_idx)
             self.stats["queue_depth"] = self.pending.qsize()
             if not active_idx:
+                if (self._channel is not None
+                        and time.time() - self._channel.last_send > 5.0):
+                    # idle heartbeat: keep the followers' blocking
+                    # collectives from outwaiting transport timeouts
+                    self._channel.send(("noop",))
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
@@ -937,6 +1043,11 @@ class ContinuousBatchingScheduler:
                 keys[i] = np.asarray(s.key, np.uint32)
             step_fn = (self._decode_step_paged if self.paged
                        else self._decode_step)
+            if self._channel is not None:
+                self._channel.send((
+                    "decode", self._tokens.copy(), positions, active,
+                    temps, top_ks, top_ps, min_ps, typ_ps, reps, hist,
+                    keys, use_typical))
             nxt, raw_lg, subs, new_keys, self.cache = step_fn(
                 self.params, jnp.asarray(self._tokens),
                 jnp.asarray(positions), self.cache,
@@ -947,6 +1058,12 @@ class ContinuousBatchingScheduler:
                 use_typical=use_typical)
             nxt_np = np.asarray(nxt)
             new_keys_np = np.asarray(new_keys)
+            if self._channel is not None and any(
+                    self.slots[i].mirostat is not None for i in active_idx):
+                # mirostat samples on host from the raw logits — keep
+                # those ops process-local via numpy copies
+                raw_lg = np.asarray(raw_lg)
+                subs = np.asarray(subs)
             self.stats["decode_steps"] += 1
             for i in active_idx:
                 s = self.slots[i]

@@ -612,14 +612,30 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     # (see parallel/multihost.py for the serve story — process 0 owns the
     # frontend; GSPMD spans all hosts' chips through the shard mesh)
     distributed = init_distributed()
+    ecfg0 = EngineConfig(max_seq_len=max_seq_len,
+                         kv_cache_dtype=kv_cache_dtype,
+                         kernel_path=kernel_path)
     if distributed and not is_primary():
-        raise NotImplementedError(
-            "multi-host serving requires a worker follower loop (every "
-            "process must execute the same jitted steps); run the server "
-            "on process 0 only — see parallel/multihost.py")
+        # follower: replay the frontend's control stream forever (the
+        # worker_loop builds the same mesh/programs and blocks in follow())
+        from .follower import worker_loop
+
+        tp = None
+        if shard:
+            tp = int(shard.split(",")[1])
+        worker_loop(model_path, ecfg0, num_slots=num_slots, tp=tp)
+        return
 
     mesh = None
-    if shard:
+    channel = None
+    if distributed:
+        from ..parallel.multihost import host_mesh
+        from .follower import ControlChannel
+
+        tp = int(shard.split(",")[1]) if shard else None
+        mesh = host_mesh(tp=tp)
+        channel = ControlChannel()
+    if shard and mesh is None:
         from ..errors import ConfigError
         from ..parallel import make_mesh
 
@@ -647,7 +663,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     sched = ContinuousBatchingScheduler(cfg, params, tokenizer, ecfg,
                                         num_slots=num_slots, mesh=mesh,
                                         paged=paged, num_pages=num_pages,
-                                        page_size=page_size)
+                                        page_size=page_size,
+                                        channel=channel)
     from .model_manager import ModelManager
 
     manager = ModelManager(ecfg, num_slots=num_slots, mesh=mesh)

@@ -70,3 +70,122 @@ def test_init_distributed_noop_without_env(monkeypatch):
 
     monkeypatch.delenv(multihost.COORD_ENV, raising=False)
     assert multihost.init_distributed() is False
+
+
+_SERVE_WORKER = r"""
+import os, sys
+pid, nproc, port, local, repo, model = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
+    sys.argv[5], sys.argv[6])
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={local}")
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, repo)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bitnet_tpu.parallel.multihost import init_distributed
+init_distributed(f"localhost:{port}", nproc, pid)
+
+from bitnet_tpu.config import EngineConfig, GenerationConfig
+ecfg = EngineConfig(max_seq_len=64, compute_dtype="f32",
+                    kv_cache_dtype="f32")
+if pid != 0:
+    from bitnet_tpu.serve.follower import worker_loop
+    worker_loop(model, ecfg, num_slots=2, tp=2)
+else:
+    import jax.numpy as jnp
+    from bitnet_tpu.models import load_model
+    from bitnet_tpu.parallel.multihost import host_mesh
+    from bitnet_tpu.serve.follower import ControlChannel
+    from bitnet_tpu.serve.scheduler import ContinuousBatchingScheduler
+    from bitnet_tpu.tokenizer import load_tokenizer
+
+    cfg, params, _ = load_model(model, param_dtype=jnp.float32)
+    tok = load_tokenizer(model)
+    sched = ContinuousBatchingScheduler(
+        cfg, params, tok, ecfg, num_slots=2, mesh=host_mesh(tp=2),
+        channel=ControlChannel())
+    gen = GenerationConfig(max_new_tokens=5, greedy=True)
+    outs = []
+    for prompt in ([1, 7, 20, 3], [3, 5, 8]):
+        req = sched.submit(prompt, gen)
+        toks = []
+        while True:
+            t, _, done, _ = req.out.get(timeout=180)
+            if t is not None:
+                toks.append(t)
+            if done:
+                break
+        outs.append(toks)
+    sched.shutdown()
+    print("SERVE_TOKENS", outs, flush=True)
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_serve_follower_parity(mini_gguf_f32):
+    """Frontend + follower worker serve greedy requests; tokens match a
+    single-process scheduler (serve/follower.py control-plane protocol)."""
+    import ast
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SERVE_WORKER, str(pid), "2", "18761",
+             "2", repo, mini_gguf_f32.path],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host serve dryrun timed out")
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        if rc != 0:
+            pytest.skip(f"gloo multi-process unavailable: {err[-600:]}")
+    got = None
+    for rc, out, err in outs:
+        for line in out.splitlines():
+            if line.startswith("SERVE_TOKENS"):
+                got = ast.literal_eval(line[len("SERVE_TOKENS "):])
+    assert got is not None, outs[0][1]
+
+    # single-process golden on this process's default CPU backend
+    import jax.numpy as jnp
+
+    from bitnet_tpu.config import EngineConfig, GenerationConfig
+    from bitnet_tpu.models import load_model
+    from bitnet_tpu.serve.scheduler import ContinuousBatchingScheduler
+    from bitnet_tpu.tokenizer import load_tokenizer
+
+    ecfg = EngineConfig(max_seq_len=64, compute_dtype="f32",
+                        kv_cache_dtype="f32")
+    cfg, params, _ = load_model(mini_gguf_f32.path, param_dtype=jnp.float32)
+    tok = load_tokenizer(mini_gguf_f32.path)
+    sched = ContinuousBatchingScheduler(cfg, params, tok, ecfg, num_slots=2)
+    gen = GenerationConfig(max_new_tokens=5, greedy=True)
+    golden = []
+    try:
+        for prompt in ([1, 7, 20, 3], [3, 5, 8]):
+            req = sched.submit(prompt, gen)
+            toks = []
+            while True:
+                t, _, done, _ = req.out.get(timeout=120)
+                if t is not None:
+                    toks.append(t)
+                if done:
+                    break
+            golden.append(toks)
+    finally:
+        sched.shutdown()
+    assert got == golden, (got, golden)
