@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.attention import attention
-from ..ops.linear import TernaryLinear, linear_apply
+from ..ops.linear import TernaryLinear, linear_apply, linear_apply_normed
 from ..ops.rmsnorm import rms_norm
 from ..ops.rope import apply_rope
 
@@ -131,9 +131,11 @@ def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:
     raise ValueError(f"unknown hidden_act {name!r}")
 
 
-def _ffn(cfg: ModelConfig, bp: "BlockParams", h: jnp.ndarray,
+def _ffn(cfg: ModelConfig, bp: "BlockParams", x: jnp.ndarray,
          kernel_path: str) -> jnp.ndarray:
-    """SwiGLU FFN (reference lib.rs:751-793); ``h`` is post-ffn_norm.
+    """SwiGLU FFN (reference lib.rs:751-793); ``x`` is the PRE-norm
+    residual — ffn_norm and the 2B-4T ffn_sub_norm fuse into the
+    gate/up and down projection kernels (quantize-preamble fusion).
 
     On the w2a8 path (SiLU models without the 2B-4T ffn_sub_norm, which
     normalizes over the full F row) the whole FFN runs as ONE fused
@@ -143,8 +145,8 @@ def _ffn(cfg: ModelConfig, bp: "BlockParams", h: jnp.ndarray,
 
     import os as _os
 
-    B, T, H = h.shape
-    lap = _p(linear_apply, path=kernel_path)
+    B, T, H = x.shape
+    lapn = _p(linear_apply_normed, eps=cfg.rms_norm_eps, path=kernel_path)
     # opt-in: measured on v5e the fused-FFN kernel LOSES to the two tuned
     # standalone kernels at B=1 (2.76 vs 2.57 ms/token — its F-tiled
     # streams overlap worse than the wide-N dedicated blocks); kept for
@@ -154,6 +156,7 @@ def _ffn(cfg: ModelConfig, bp: "BlockParams", h: jnp.ndarray,
             and bp.ffn_sub_norm is None and bp.w_gateup is not None):
         from ..ops.ffn_fused import ffn_fused_supported, ffn_w2a8_fused
 
+        h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
         F = bp.w_gateup.n // 2
         if (ffn_fused_supported(bp.w_gateup, bp.w_down, F, B * T)
                 and bp.w_gateup.packed.shape[1] == 2 * F):
@@ -167,16 +170,16 @@ def _ffn(cfg: ModelConfig, bp: "BlockParams", h: jnp.ndarray,
             return y.reshape(B, T, bp.w_down.n)
     if bp.w_gateup is not None:
         F = bp.w_gateup.n // 2
-        gu = lap(bp.w_gateup, h)                   # ONE fused kernel call
+        gu = lapn(bp.w_gateup, x, bp.ffn_norm)     # ONE fused kernel call
         gate = _act(cfg.hidden_act, gu[..., :F])
         up = gu[..., F:]
     else:
-        gate = _act(cfg.hidden_act, lap(bp.w_gate, h))
-        up = lap(bp.w_up, h)
+        h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
+        gate = _act(cfg.hidden_act, lapn(bp.w_gate, h, None))
+        up = lapn(bp.w_up, h, None)
     gu = gate * up
-    if bp.ffn_sub_norm is not None:      # BitNet 2B-4T sub-layernorm
-        gu = rms_norm(gu, bp.ffn_sub_norm, cfg.rms_norm_eps)
-    return lap(bp.w_down, gu)
+    # 2B-4T ffn_sub_norm (or plain quantize) fuses into the down kernel
+    return lapn(bp.w_down, gu, bp.ffn_sub_norm)
 
 
 def embed_tokens(params: BitNetParams, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -230,16 +233,21 @@ def block_forward(
         write_slots = q_positions
 
     # --- attention ---
-    h = rms_norm(x, bp.attn_norm, cfg.rms_norm_eps)
+    lapn = partial(linear_apply_normed, eps=cfg.rms_norm_eps,
+                   path=kernel_path)
     if bp.wqkv is not None:
-        qkv = lap(bp.wqkv, h)                  # ONE fused kernel call
+        # attn_norm rides the kernel's quantize preamble (w2a8 decode)
+        qkv = lapn(bp.wqkv, x, bp.attn_norm)   # ONE fused kernel call
         q = qkv[..., : nh * D].reshape(B, T, nh, D)
         k = qkv[..., nh * D: (nh + nkv) * D].reshape(B, T, nkv, D)
         v = qkv[..., (nh + nkv) * D:].reshape(B, T, nkv, D)
     else:
-        q = lap(bp.wq, h).reshape(B, T, nh, D)
-        k = lap(bp.wk, h).reshape(B, T, nkv, D)
-        v = lap(bp.wv, h).reshape(B, T, nkv, D)
+        # unfused projections share ONE explicit norm (quantize still
+        # fuses per matmul via lapn with gamma=None)
+        h = rms_norm(x, bp.attn_norm, cfg.rms_norm_eps)
+        q = lapn(bp.wq, h, None).reshape(B, T, nh, D)
+        k = lapn(bp.wk, h, None).reshape(B, T, nkv, D)
+        v = lapn(bp.wv, h, None).reshape(B, T, nkv, D)
 
     # RoPE at absolute positions (clamp padded S-positions into table
     # range); pre-gathered rows skip the per-layer table lookup
@@ -275,11 +283,8 @@ def block_forward(
         v_cache = v_cache.at[b_idx, write_slots].set(
             v.astype(v_cache.dtype), mode="drop")
         attn = attn1[:, None].reshape(B, T, nh * D)
-        if bp.attn_sub_norm is not None:
-            attn = rms_norm(attn, bp.attn_sub_norm, cfg.rms_norm_eps)
-        x = x + lap(bp.wo, attn)
-        h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
-        x = x + _ffn(cfg, bp, h, kernel_path)
+        x = x + lapn(bp.wo, attn, bp.attn_sub_norm)
+        x = x + _ffn(cfg, bp, x, kernel_path)
         return x, k_cache, v_cache, k_scale, v_scale
     if quantized:
         kq, ks = _quantize_kv(k, k_cache.dtype)
@@ -310,13 +315,11 @@ def block_forward(
         attn = attention(q, k_read, v_read, q_positions, new_len,
                          kv_positions=kv_positions, window=window)
     attn = attn.reshape(B, T, nh * D)
-    if bp.attn_sub_norm is not None:     # BitNet 2B-4T sub-layernorm
-        attn = rms_norm(attn, bp.attn_sub_norm, cfg.rms_norm_eps)
-    x = x + lap(bp.wo, attn)
+    # BitNet 2B-4T attn sub-layernorm fuses into the o-projection kernel
+    x = x + lapn(bp.wo, attn, bp.attn_sub_norm)
 
     # --- FFN (SwiGLU; reference lib.rs:751-793) ---
-    h = rms_norm(x, bp.ffn_norm, cfg.rms_norm_eps)
-    x = x + _ffn(cfg, bp, h, kernel_path)
+    x = x + _ffn(cfg, bp, x, kernel_path)
     return x, k_cache, v_cache, k_scale, v_scale
 
 

@@ -34,8 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# sequence-chunk width (grid steps double-buffer the K/V DMA)
-DEFAULT_CHUNK = 256
+# sequence-chunk width; ≤1024 runs as ONE grid step (see decode_attention)
+DEFAULT_CHUNK = 1024
 
 
 def _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
@@ -122,7 +122,7 @@ def _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
             n_kv, G, D).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
 def decode_attention(
     q: jnp.ndarray,         # [B, n_heads, D] (post-RoPE)
     k_new: jnp.ndarray,     # [B, KV, D]      (post-RoPE)
@@ -131,6 +131,7 @@ def decode_attention(
     v_cache: jnp.ndarray,   # [B, S, KV, D]
     pos: jnp.ndarray,       # [B] int32: #valid cache slots / query position
     interpret: bool = False,
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """Fused causal GQA attention for one decode step.
 
@@ -148,7 +149,13 @@ def decode_attention(
     vcv = v_cache.reshape(B, S, KV * D)
     pos2 = pos.reshape(B, 1).astype(jnp.int32)
 
-    chunk = min(DEFAULT_CHUNK, S)
+    if chunk is None:
+        # whole-S single grid step up to 1024: the K/V stream is small
+        # enough (≤2.6 MB) that per-grid-step DMA setup dominates
+        # double-buffering gains (v5e sweep: 4.8 µs/layer @1024 vs 6.0
+        # @256); larger caches chunk at 1024 to overlap the streams
+        chunk = min(DEFAULT_CHUNK, S)
+    chunk = min(chunk, S)
     while S % chunk:
         chunk //= 2
     n_chunks = S // chunk

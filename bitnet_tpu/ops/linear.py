@@ -203,6 +203,34 @@ def linear_apply(
     return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def linear_apply_normed(
+    lin: TernaryLinear,
+    x: jnp.ndarray,
+    gamma: jnp.ndarray | None = None,
+    eps: float = 1e-5,
+    path: str = "xla",
+) -> jnp.ndarray:
+    """``y = rms_norm(x, gamma) @ W`` (or plain ``x @ W`` when ``gamma``
+    is None) with the norm + activation quantization fused into the
+    Pallas kernel preamble on eligible w2a8 decode shapes.
+
+    Every BitNet matmul is preceded by an RMSNorm (attn_norm→qkv,
+    attn_sub_norm→o, ffn_norm→gate/up, ffn_sub_norm→down), so fusing the
+    norm into the kernel removes ALL standalone norm fusions from the
+    decode step (exp_fixed_ops.py S1: ~8 µs/layer at B=1).
+    """
+    if lin.kind != "dense" and path in ("pallas", "w2a8"):
+        from .ternary_matmul import ternary_matmul_pallas
+
+        return ternary_matmul_pallas(lin, x, variant=path, gamma=gamma,
+                                     eps=eps)
+    if gamma is not None:
+        from .rmsnorm import rms_norm
+
+        x = rms_norm(x, gamma, eps)
+    return linear_apply(lin, x, path=path)
+
+
 # --------------------------------------------------------------------------
 # Projection fusion (kernel-launch reduction)
 # --------------------------------------------------------------------------

@@ -169,6 +169,66 @@ def _qk256_w2a8_kernel(xq_ref, w_ref, sumq_ref, sx_ref, scale_ref,
             out_ref[:] = (y * scale_ref[0, 0]).astype(out_ref.dtype)
 
 
+def _qk256_w2a8_normed_kernel(x_ref, g_ref, w_ref, scale_ref, out_ref,
+                              acc_ref, xq_scr, sx_scr, sumq_scr,
+                              *, n_k: int, bkt: int, eps: float,
+                              has_norm: bool, vecscale: bool,
+                              interpret: bool):
+    """W2A8 kernel with the RMSNorm + per-token absmax quantization fused
+    into the first grid step (decode shapes: one M block, whole-K x).
+
+    Decode is launch-overhead bound: the separate XLA norm fusion +
+    absmax/round/sum chain + M-padding cost ~6 µs per matmul at B=1
+    (experiments/exp_fixed_ops.py S1) — here they ride the first weight
+    tile's DMA window instead.  The quantized activations live in VMEM
+    scratch for the whole (n, k) sweep; rows ≥ M are never initialized
+    and only feed output rows the caller slices away (integer products
+    cannot overflow: 128·4·K < 2^24).
+    """
+    n = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when((n == 0) & (k == 0))
+    def _():
+        xf = x_ref[:].astype(jnp.float32)              # [M, Kp]
+        if has_norm:
+            var = jnp.mean(xf * xf, axis=1, keepdims=True)
+            xf = xf * jax.lax.rsqrt(var + jnp.float32(eps))
+            xf = xf * g_ref[:].astype(jnp.float32)     # [1, Kp] broadcast
+        absmax = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8)
+        sx = absmax / 127.0
+        q = jnp.clip(jnp.round(xf / sx), -127, 127)
+        M = xf.shape[0]
+        xq_scr[0:M, :] = q.astype(jnp.int8)
+        sx_scr[0:M, :] = sx
+        # q holds exact small integers; f32 summation is exact < 2^24
+        sumq_scr[0:M, :] = jnp.sum(q, axis=1, keepdims=True).astype(
+            jnp.int32)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    base = k * bkt * KT
+    for t in range(bkt):
+        p32 = w_ref[pl.ds(t * (KT // 16), KT // 16), :]
+        w = _unpack_words_biased_i8(p32, interpret)     # i8 {0,1,3,4}
+        acc_ref[:] += jnp.dot(
+            xq_scr[:, pl.ds(base + t * KT, KT)], w,
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        corr = (acc_ref[:] - 2 * sumq_scr[:]).astype(jnp.float32)
+        y = corr * sx_scr[:].astype(jnp.float32)
+        if vecscale:
+            out_ref[:] = (y * scale_ref[0, :][None, :]).astype(out_ref.dtype)
+        else:
+            out_ref[:] = (y * scale_ref[0, 0]).astype(out_ref.dtype)
+
+
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     size = x.shape[axis]
     target = -(-size // mult) * mult
@@ -182,14 +242,14 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "variant", "k_dim", "n_dim", "bm", "bn", "bkt",
-                     "interpret", "out_dtype"),
+                     "interpret", "out_dtype", "has_norm", "eps"),
 )
 def _ternary_matmul_2d(
     x: jnp.ndarray,            # [M, K] float
     packed: jnp.ndarray,       # [Kp/16, Np] int32 words
     scales: jnp.ndarray,       # [] scalar (qk256) or [K/32, Np] (bitnet32)
     kind: str,
-    variant: str,              # 'pallas' (bf16) | 'w2a8'
+    variant: str,              # 'pallas' (bf16) | 'w2a8' | 'w2a8_normed'
     k_dim: int,
     n_dim: int,
     bm: int,
@@ -197,6 +257,9 @@ def _ternary_matmul_2d(
     bkt: int,
     interpret: bool,
     out_dtype,
+    gamma: jnp.ndarray | None = None,   # [K] RMSNorm weight (w2a8_normed)
+    has_norm: bool = False,
+    eps: float = 1e-5,
 ) -> jnp.ndarray:
     M, K = x.shape
     Kp = packed.shape[0] * 16
@@ -219,6 +282,56 @@ def _ternary_matmul_2d(
 
     flops = 2 * Mp * Kp * Np
     bytes_accessed = Mp * Kp * 2 + (Kp // 4) * Np + Mp * Np * 4
+
+    if variant == "w2a8_normed":
+        # norm+quantize fused into the matmul kernel (decode shapes only:
+        # caller guarantees kind=='qk256', one M block, K==Kp)
+        assert kind == "qk256" and n_m == 1 and K == Kp
+        s = jnp.asarray(scales, jnp.float32)
+        vecscale = s.ndim >= 2
+        if vecscale:
+            s = s.reshape(1, -1)
+            if s.shape[1] != Np:
+                s = jnp.pad(s, ((0, 0), (0, Np - s.shape[1])),
+                            constant_values=1.0)
+            s_spec = pl.BlockSpec((1, bn), lambda m, n, k: (0, n),
+                                  memory_space=pltpu.VMEM)
+        else:
+            s = s.reshape(1, 1)
+            s_spec = pl.BlockSpec((1, 1), lambda m, n, k: (0, 0),
+                                  memory_space=pltpu.SMEM)
+        g = (jnp.asarray(gamma, jnp.float32).reshape(1, Kp)
+             if has_norm else jnp.ones((1, Kp), jnp.float32))
+        out = pl.pallas_call(
+            functools.partial(
+                _qk256_w2a8_normed_kernel, n_k=n_k, bkt=bkt, eps=eps,
+                has_norm=has_norm, vecscale=vecscale, interpret=interpret),
+            out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, Kp), lambda m, n, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Kp), lambda m, n, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                w_spec,
+                s_spec,
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((bm, bn), jnp.int32),      # accumulator
+                pltpu.VMEM((bm, Kp), jnp.int8),       # quantized activations
+                pltpu.VMEM((bm, 1), jnp.float32),     # per-token scale
+                pltpu.VMEM((bm, 1), jnp.int32),       # zero-point sums
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=bytes_accessed,
+                transcendentals=0),
+            interpret=interpret,
+        )(x, g, packed, s)
+        return out[:M, :n_dim]
 
     use_w2a8 = variant == "w2a8" and kind == "qk256"
     if use_w2a8:
@@ -365,12 +478,19 @@ def _pick_blocks(M: int, Kp: int, Np: int, variant: str
 
 def ternary_matmul_pallas(lin, x: jnp.ndarray,
                           interpret: bool | None = None,
-                          variant: str = "pallas") -> jnp.ndarray:
+                          variant: str = "pallas",
+                          gamma: jnp.ndarray | None = None,
+                          eps: float = 1e-5) -> jnp.ndarray:
     """``y = x @ W`` with W packed ternary — fused unpack+MXU kernel.
 
     ``lin``: ops.linear.TernaryLinear (kind 'qk256' or 'bitnet32');
     ``x``: [..., K] activations; ``variant``: 'pallas' (bf16-exact) or
     'w2a8' (int8 activations, qk256 only).  Returns [..., N] in x.dtype.
+
+    ``gamma``: optional RMSNorm weight — computes ``(x @ W) of
+    rms_norm(x, gamma)`` with the norm fused into the kernel's
+    activation-quantize preamble on eligible w2a8 decode shapes, and
+    falls back to an explicit XLA norm otherwise.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -384,6 +504,21 @@ def ternary_matmul_pallas(lin, x: jnp.ndarray,
     bm, bn, bkt = _pick_blocks(M, Kp, Np, variant)
 
     scales = lin.scales if lin.scales is not None else jnp.float32(1.0)
+    if (variant == "w2a8" and lin.kind == "qk256" and M <= bm
+            and K == Kp):
+        # norm (if any) + quantize fused in-kernel — decode is
+        # launch-overhead bound (exp_fixed_ops.py S1: ~6 µs/matmul saved)
+        y = _ternary_matmul_2d(
+            x2, lin.packed, scales, kind=lin.kind, variant="w2a8_normed",
+            k_dim=lin.k, n_dim=lin.n,
+            bm=bm, bn=bn, bkt=bkt, interpret=interpret, out_dtype=x.dtype,
+            gamma=gamma, has_norm=gamma is not None, eps=eps,
+        )
+        return y.reshape(*lead, lin.n)
+    if gamma is not None:
+        from .rmsnorm import rms_norm
+
+        x2 = rms_norm(x2, gamma, eps)
     y = _ternary_matmul_2d(
         x2, lin.packed, scales, kind=lin.kind, variant=variant,
         k_dim=lin.k, n_dim=lin.n,
