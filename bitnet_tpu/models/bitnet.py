@@ -134,8 +134,10 @@ def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:
 def _ffn(cfg: ModelConfig, bp: "BlockParams", x: jnp.ndarray,
          kernel_path: str) -> jnp.ndarray:
     """SwiGLU FFN (reference lib.rs:751-793); ``x`` is the PRE-norm
-    residual — ffn_norm and the 2B-4T ffn_sub_norm fuse into the
-    gate/up and down projection kernels (quantize-preamble fusion).
+    residual and the return value INCLUDES it (``x + down(...)``) —
+    ffn_norm, the 2B-4T ffn_sub_norm, the SwiGLU activation, and the
+    residual add all fuse into the gate/up and down projection kernels
+    (quantize-preamble / epilogue fusion).
 
     On the w2a8 path (SiLU models without the 2B-4T ffn_sub_norm, which
     normalizes over the full F row) the whole FFN runs as ONE fused
@@ -167,10 +169,13 @@ def _ffn(cfg: ModelConfig, bp: "BlockParams", x: jnp.ndarray,
                  else jnp.float32(1.0)),
                 k_dim=H, f_dim=F, n_dim=bp.w_down.n,
                 interpret=jax.default_backend() != "tpu")
-            return y.reshape(B, T, bp.w_down.n)
+            return x + y.reshape(B, T, bp.w_down.n)
     if bp.w_gateup is not None:
-        F = bp.w_gateup.n // 2
         gu = lapn(bp.w_gateup, x, bp.ffn_norm)     # ONE fused kernel call
+        if cfg.hidden_act == "silu":
+            # silu(gate)·up + ffn_sub_norm + quantize + residual: ONE call
+            return lapn(bp.w_down, gu, bp.ffn_sub_norm, glu=True, resid=x)
+        F = bp.w_gateup.n // 2
         gate = _act(cfg.hidden_act, gu[..., :F])
         up = gu[..., F:]
     else:
@@ -179,7 +184,7 @@ def _ffn(cfg: ModelConfig, bp: "BlockParams", x: jnp.ndarray,
         up = lapn(bp.w_up, h, None)
     gu = gate * up
     # 2B-4T ffn_sub_norm (or plain quantize) fuses into the down kernel
-    return lapn(bp.w_down, gu, bp.ffn_sub_norm)
+    return lapn(bp.w_down, gu, bp.ffn_sub_norm, resid=x)
 
 
 def embed_tokens(params: BitNetParams, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -235,6 +240,39 @@ def block_forward(
     # --- attention ---
     lapn = partial(linear_apply_normed, eps=cfg.rms_norm_eps,
                    path=kernel_path)
+    quantized0 = k_scale is not None
+    fast_decode = (T == 1 and B <= 2 and not quantized0
+                   and kv_positions is None and window is None
+                   and write_slots is q_positions
+                   and kernel_path in ("pallas", "w2a8"))
+    # opt-in (BITNET_ROPE_FUSED=1): measured on v5e the rope-fused kernel
+    # is FASTER in isolation (3.5 vs 4.4 µs/layer) but flips XLA's layout
+    # assignment for the KV cache in the full model — per-layer
+    # layout-changing cache copies (~170 µs/layer, profiler `copy.42/44`)
+    # swamp the win.  Kept for re-evaluation on newer XLA.
+    import os as _os
+    if (fast_decode and bp.wqkv is not None and rope_sin.ndim == 4
+            and _os.environ.get("BITNET_ROPE_FUSED", "0") == "1"):
+        # rope-fused path: the RAW qkv row feeds ONE kernel that applies
+        # RoPE, runs flash-decode attention, and hands back the roped
+        # k / v rows for the cache scatter — the q/k/v slicing and both
+        # rope fusions disappear from the XLA graph
+        from ..ops.decode_attention import decode_attention_qkv
+
+        qkv = lapn(bp.wqkv, x, bp.attn_norm)
+        attn1, k_row, v_row = decode_attention_qkv(
+            qkv[:, 0], rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
+            k_cache, v_cache, kv_valid_len, n_heads=nh,
+            interpret=jax.default_backend() != "tpu")
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        k_cache = k_cache.at[b_idx, write_slots].set(
+            k_row[:, None], mode="drop")
+        v_cache = v_cache.at[b_idx, write_slots].set(
+            v_row[:, None], mode="drop")
+        attn = attn1[:, None].reshape(B, T, nh * D)
+        x = lapn(bp.wo, attn, bp.attn_sub_norm, resid=x)
+        x = _ffn(cfg, bp, x, kernel_path)
+        return x, k_cache, v_cache, k_scale, v_scale
     if bp.wqkv is not None:
         # attn_norm rides the kernel's quantize preamble (w2a8 decode)
         qkv = lapn(bp.wqkv, x, bp.attn_norm)   # ONE fused kernel call
@@ -269,9 +307,7 @@ def block_forward(
     # B-gated: the kernel's grid steps scale with B while the XLA einsum
     # path batches rows, so big pools keep XLA (v5e: B=1 3.17→2.57 ms/tok
     # with the kernel; B=8 was faster on XLA attention)
-    if (T == 1 and B <= 2 and not quantized and kv_positions is None
-            and window is None and write_slots is q_positions
-            and kernel_path in ("pallas", "w2a8")):
+    if fast_decode:
         from .. import ops as _ops  # noqa: F401 (namespace)
         from ..ops.decode_attention import decode_attention
 
@@ -283,8 +319,8 @@ def block_forward(
         v_cache = v_cache.at[b_idx, write_slots].set(
             v.astype(v_cache.dtype), mode="drop")
         attn = attn1[:, None].reshape(B, T, nh * D)
-        x = x + lapn(bp.wo, attn, bp.attn_sub_norm)
-        x = x + _ffn(cfg, bp, x, kernel_path)
+        x = lapn(bp.wo, attn, bp.attn_sub_norm, resid=x)
+        x = _ffn(cfg, bp, x, kernel_path)
         return x, k_cache, v_cache, k_scale, v_scale
     if quantized:
         kq, ks = _quantize_kv(k, k_cache.dtype)
@@ -315,11 +351,11 @@ def block_forward(
         attn = attention(q, k_read, v_read, q_positions, new_len,
                          kv_positions=kv_positions, window=window)
     attn = attn.reshape(B, T, nh * D)
-    # BitNet 2B-4T attn sub-layernorm fuses into the o-projection kernel
-    x = x + lapn(bp.wo, attn, bp.attn_sub_norm)
+    # BitNet 2B-4T attn sub-layernorm + residual fuse into the o kernel
+    x = lapn(bp.wo, attn, bp.attn_sub_norm, resid=x)
 
     # --- FFN (SwiGLU; reference lib.rs:751-793) ---
-    x = x + _ffn(cfg, bp, x, kernel_path)
+    x = _ffn(cfg, bp, x, kernel_path)
     return x, k_cache, v_cache, k_scale, v_scale
 
 
@@ -357,11 +393,21 @@ def forward(
     # pre_len + T == kv_valid_len + num_real_tokens.
     _pre_len = kv_valid_len + jnp.asarray(num_real_tokens, jnp.int32) - T
 
+    # pre-gather the rope rows ONCE for all layers (positions are
+    # layer-invariant; 30 redundant table gathers otherwise, and the
+    # rope-fused decode-attention kernel needs the rows directly)
+    if params.rope_sin.ndim == 2:
+        rp = jnp.minimum(q_positions, params.rope_sin.shape[0] - 1)
+        rope_sin = params.rope_sin[rp][:, :, None, :]   # [B, T, 1, D/2]
+        rope_cos = params.rope_cos[rp][:, :, None, :]
+    else:
+        rope_sin, rope_cos = params.rope_sin, params.rope_cos
+
     def body(carry, xs):
         h = carry
         bp, kc, vc, ks, vs = xs
         y, kc, vc, ks, vs = block_forward(
-            cfg, h, bp, params.rope_sin, params.rope_cos,
+            cfg, h, bp, rope_sin, rope_cos,
             q_positions, kc, vc, _pre_len, kernel_path, ks, vs,
             write_slots, kv_positions, window,
         )

@@ -122,6 +122,185 @@ def _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
             n_kv, G, D).astype(out_ref.dtype)
 
 
+def _decode_attn_qkv_kernel(pos_ref, qkv_ref, sin_ref, cos_ref, k_ref,
+                            v_ref, out_ref, kr_ref, vr_ref,
+                            m_scr, d_scr, ctx_scr, q_scr,
+                            *, scale: float, n_kv: int, G: int, D: int,
+                            chunk: int, n_chunks: int):
+    """Rope-fused flash-decode: consumes the RAW fused q|k|v projection
+    row, applies RoPE (LLaMA split layout) to q and k in-kernel, and
+    emits attention + the roped k row + the v row for the cache scatter.
+
+    Removes the per-layer XLA glue between the qkv matmul and attention
+    (q/k/v slices+reshapes and two rope fusions — decode at B=1 is
+    dispatch-bound, ~1.5-2 µs per XLA op).
+    """
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    pos = pos_ref[b, 0]
+    HH = n_kv * G
+    half = D // 2
+
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
+
+    def rowmask(h, dtype):
+        return (row_head == h).astype(dtype)              # [H, 1]
+
+    def select_rows(wide):
+        acc = None
+        for h in range(n_kv):
+            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
+            acc = seg if acc is None else acc + seg
+        return acc
+
+    @pl.when(c == 0)
+    def _():
+        # qkv arrives pre-shaped [rows, D] — an in-kernel [1, R*D] →
+        # [R, D] reshape is a lane→sublane relayout Mosaic executes
+        # catastrophically slowly (~180 µs measured); XLA does it for ~1 µs
+        rows = qkv_ref[0].astype(jnp.float32)
+        cs = jnp.concatenate([cos_ref[:], cos_ref[:]], axis=1)  # [1, D]
+        sn = jnp.concatenate([sin_ref[:], sin_ref[:]], axis=1)
+        qk = rows[0:HH + n_kv]
+        rot = jnp.concatenate([-qk[:, half:], qk[:, :half]], axis=1)
+        qk = qk * cs + rot * sn                           # split-layout RoPE
+        qf = qk[0:HH]                                     # [H, D] roped q
+        k_row = qk[HH:HH + n_kv]                          # [KV, D] roped k
+        v_row = rows[HH + n_kv:]
+        q_scr[:] = qf
+        kr_ref[0] = k_row.astype(kr_ref.dtype)
+        vr_ref[0] = v_row.astype(vr_ref.dtype)
+        # accumulators start from the NEW token (e-weight exp(0) = 1)
+        kn_sel = None
+        vn_sel = None
+        for h in range(n_kv):
+            rm = rowmask(h, jnp.float32)
+            kh = jnp.broadcast_to(k_row[h:h + 1, :], (HH, D)) * rm
+            vh = jnp.broadcast_to(v_row[h:h + 1, :], (HH, D)) * rm
+            kn_sel = kh if kn_sel is None else kn_sel + kh
+            vn_sel = vh if vn_sel is None else vn_sel + vh
+        s_new = jnp.sum(qf * kn_sel, axis=1, keepdims=True) * scale
+        m_scr[:] = s_new
+        d_scr[:] = jnp.ones((HH, 1), jnp.float32)
+        ctx_scr[:] = vn_sel
+
+    base = c * chunk
+    kc = k_ref[0]                                         # [chunk, KV*D]
+    vc = v_ref[0]
+    qf = q_scr[:].astype(kc.dtype)
+    q_wide = jnp.concatenate(
+        [qf * rowmask(h, qf.dtype) for h in range(n_kv)], axis=1)
+    s = jax.lax.dot_general(
+        q_wide, kc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [H, chunk]
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (HH, chunk), 1)
+    s = jnp.where(idx < pos, s, NEG_INF)
+
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    e = jnp.exp(s - m_new)                                # [H, chunk]
+    m_scr[:] = m_new
+    d_scr[:] = d_scr[:] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+    r = jax.lax.dot_general(
+        e.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [H, KV*D]
+    ctx_scr[:] = ctx_scr[:] * alpha + select_rows(r)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[0] = (ctx_scr[:] / d_scr[:]).reshape(
+            n_kv, G, D).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "interpret", "chunk"))
+def decode_attention_qkv(
+    qkv: jnp.ndarray,       # [B, H+2*KV, D] RAW fused projection (no rope)
+    sin_row: jnp.ndarray,   # [B, D//2] rope row at the query position
+    cos_row: jnp.ndarray,   # [B, D//2]
+    k_cache: jnp.ndarray,   # [B, S, KV, D]  (PRE-write)
+    v_cache: jnp.ndarray,   # [B, S, KV, D]
+    pos: jnp.ndarray,       # [B] int32
+    n_heads: int,
+    interpret: bool = False,
+    chunk: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Rope-fused decode attention over the raw q|k|v row.
+
+    Returns (attn [B, n_heads, D], k_roped [B, KV, D] in cache dtype,
+    v_row [B, KV, D] in cache dtype) — the caller scatters the k/v rows
+    into the cache at the write slot.
+    """
+    B = qkv.shape[0]
+    S, KV, D = k_cache.shape[1], k_cache.shape[2], k_cache.shape[3]
+    H = n_heads
+    G = H // KV
+    dt = k_cache.dtype
+    qkv = qkv.reshape(B, H + 2 * KV, D)
+    kcv = k_cache.reshape(B, S, KV * D)
+    vcv = v_cache.reshape(B, S, KV * D)
+    pos2 = pos.reshape(B, 1).astype(jnp.int32)
+    half = D // 2
+
+    if chunk is None:
+        chunk = min(DEFAULT_CHUNK, S)
+    chunk = min(chunk, S)
+    while S % chunk:
+        chunk //= 2
+    n_chunks = S // chunk
+
+    grid = (B, n_chunks)
+    out, kr, vr = pl.pallas_call(
+        functools.partial(_decode_attn_qkv_kernel, scale=float(D) ** -0.5,
+                          n_kv=KV, G=G, D=D, chunk=chunk,
+                          n_chunks=n_chunks),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, KV, G, D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, KV, D), dt),
+            jax.ShapeDtypeStruct((B, KV, D), dt),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H + 2 * KV, D), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, half), lambda b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, half), lambda b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, KV * D), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, KV * D), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, KV, G, D), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, D), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, D), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KV * G, 1), jnp.float32),    # running max
+            pltpu.VMEM((KV * G, 1), jnp.float32),    # running denom
+            pltpu.VMEM((KV * G, D), jnp.float32),    # running context
+            pltpu.VMEM((KV * G, D), jnp.float32),    # roped q
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=2 * B * S * KV * D * dt.itemsize,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(pos2, qkv, sin_row, cos_row, kcv, vcv)
+    return out.reshape(B, H, D), kr, vr
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
 def decode_attention(
     q: jnp.ndarray,         # [B, n_heads, D] (post-RoPE)

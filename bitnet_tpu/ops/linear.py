@@ -209,6 +209,8 @@ def linear_apply_normed(
     gamma: jnp.ndarray | None = None,
     eps: float = 1e-5,
     path: str = "xla",
+    glu: bool = False,
+    resid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """``y = rms_norm(x, gamma) @ W`` (or plain ``x @ W`` when ``gamma``
     is None) with the norm + activation quantization fused into the
@@ -223,12 +225,18 @@ def linear_apply_normed(
         from .ternary_matmul import ternary_matmul_pallas
 
         return ternary_matmul_pallas(lin, x, variant=path, gamma=gamma,
-                                     eps=eps)
+                                     eps=eps, glu=glu, resid=resid)
+    if glu:
+        import jax
+
+        K = x.shape[-1] // 2
+        x = jax.nn.silu(x[..., :K]) * x[..., K:]
     if gamma is not None:
         from .rmsnorm import rms_norm
 
         x = rms_norm(x, gamma, eps)
-    return linear_apply(lin, x, path=path)
+    y = linear_apply(lin, x, path=path)
+    return y if resid is None else y + resid
 
 
 # --------------------------------------------------------------------------

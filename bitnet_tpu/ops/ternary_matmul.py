@@ -169,10 +169,10 @@ def _qk256_w2a8_kernel(xq_ref, w_ref, sumq_ref, sx_ref, scale_ref,
             out_ref[:] = (y * scale_ref[0, 0]).astype(out_ref.dtype)
 
 
-def _qk256_w2a8_normed_kernel(x_ref, g_ref, w_ref, scale_ref, out_ref,
-                              acc_ref, xq_scr, sx_scr, sumq_scr,
-                              *, n_k: int, bkt: int, eps: float,
+def _qk256_w2a8_normed_kernel(x_ref, g_ref, w_ref, scale_ref, *rest,
+                              n_k: int, bkt: int, eps: float,
                               has_norm: bool, vecscale: bool,
+                              glu: bool, has_resid: bool,
                               interpret: bool):
     """W2A8 kernel with the RMSNorm + per-token absmax quantization fused
     into the first grid step (decode shapes: one M block, whole-K x).
@@ -184,13 +184,28 @@ def _qk256_w2a8_normed_kernel(x_ref, g_ref, w_ref, scale_ref, out_ref,
     scratch for the whole (n, k) sweep; rows ≥ M are never initialized
     and only feed output rows the caller slices away (integer products
     cannot overflow: 128·4·K < 2^24).
+
+    ``glu``: x is the raw gate|up projection [M, 2K]; the preamble
+    computes ``silu(gate) · up`` before the norm — the SwiGLU activation
+    rides the kernel too.  ``has_resid``: a residual block is added in
+    the epilogue, so the layer's residual add stops being a standalone
+    XLA fusion.
     """
+    if has_resid:
+        resid_ref, out_ref, acc_ref, xq_scr, sx_scr, sumq_scr = rest
+    else:
+        out_ref, acc_ref, xq_scr, sx_scr, sumq_scr = rest
+        resid_ref = None
     n = pl.program_id(1)
     k = pl.program_id(2)
 
     @pl.when((n == 0) & (k == 0))
     def _():
-        xf = x_ref[:].astype(jnp.float32)              # [M, Kp]
+        xf = x_ref[:].astype(jnp.float32)              # [M, Kp] / [M, 2Kp]
+        if glu:
+            Kp = xf.shape[1] // 2
+            gate = xf[:, :Kp]
+            xf = gate * jax.lax.logistic(gate) * xf[:, Kp:]   # silu(g)·up
         if has_norm:
             var = jnp.mean(xf * xf, axis=1, keepdims=True)
             xf = xf * jax.lax.rsqrt(var + jnp.float32(eps))
@@ -224,9 +239,17 @@ def _qk256_w2a8_normed_kernel(x_ref, g_ref, w_ref, scale_ref, out_ref,
         corr = (acc_ref[:] - 2 * sumq_scr[:]).astype(jnp.float32)
         y = corr * sx_scr[:].astype(jnp.float32)
         if vecscale:
-            out_ref[:] = (y * scale_ref[0, :][None, :]).astype(out_ref.dtype)
+            y = y * scale_ref[0, :][None, :]
         else:
-            out_ref[:] = (y * scale_ref[0, 0]).astype(out_ref.dtype)
+            y = y * scale_ref[0, 0]
+        if has_resid:
+            # resid carries M (not bm) rows; rows ≥ M stay unwritten
+            M = resid_ref.shape[0]
+            out_ref[0:M, :] = (
+                y[0:M, :] + resid_ref[:].astype(jnp.float32)
+            ).astype(out_ref.dtype)
+        else:
+            out_ref[:] = y.astype(out_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -242,7 +265,7 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "variant", "k_dim", "n_dim", "bm", "bn", "bkt",
-                     "interpret", "out_dtype", "has_norm", "eps"),
+                     "interpret", "out_dtype", "has_norm", "eps", "glu"),
 )
 def _ternary_matmul_2d(
     x: jnp.ndarray,            # [M, K] float
@@ -260,13 +283,17 @@ def _ternary_matmul_2d(
     gamma: jnp.ndarray | None = None,   # [K] RMSNorm weight (w2a8_normed)
     has_norm: bool = False,
     eps: float = 1e-5,
+    glu: bool = False,                  # x = gate|up ([M, 2K], w2a8_normed)
+    resid: jnp.ndarray | None = None,   # [M, N] residual (w2a8_normed)
 ) -> jnp.ndarray:
     M, K = x.shape
+    if glu:
+        K //= 2
     Kp = packed.shape[0] * 16
     Np = packed.shape[1]
     bk = bkt * KT
 
-    if K != Kp:  # pad K → Kp (padded weight rows are code 0 → biased 0)
+    if K != Kp and not glu:  # pad K → Kp (padded rows are code 0)
         x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, Kp - K)))
     Mp = -(-M // bm) * bm
 
@@ -302,20 +329,30 @@ def _ternary_matmul_2d(
                                   memory_space=pltpu.SMEM)
         g = (jnp.asarray(gamma, jnp.float32).reshape(1, Kp)
              if has_norm else jnp.ones((1, Kp), jnp.float32))
+        in_specs = [
+            pl.BlockSpec((M, x.shape[1]), lambda m, n, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kp), lambda m, n, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec,
+            s_spec,
+        ]
+        operands = [x, g, packed, s]
+        has_resid = resid is not None
+        if has_resid:
+            if resid.shape[1] != Np:
+                resid = jnp.pad(resid, ((0, 0), (0, Np - resid.shape[1])))
+            in_specs.append(pl.BlockSpec((M, bn), lambda m, n, k: (0, n),
+                                         memory_space=pltpu.VMEM))
+            operands.append(resid)
         out = pl.pallas_call(
             functools.partial(
                 _qk256_w2a8_normed_kernel, n_k=n_k, bkt=bkt, eps=eps,
-                has_norm=has_norm, vecscale=vecscale, interpret=interpret),
+                has_norm=has_norm, vecscale=vecscale, glu=glu,
+                has_resid=has_resid, interpret=interpret),
             out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((M, Kp), lambda m, n, k: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Kp), lambda m, n, k: (0, 0),
-                             memory_space=pltpu.VMEM),
-                w_spec,
-                s_spec,
-            ],
+            in_specs=in_specs,
             out_specs=out_spec,
             scratch_shapes=[
                 pltpu.VMEM((bm, bn), jnp.int32),      # accumulator
@@ -330,7 +367,7 @@ def _ternary_matmul_2d(
                 flops=flops, bytes_accessed=bytes_accessed,
                 transcendentals=0),
             interpret=interpret,
-        )(x, g, packed, s)
+        )(*operands)
         return out[:M, :n_dim]
 
     use_w2a8 = variant == "w2a8" and kind == "qk256"
@@ -480,7 +517,9 @@ def ternary_matmul_pallas(lin, x: jnp.ndarray,
                           interpret: bool | None = None,
                           variant: str = "pallas",
                           gamma: jnp.ndarray | None = None,
-                          eps: float = 1e-5) -> jnp.ndarray:
+                          eps: float = 1e-5,
+                          glu: bool = False,
+                          resid: jnp.ndarray | None = None) -> jnp.ndarray:
     """``y = x @ W`` with W packed ternary — fused unpack+MXU kernel.
 
     ``lin``: ops.linear.TernaryLinear (kind 'qk256' or 'bitnet32');
@@ -490,13 +529,15 @@ def ternary_matmul_pallas(lin, x: jnp.ndarray,
     ``gamma``: optional RMSNorm weight — computes ``(x @ W) of
     rms_norm(x, gamma)`` with the norm fused into the kernel's
     activation-quantize preamble on eligible w2a8 decode shapes, and
-    falls back to an explicit XLA norm otherwise.
+    falls back to an explicit XLA norm otherwise.  ``glu``: ``x`` is the
+    raw gate|up projection ([..., 2K]); silu(gate)·up fuses into the
+    same preamble.  ``resid``: [..., N] residual added in the epilogue.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     lead = x.shape[:-1]
-    K = x.shape[-1]
-    x2 = x.reshape(-1, K)
+    K = x.shape[-1] // 2 if glu else x.shape[-1]
+    x2 = x.reshape(-1, x.shape[-1])
     M = x2.shape[0]
 
     Kp = lin.packed.shape[0] * 16
@@ -506,15 +547,18 @@ def ternary_matmul_pallas(lin, x: jnp.ndarray,
     scales = lin.scales if lin.scales is not None else jnp.float32(1.0)
     if (variant == "w2a8" and lin.kind == "qk256" and M <= bm
             and K == Kp):
-        # norm (if any) + quantize fused in-kernel — decode is
-        # launch-overhead bound (exp_fixed_ops.py S1: ~6 µs/matmul saved)
+        # norm (if any) + quantize (+ SwiGLU / residual) fused in-kernel —
+        # decode is launch-overhead bound (exp_fixed_ops.py S1)
         y = _ternary_matmul_2d(
             x2, lin.packed, scales, kind=lin.kind, variant="w2a8_normed",
             k_dim=lin.k, n_dim=lin.n,
             bm=bm, bn=bn, bkt=bkt, interpret=interpret, out_dtype=x.dtype,
-            gamma=gamma, has_norm=gamma is not None, eps=eps,
+            gamma=gamma, has_norm=gamma is not None, eps=eps, glu=glu,
+            resid=None if resid is None else resid.reshape(-1, lin.n),
         )
         return y.reshape(*lead, lin.n)
+    if glu:
+        x2 = jax.nn.silu(x2[:, :K]) * x2[:, K:]
     if gamma is not None:
         from .rmsnorm import rms_norm
 
@@ -524,4 +568,6 @@ def ternary_matmul_pallas(lin, x: jnp.ndarray,
         k_dim=lin.k, n_dim=lin.n,
         bm=bm, bn=bn, bkt=bkt, interpret=interpret, out_dtype=x.dtype,
     )
+    if resid is not None:
+        y = y + resid.reshape(-1, lin.n)
     return y.reshape(*lead, lin.n)
