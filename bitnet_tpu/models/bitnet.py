@@ -187,6 +187,112 @@ def _ffn(cfg: ModelConfig, bp: "BlockParams", x: jnp.ndarray,
     return lapn(bp.w_down, gu, bp.ffn_sub_norm, resid=x)
 
 
+def _scale_vec(lin: TernaryLinear) -> jnp.ndarray:
+    """[L, Np] per-column scale vector for the stacked kernel (scalar
+    per-layer scales broadcast; fused-projection vectors lane-padded)."""
+    L, Np = lin.packed.shape[0], lin.packed.shape[2]
+    s = jnp.asarray(lin.scales, jnp.float32).reshape(L, -1)
+    if s.shape[1] == 1:
+        return jnp.broadcast_to(s, (L, Np))
+    if s.shape[1] != Np:
+        s = jnp.pad(s, ((0, 0), (0, Np - s.shape[1])), constant_values=1.0)
+    return s
+
+
+def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
+                       B: int, k_scale, kv_positions, window, write_slots,
+                       kernel_path: str) -> bool:
+    """Trace-time eligibility for the stacked decode loop."""
+    b = params.blocks
+    if not (T == 1 and B <= 2 and kernel_path == "w2a8"):
+        return False
+    if k_scale is not None or kv_positions is not None or window is not None:
+        return False
+    if write_slots is not None:
+        return False
+    if b.wqkv is None or b.w_gateup is None or cfg.hidden_act != "silu":
+        return False
+    for lin in (b.wqkv, b.wo, b.w_gateup, b.w_down):
+        if lin.kind != "qk256" or lin.packed.ndim != 3:
+            return False
+        if lin.packed.shape[1] * 16 != lin.k:   # K must equal Kp
+            return False
+    if (b.attn_sub_norm is not None
+            and b.attn_sub_norm.shape[-1] != b.wo.k):
+        return False
+    if (b.ffn_sub_norm is not None
+            and b.ffn_sub_norm.shape[-1] != b.w_down.k):
+        return False
+    return (b.attn_norm.shape[-1] == b.wqkv.k
+            and b.ffn_norm.shape[-1] == b.w_gateup.k)
+
+
+def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
+                    x: jnp.ndarray,              # [B, 1, H] embedded
+                    q_positions: jnp.ndarray,    # [B, 1]
+                    k_cache: jnp.ndarray,        # [L, B, S, KV, D]
+                    v_cache: jnp.ndarray,
+                    pre_len: jnp.ndarray,        # [B] valid cache slots
+                    rope_sin: jnp.ndarray,       # [B, 1, 1, D/2] rows
+                    rope_cos: jnp.ndarray):
+    """Decode step with STACKED weight/cache kernels (profiler-driven:
+    under lax.scan, per-layer slices of stacked arrays feeding pallas
+    operands are materialized HBM copies — ~0.8 ms/step of weight copies
+    and ~0.6 ms/step of cache slice/write-back against a 0.65 ms kernel
+    floor.  Scalar-prefetch block indexing reads straight from the
+    stacks; the caches stay scan CARRIES updated in-place via
+    dynamic_update_slice)."""
+    from ..ops.decode_attention import decode_attention
+    from ..ops.ternary_matmul import ternary_matmul_stacked
+
+    b = params.blocks
+    B, T, H = x.shape
+    nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L, S = k_cache.shape[0], k_cache.shape[2]
+    eps = cfg.rms_norm_eps
+    interp = jax.default_backend() != "tpu"
+    sv = {n: _scale_vec(getattr(b, n))
+          for n in ("wqkv", "wo", "w_gateup", "w_down")}
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def mm(l, h, name, gamma, **kw):
+        lin = getattr(b, name)
+        return ternary_matmul_stacked(
+            l, h, lin.packed, sv[name], gamma, k_dim=lin.k, n_dim=lin.n,
+            eps=eps, interpret=interp, **kw)
+
+    # NOTE the caches stay scan xs/ys (per-layer 2.6 MB slice semantics):
+    # carrying the FULL [L, ...] stacks and mixing an opaque pallas read
+    # with a dynamic_update_slice write makes XLA insert defensive
+    # whole-stack copies per layer (measured 19.8 ms/token).  Only the
+    # WEIGHTS (read-only) ride the scalar-prefetch stacked kernels.
+    def body(h, xs):
+        l, kc, vc = xs                          # h [B, H]; kc [B,S,KV,D]
+        qkv = mm(l, h, "wqkv", b.attn_norm)
+        q = qkv[:, : nh * D].reshape(B, 1, nh, D)
+        kn = qkv[:, nh * D: (nh + nkv) * D].reshape(B, 1, nkv, D)
+        vn = qkv[:, (nh + nkv) * D:].reshape(B, 1, nkv, D)
+        q = apply_rope(q, rope_sin, rope_cos, q_positions)
+        kn = apply_rope(kn, rope_sin, rope_cos, q_positions)
+        attn = decode_attention(
+            q[:, 0], kn[:, 0], vn[:, 0], kc, vc, pre_len,
+            interpret=interp)
+        kc = kc.at[b_idx, q_positions].set(
+            kn.astype(kc.dtype), mode="drop")
+        vc = vc.at[b_idx, q_positions].set(
+            vn.astype(vc.dtype), mode="drop")
+        a2 = attn.reshape(B, nh * D)
+        h = mm(l, a2, "wo", b.attn_sub_norm, resid=h)
+        gu = mm(l, h, "w_gateup", b.ffn_norm)
+        h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
+        return h, (kc, vc)
+
+    x2, (k_cache, v_cache) = jax.lax.scan(
+        body, x[:, 0, :],
+        (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache))
+    return x2[:, None, :], k_cache, v_cache
+
+
 def embed_tokens(params: BitNetParams, tokens: jnp.ndarray) -> jnp.ndarray:
     """[B, T] int32 → [B, T, H] activations (reference: embed, lib.rs:1278)."""
     return jnp.take(params.embed, tokens, axis=0)
@@ -402,6 +508,14 @@ def forward(
         rope_cos = params.rope_cos[rp][:, :, None, :]
     else:
         rope_sin, rope_cos = params.rope_sin, params.rope_cos
+
+    if _stacked_decode_ok(cfg, params, T, B, k_scale, kv_positions,
+                          window, write_slots, kernel_path):
+        h, k_cache, v_cache = _decode_stacked(
+            cfg, params, x, q_positions, k_cache, v_cache, _pre_len,
+            rope_sin, rope_cos)
+        h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
+        return h, k_cache, v_cache, k_scale, v_scale
 
     def body(carry, xs):
         h = carry

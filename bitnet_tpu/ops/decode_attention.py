@@ -122,6 +122,88 @@ def _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
             n_kv, G, D).astype(out_ref.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def decode_attention_stacked(
+    l: jnp.ndarray,         # [] / [1] int32 layer index (traced)
+    q: jnp.ndarray,         # [B, n_heads, D] (post-RoPE)
+    k_new: jnp.ndarray,     # [B, KV, D]      (post-RoPE)
+    v_new: jnp.ndarray,     # [B, KV, D]
+    k_cache: jnp.ndarray,   # [L, B, S, KV, D]  FULL stack (PRE-write)
+    v_cache: jnp.ndarray,   # [L, B, S, KV, D]
+    pos: jnp.ndarray,       # [B] int32
+    interpret: bool = False,
+    chunk: int | None = None,
+) -> jnp.ndarray:
+    """:func:`decode_attention` over one layer of the FULL stacked cache,
+    selected via a scalar-prefetch layer index — under ``lax.scan`` a
+    per-layer cache slice feeding a pallas operand is a materialized HBM
+    copy (same story as ternary_matmul_stacked)."""
+    B, H, D = q.shape
+    L, S, KV = k_cache.shape[0], k_cache.shape[2], k_cache.shape[3]
+    G = H // KV
+    dt = k_cache.dtype
+    qg = q.astype(dt).reshape(B, KV, G, D)
+    kn = k_new.astype(dt).reshape(B, 1, KV * D)
+    vn = v_new.astype(dt).reshape(B, 1, KV * D)
+    kcv = k_cache.reshape(L, B, S, KV * D)    # free reshape
+    vcv = v_cache.reshape(L, B, S, KV * D)
+    pos2 = pos.reshape(B, 1).astype(jnp.int32)
+
+    if chunk is None:
+        chunk = min(DEFAULT_CHUNK, S)
+    chunk = min(chunk, S)
+    while S % chunk:
+        chunk //= 2
+    n_chunks = S // chunk
+
+    grid = (B, n_chunks)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, c, lr: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, KV, G, D), lambda b, c, lr: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KV * D), lambda b, c, lr: (b, 0, 0)),
+            pl.BlockSpec((1, 1, KV * D), lambda b, c, lr: (b, 0, 0)),
+            pl.BlockSpec((1, 1, chunk, KV * D),
+                         lambda b, c, lr: (lr[0], b, c, 0)),
+            pl.BlockSpec((1, 1, chunk, KV * D),
+                         lambda b, c, lr: (lr[0], b, c, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, KV, G, D), lambda b, c, lr: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((KV * G, 1), jnp.float32),
+            pltpu.VMEM((KV * G, 1), jnp.float32),
+            pltpu.VMEM((KV * G, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_stacked_kernel,
+                          scale=float(D) ** -0.5, n_kv=KV, G=G, D=D,
+                          chunk=chunk, n_chunks=n_chunks),
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
+        grid_spec=gs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), pos2, qg, kn, vn, kcv, vcv)
+    return out.reshape(B, H, D)
+
+
+def _decode_attn_stacked_kernel(l_ref, pos_ref, q_ref, kn_ref, vn_ref,
+                                k_ref, v_ref, out_ref, m_scr, d_scr,
+                                ctx_scr, *, scale: float, n_kv: int,
+                                G: int, D: int, chunk: int, n_chunks: int):
+    """Body identical to _decode_attn_kernel; cache refs carry a leading
+    layer axis selected by the block index maps."""
+    _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref,
+                        k_ref.at[0], v_ref.at[0], out_ref,
+                        m_scr, d_scr, ctx_scr, scale=scale, n_kv=n_kv,
+                        G=G, D=D, chunk=chunk, n_chunks=n_chunks)
+
+
 def _decode_attn_qkv_kernel(pos_ref, qkv_ref, sin_ref, cos_ref, k_ref,
                             v_ref, out_ref, kr_ref, vr_ref,
                             m_scr, d_scr, ctx_scr, q_scr,
