@@ -204,6 +204,132 @@ def _decode_attn_stacked_kernel(l_ref, pos_ref, q_ref, kn_ref, vn_ref,
                         G=G, D=D, chunk=chunk, n_chunks=n_chunks)
 
 
+def _decode_attn_stacked_io_kernel(l_ref, pos_ref, q_ref, kn_ref, vn_ref,
+                                   k_ref, v_ref, out_ref, ko_ref, vo_ref,
+                                   m_scr, d_scr, ctx_scr, *, scale: float,
+                                   n_kv: int, G: int, D: int, chunk: int,
+                                   n_chunks: int):
+    """Stacked-cache attention that ALSO owns the cache update: the
+    aliased output blocks carry each chunk through unchanged and insert
+    the new token's k/v row in the chunk containing ``pos``.
+
+    EXPERIMENTAL, currently unused: the intent was to let the cache ride
+    the decode scan as a carry with pure buffer donation (xs/ys threading
+    materializes ~0.7 ms/step of per-layer slice/restack copies).  In
+    practice XLA does NOT alias the scan carry through the aliased custom
+    call either — measured 8.3 ms/token vs 2.29 for the xs/ys stacked
+    loop on v5e — so _decode_stacked keeps xs/ys caches.  Kept (with the
+    interpret-mode path tested) for re-evaluation on newer XLA."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    wpos = pos_ref[b, 1]                     # write slot (col 0 = mask len)
+    base = c * chunk
+    # masked select instead of a dynamic row store: Mosaic requires
+    # sublane-dim store offsets to be provably 8-aligned; the row mask is
+    # one VPU select over a block that must be written back anyway.
+    # wpos outside this chunk (incl. >= S padding) selects no row.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    sel = rows == (wpos - base)
+    ko_ref[0, 0] = jnp.where(
+        sel, jnp.broadcast_to(kn_ref[0], (chunk, kn_ref.shape[-1])),
+        k_ref[0, 0]).astype(ko_ref.dtype)
+    vo_ref[0, 0] = jnp.where(
+        sel, jnp.broadcast_to(vn_ref[0], (chunk, vn_ref.shape[-1])),
+        v_ref[0, 0]).astype(vo_ref.dtype)
+
+    _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref,
+                        k_ref.at[0], v_ref.at[0], out_ref,
+                        m_scr, d_scr, ctx_scr, scale=scale, n_kv=n_kv,
+                        G=G, D=D, chunk=chunk, n_chunks=n_chunks)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"),
+                   donate_argnums=(4, 5))
+def decode_attention_stacked_inplace(
+    l: jnp.ndarray,         # [] / [1] int32 layer index (traced)
+    q: jnp.ndarray,         # [B, n_heads, D] (post-RoPE)
+    k_new: jnp.ndarray,     # [B, KV, D]      (post-RoPE)
+    v_new: jnp.ndarray,     # [B, KV, D]
+    k_cache: jnp.ndarray,   # [L, B, S, KV, D]  FULL stack (PRE-write)
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,       # [B] int32 valid length (attention mask)
+    write_pos: jnp.ndarray | None = None,   # [B] write slot (default pos)
+    interpret: bool = False,
+    chunk: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused attention + cache-row write over the FULL stacked cache.
+
+    Returns (attn [B, H, D], k_cache, v_cache) with layer ``l``'s row at
+    ``write_pos`` updated IN PLACE (aliased buffers — no cache copies).
+    Writes drop when ``write_pos >= S`` (padding semantics)."""
+    B, H, D = q.shape
+    L, S, KV = k_cache.shape[0], k_cache.shape[2], k_cache.shape[3]
+    G = H // KV
+    dt = k_cache.dtype
+    qg = q.astype(dt).reshape(B, KV, G, D)
+    kn = k_new.astype(dt).reshape(B, 1, KV * D)
+    vn = v_new.astype(dt).reshape(B, 1, KV * D)
+    kcv = k_cache.reshape(L, B, S, KV * D)
+    vcv = v_cache.reshape(L, B, S, KV * D)
+    if write_pos is None:
+        write_pos = pos
+    pos2 = jnp.stack(
+        [pos.astype(jnp.int32), write_pos.astype(jnp.int32)], axis=1)
+
+    if chunk is None:
+        chunk = min(DEFAULT_CHUNK, S)
+    chunk = min(chunk, S)
+    while S % chunk:
+        chunk //= 2
+    n_chunks = S // chunk
+
+    cache_spec = pl.BlockSpec((1, 1, chunk, KV * D),
+                              lambda b, c, lr: (lr[0], b, c, 0))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((B, 2), lambda b, c, lr: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, KV, G, D), lambda b, c, lr: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KV * D), lambda b, c, lr: (b, 0, 0)),
+            pl.BlockSpec((1, 1, KV * D), lambda b, c, lr: (b, 0, 0)),
+            cache_spec,
+            cache_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, KV, G, D), lambda b, c, lr: (b, 0, 0, 0)),
+            cache_spec,
+            cache_spec,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KV * G, 1), jnp.float32),
+            pltpu.VMEM((KV * G, 1), jnp.float32),
+            pltpu.VMEM((KV * G, D), jnp.float32),
+        ],
+    )
+    out, kc2, vc2 = pl.pallas_call(
+        functools.partial(_decode_attn_stacked_io_kernel,
+                          scale=float(D) ** -0.5, n_kv=KV, G=G, D=D,
+                          chunk=chunk, n_chunks=n_chunks),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
+            jax.ShapeDtypeStruct(kcv.shape, dt),
+            jax.ShapeDtypeStruct(vcv.shape, dt),
+        ),
+        grid_spec=gs,
+        # operand indices INCLUDE the scalar-prefetch arg: caches are 5/6
+        input_output_aliases={5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), pos2, qg, kn, vn, kcv, vcv)
+    return (out.reshape(B, H, D),
+            kc2.reshape(L, B, S, KV, D),
+            vc2.reshape(L, B, S, KV, D))
+
+
 def _decode_attn_qkv_kernel(pos_ref, qkv_ref, sin_ref, cos_ref, k_ref,
                             v_ref, out_ref, kr_ref, vr_ref,
                             m_scr, d_scr, ctx_scr, q_scr,

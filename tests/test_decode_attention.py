@@ -77,3 +77,97 @@ def test_engine_decode_uses_fused_path(mini_gguf_qk256):
             max_seq_len=64, kernel_path=kp))
         outs[kp] = eng.generate([1, 7, 20], gen).token_ids
     assert outs["pallas"] == outs["xla"]
+
+
+class TestStackedKernels:
+    """Scalar-prefetch stacked variants (decode hot loop: weights/caches
+    indexed by layer without materialized slices)."""
+
+    def _mk(self, B=1, H=4, KV=2, D=64, S=32, L=3, seed=0):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((L, B, S, KV, D)), jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((L, B, S, KV, D)), jnp.float32)
+        pos = jnp.asarray([7] * B, jnp.int32)
+        return q, kn, vn, kc, vc, pos
+
+    def test_stacked_matches_per_layer(self):
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention,
+            decode_attention_stacked,
+        )
+
+        q, kn, vn, kc, vc, pos = self._mk()
+        for l in (0, 2):
+            ref = decode_attention(q, kn, vn, kc[l], vc[l], pos,
+                                   interpret=True)
+            got = decode_attention_stacked(jnp.int32(l), q, kn, vn, kc, vc,
+                                           pos, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_inplace_writes_row_and_matches(self):
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention,
+            decode_attention_stacked_inplace,
+        )
+
+        q, kn, vn, kc, vc, pos = self._mk()
+        l = 1
+        kc0_np = np.asarray(kc[0])      # inputs are DONATED by the call
+        ref = decode_attention(q, kn, vn, kc[l], vc[l], pos, interpret=True)
+        got, kc2, vc2 = decode_attention_stacked_inplace(
+            jnp.int32(l), q, kn, vn, kc, vc, pos, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # the new k/v row landed at (l, :, pos); other layers untouched
+        np.testing.assert_allclose(np.asarray(kc2[l, 0, 7]),
+                                   np.asarray(kn[0]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(vc2[l, 0, 7]),
+                                   np.asarray(vn[0]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(kc2[0]), kc0_np)
+
+    def test_inplace_drops_oob_write(self):
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention_stacked_inplace,
+        )
+
+        q, kn, vn, kc, vc, _ = self._mk()
+        S = kc.shape[2]
+        kc_np = np.asarray(kc)          # inputs are DONATED by the call
+        _, kc2, vc2 = decode_attention_stacked_inplace(
+            jnp.int32(0), q, kn, vn, kc, vc,
+            jnp.asarray([S], jnp.int32), interpret=True)
+        np.testing.assert_allclose(np.asarray(kc2), kc_np)
+
+    def test_stacked_matmul_matches_normed(self):
+        from bitnet_tpu.models.bitnet import _scale_vec
+        from bitnet_tpu.ops.linear import (
+            TernaryLinear,
+            linear_apply_normed,
+        )
+        from bitnet_tpu.ops.ternary_matmul import ternary_matmul_stacked
+
+        rng = np.random.default_rng(3)
+        L, K, N = 3, 256, 128
+        packed = jnp.asarray(rng.integers(
+            np.iinfo(np.int32).min, np.iinfo(np.int32).max,
+            size=(L, K // 16, N), dtype=np.int32))
+        scales = jnp.asarray(rng.uniform(0.01, 0.03, L), jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal((L, K)) * 0.1 + 1.0,
+                            jnp.float32)
+        x = jnp.asarray(rng.standard_normal((1, K)), jnp.float32)
+        lin_all = TernaryLinear(kind="qk256", k=K, n=N, packed=packed,
+                                scales=scales)
+        sv = _scale_vec(lin_all)
+        for l in range(L):
+            lin_l = TernaryLinear(kind="qk256", k=K, n=N, packed=packed[l],
+                                  scales=scales[l])
+            ref = linear_apply_normed(lin_l, x, gamma[l], path="w2a8")
+            got = ternary_matmul_stacked(
+                jnp.int32(l), x, packed, sv, gamma,
+                k_dim=K, n_dim=N, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
