@@ -204,7 +204,7 @@ def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
                        kernel_path: str) -> bool:
     """Trace-time eligibility for the stacked decode loop."""
     b = params.blocks
-    if not (T == 1 and B <= 2 and kernel_path == "w2a8"):
+    if not (T == 1 and B <= 16 and kernel_path == "w2a8"):
         return False
     if k_scale is not None or kv_positions is not None or window is not None:
         return False
@@ -274,13 +274,23 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         vn = qkv[:, (nh + nkv) * D:].reshape(B, 1, nkv, D)
         q = apply_rope(q, rope_sin, rope_cos, q_positions)
         kn = apply_rope(kn, rope_sin, rope_cos, q_positions)
-        attn = decode_attention(
-            q[:, 0], kn[:, 0], vn[:, 0], kc, vc, pre_len,
-            interpret=interp)
-        kc = kc.at[b_idx, q_positions].set(
-            kn.astype(kc.dtype), mode="drop")
-        vc = vc.at[b_idx, q_positions].set(
-            vn.astype(vc.dtype), mode="drop")
+        if B <= 2:
+            # fused flash-decode kernel; grid steps scale with B, so
+            # batched pools use the XLA einsum attention below (v5e:
+            # B=8 was faster on XLA) while keeping the stacked matmuls
+            attn = decode_attention(
+                q[:, 0], kn[:, 0], vn[:, 0], kc, vc, pre_len,
+                interpret=interp)
+            kc = kc.at[b_idx, q_positions].set(
+                kn.astype(kc.dtype), mode="drop")
+            vc = vc.at[b_idx, q_positions].set(
+                vn.astype(vc.dtype), mode="drop")
+        else:
+            kc = kc.at[b_idx, q_positions].set(
+                kn.astype(kc.dtype), mode="drop")
+            vc = vc.at[b_idx, q_positions].set(
+                vn.astype(vc.dtype), mode="drop")
+            attn = attention(q, kc, vc, q_positions, pre_len + T)[:, 0]
         a2 = attn.reshape(B, nh * D)
         h = mm(l, a2, "wo", b.attn_sub_norm, resid=h)
         gu = mm(l, h, "w_gateup", b.ffn_norm)

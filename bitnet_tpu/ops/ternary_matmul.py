@@ -325,7 +325,7 @@ def _qk256_w2a8_stacked_kernel(l_ref, x_ref, g_ref, w_ref, s_ref, *rest,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_dim", "n_dim", "eps", "glu", "interpret"),
+    static_argnames=("k_dim", "n_dim", "eps", "glu", "interpret", "blocks"),
 )
 def ternary_matmul_stacked(
     l: jnp.ndarray,            # [] / [1] int32 layer index (traced)
@@ -339,6 +339,7 @@ def ternary_matmul_stacked(
     glu: bool = False,
     resid: jnp.ndarray | None = None,   # [M, n_dim]
     interpret: bool = False,
+    blocks: tuple[int, int, int] | None = None,   # (bm, bn, bkt) override
 ) -> jnp.ndarray:
     """Decode-shaped W2A8 matmul over one layer of a stacked weight array
     (see _qk256_w2a8_stacked_kernel).  Caller guarantees K == Kp, one M
@@ -346,7 +347,7 @@ def ternary_matmul_stacked(
     M = x.shape[0]
     Kp = packed.shape[1] * 16
     Np = packed.shape[2]
-    bm, bn, bkt = _pick_blocks(M, Kp, Np, "w2a8")
+    bm, bn, bkt = blocks or _pick_blocks_stacked(M, Kp, Np)
     bk = bkt * KT
     n_k = Kp // bk
     grid = (1, Np // bn, n_k)
@@ -610,6 +611,24 @@ def _ternary_matmul_2d(
         interpret=interpret,
     )(*operands)
     return out[:M, :n_dim]
+
+
+def _pick_blocks_stacked(M: int, Kp: int, Np: int) -> tuple[int, int, int]:
+    """(bm, bn, bkt) for the stacked decode kernels — v5e sweep
+    (2026-08-17, within-run comparisons): whole-N blocks win at every
+    decode shape (qkv 1.08×, gateup 1.07× of the HBM floor), and bkt
+    wants the K-block ≤ ~1280 rows AND ≤ ~2 MB packed (gateup bkt=2 beat
+    5; down bkt=3 beat 9/27)."""
+    bm = max(16, -(-M // 8) * 8)
+    bn = Np if Np <= 14336 else _largest_divisor(Np, 7168, 128)
+    nk = Kp // KT
+    bkt = 1
+    for d in range(1, nk + 1):
+        if nk % d or nk // d < 2 and nk != 1:
+            continue
+        if d * KT <= 1280 and d * 16 * bn * 4 <= (2 << 20):
+            bkt = d
+    return bm, bn, bkt
 
 
 def _largest_divisor(x: int, cap: int, mult: int) -> int:
