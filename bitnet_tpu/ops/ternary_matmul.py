@@ -712,7 +712,10 @@ def ternary_matmul_pallas(lin, x: jnp.ndarray,
     bm, bn, bkt = _pick_blocks(M, Kp, Np, variant)
 
     scales = lin.scales if lin.scales is not None else jnp.float32(1.0)
-    if (variant == "w2a8" and lin.kind == "qk256" and M <= bm
+    # decode shapes only (M ≤ 32): the fused preamble holds the whole
+    # [M, K(·2)] activation row in VMEM — a prefill-sized M would blow
+    # the VMEM budget (observed: M=512 × 2F f32 failed to compile)
+    if (variant == "w2a8" and lin.kind == "qk256" and M <= 32 and M <= bm
             and K == Kp):
         # norm (if any) + quantize (+ SwiGLU / residual) fused in-kernel —
         # decode is launch-overhead bound (exp_fixed_ops.py S1)
