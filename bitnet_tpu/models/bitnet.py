@@ -215,6 +215,8 @@ def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
     for lin in (b.wqkv, b.wo, b.w_gateup, b.w_down):
         if lin.kind != "qk256" or lin.packed.ndim != 3:
             return False
+        if lin.scales is None:                  # _scale_vec needs scales
+            return False
         if lin.packed.shape[1] * 16 != lin.k:   # K must equal Kp
             return False
     if (b.attn_sub_norm is not None

@@ -74,3 +74,28 @@ class TestBatchAPI:
     def test_empty_batch(self, model):
         eng = mk_engine(model, batch=2)
         assert eng.generate_batch([]) == []
+
+
+class TestBatchW2A8:
+    def test_w2a8_batch_matches_single(self, mini_gguf_qk256):
+        """B=4 batched w2a8 (stacked loop + XLA attention) must equal the
+        B=1 w2a8 decode (stacked loop + flash-decode kernel) token-for-
+        token — slot isolation AND numerical agreement of the two
+        attention paths inside the stacked decode."""
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=8, greedy=True)
+        prompts = [[2, 7, 11], [3, 5, 8, 12, 30], [40, 41], [9]]
+
+        def mk(batch):
+            return InferenceEngine(
+                cfg, params,
+                EngineConfig(max_seq_len=64, max_batch_size=batch,
+                             kv_cache_dtype="f32", compute_dtype="f32",
+                             kernel_path="w2a8"))
+
+        single = mk(1)
+        golden = [single.generate(p, gen).token_ids for p in prompts]
+        results = mk(4).generate_batch(prompts, gen)
+        for i, (r, g) in enumerate(zip(results, golden)):
+            assert r.token_ids == g, f"slot {i}: {r.token_ids} != {g}"
