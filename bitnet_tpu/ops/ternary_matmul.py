@@ -266,61 +266,18 @@ def _qk256_w2a8_stacked_kernel(l_ref, x_ref, g_ref, w_ref, s_ref, *rest,
     ``dynamic-slice_bitcast_fusion`` vs the 0.65 ms kernel floor).
     Scalar-prefetch block indexing reads each tile straight from the
     stacked array — no copy (v5e: gateup×30 0.757 → 0.554 ms).
+
+    The body is :func:`_qk256_w2a8_normed_kernel` verbatim — the block
+    index maps already selected layer ``l``, so dropping each ref's
+    leading unit axis is the only difference (one numerics body for the
+    stacked and unstacked paths; tests/test_decode_attention.py
+    TestStackedKernels pins their parity).
     """
-    if has_resid:
-        resid_ref, out_ref, acc_ref, xq_scr, sx_scr, sumq_scr = rest
-    else:
-        out_ref, acc_ref, xq_scr, sx_scr, sumq_scr = rest
-        resid_ref = None
-    n = pl.program_id(1)
-    k = pl.program_id(2)
-
-    @pl.when((n == 0) & (k == 0))
-    def _():
-        xf = x_ref[:].astype(jnp.float32)
-        if glu:
-            Kp = xf.shape[1] // 2
-            gate = xf[:, :Kp]
-            xf = gate * jax.lax.logistic(gate) * xf[:, Kp:]
-        if has_norm:
-            var = jnp.mean(xf * xf, axis=1, keepdims=True)
-            xf = xf * jax.lax.rsqrt(var + jnp.float32(eps))
-            xf = xf * g_ref[0].astype(jnp.float32)
-        absmax = jnp.maximum(
-            jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8)
-        sx = absmax / 127.0
-        q = jnp.clip(jnp.round(xf / sx), -127, 127)
-        M = xf.shape[0]
-        xq_scr[0:M, :] = q.astype(jnp.int8)
-        sx_scr[0:M, :] = sx
-        sumq_scr[0:M, :] = jnp.sum(q, axis=1, keepdims=True).astype(
-            jnp.int32)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    base = k * bkt * KT
-    for t in range(bkt):
-        p32 = w_ref[0, pl.ds(t * (KT // 16), KT // 16), :]
-        w = _unpack_words_biased_i8(p32, interpret)
-        acc_ref[:] += jnp.dot(
-            xq_scr[:, pl.ds(base + t * KT, KT)], w,
-            preferred_element_type=jnp.int32,
-        )
-
-    @pl.when(k == n_k - 1)
-    def _():
-        corr = (acc_ref[:] - 2 * sumq_scr[:]).astype(jnp.float32)
-        y = corr * sx_scr[:].astype(jnp.float32)
-        y = y * s_ref[0]
-        if has_resid:
-            M = resid_ref.shape[0]
-            out_ref[0:M, :] = (
-                y[0:M, :] + resid_ref[:].astype(jnp.float32)
-            ).astype(out_ref.dtype)
-        else:
-            out_ref[:] = y.astype(out_ref.dtype)
+    del l_ref  # consumed by the BlockSpec index maps
+    _qk256_w2a8_normed_kernel(
+        x_ref, g_ref.at[0], w_ref.at[0], s_ref.at[0], *rest,
+        n_k=n_k, bkt=bkt, eps=eps, has_norm=has_norm, vecscale=True,
+        glu=glu, has_resid=has_resid, interpret=interpret)
 
 
 @functools.partial(

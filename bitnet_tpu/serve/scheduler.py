@@ -306,11 +306,17 @@ class ContinuousBatchingScheduler:
             return nxt, subs, new_keys
 
         @partial(jax.jit, donate_argnums=(3,),
-                 static_argnames=("use_typical",))
+                 static_argnames=("use_typical", "rep_logits"))
         def decode_step(params, tokens, positions, cache: KVCache,
                         active, temps, top_ks, top_ps, min_ps, typ_ps,
-                        rep_pens, history, keys, use_typical=False):
-            """One batched decode step + per-slot sampling."""
+                        rep_pens, history, keys, use_typical=False,
+                        rep_logits=False):
+            """One batched decode step + per-slot sampling.
+
+            ``rep_logits``: replicate the full-vocab raw logits and
+            sub-keys across hosts (multi-host + mirostat slots only —
+            an unconditional replication would all-gather [B, V] f32
+            over DCN every step for nothing)."""
             pos_in = jnp.where(active, positions, self.S)
             h, k, v, ks, vs = forward(
                 cfg, params, tokens[:, None], pos_in[:, None],
@@ -325,7 +331,9 @@ class ContinuousBatchingScheduler:
             nxt, subs, new_keys = pooled_sample(
                 raw, temps, top_ks, top_ps, min_ps, typ_ps, rep_pens,
                 history, keys, use_typical)
-            return rep(nxt), rep(raw), rep(subs), rep(new_keys), cache
+            if rep_logits:
+                raw, subs = rep(raw), rep(subs)
+            return rep(nxt), raw, subs, rep(new_keys), cache
 
         self._decode_step = decode_step
 
@@ -335,11 +343,11 @@ class ContinuousBatchingScheduler:
             S_view, page = self.S_view, self.page_size
 
             @partial(jax.jit, donate_argnums=(3,),
-                     static_argnames=("use_typical",))
+                     static_argnames=("use_typical", "rep_logits"))
             def decode_step_paged(params, tokens, positions, cache,
                                   active, temps, top_ks, top_ps, min_ps,
                                   typ_ps, rep_pens, history, keys,
-                                  use_typical=False):
+                                  use_typical=False, rep_logits=False):
                 pos_in = jnp.where(active, positions, S_view)
                 h, cache = paged_forward(
                     cfg, params, tokens[:, None], pos_in[:, None], cache,
@@ -512,7 +520,8 @@ class ContinuousBatchingScheduler:
                 last_prefill = None
             elif op == "decode":
                 (_, tokens, positions, active, temps, top_ks, top_ps,
-                 min_ps, typ_ps, reps, hist, keys, use_typical) = rec
+                 min_ps, typ_ps, reps, hist, keys, use_typical,
+                 rep_logits) = rec
                 out = self._decode_step(
                     self.params, jnp.asarray(tokens),
                     jnp.asarray(positions), self.cache,
@@ -520,7 +529,8 @@ class ContinuousBatchingScheduler:
                     jnp.asarray(top_ks), jnp.asarray(top_ps),
                     jnp.asarray(min_ps), jnp.asarray(typ_ps),
                     jnp.asarray(reps), jnp.asarray(hist),
-                    jnp.asarray(keys), use_typical=use_typical)
+                    jnp.asarray(keys), use_typical=use_typical,
+                    rep_logits=rep_logits)
                 self.cache = out[4]
             else:  # pragma: no cover - protocol guard
                 raise InferenceError(f"unknown control record {op!r}")
@@ -1043,11 +1053,16 @@ class ContinuousBatchingScheduler:
                 keys[i] = np.asarray(s.key, np.uint32)
             step_fn = (self._decode_step_paged if self.paged
                        else self._decode_step)
+            # replicate full-vocab logits across hosts only when a
+            # mirostat slot will read them (code-review finding: an
+            # unconditional all-gather of [B, V] f32 over DCN per step)
+            rep_logits = (self._channel is not None and any(
+                self.slots[i].mirostat is not None for i in active_idx))
             if self._channel is not None:
                 self._channel.send((
                     "decode", self._tokens.copy(), positions, active,
                     temps, top_ks, top_ps, min_ps, typ_ps, reps, hist,
-                    keys, use_typical))
+                    keys, use_typical, rep_logits))
             nxt, raw_lg, subs, new_keys, self.cache = step_fn(
                 self.params, jnp.asarray(self._tokens),
                 jnp.asarray(positions), self.cache,
@@ -1055,11 +1070,10 @@ class ContinuousBatchingScheduler:
                 jnp.asarray(top_ks), jnp.asarray(top_ps),
                 jnp.asarray(min_ps), jnp.asarray(typ_ps), jnp.asarray(reps),
                 jnp.asarray(hist), jnp.asarray(keys),
-                use_typical=use_typical)
+                use_typical=use_typical, rep_logits=rep_logits)
             nxt_np = np.asarray(nxt)
             new_keys_np = np.asarray(new_keys)
-            if self._channel is not None and any(
-                    self.slots[i].mirostat is not None for i in active_idx):
+            if rep_logits:
                 # mirostat samples on host from the raw logits — keep
                 # those ops process-local via numpy copies
                 raw_lg = np.asarray(raw_lg)

@@ -112,7 +112,8 @@ class BitNetServer:
                  model_name: str = "bitnet-tpu",
                  manager=None, rate_limiter=None,
                  auth_token: str | None = None,
-                 allowed_model_dirs: list[str] | None = None):
+                 allowed_model_dirs: list[str] | None = None,
+                 multihost: bool = False):
         """``auth_token``: when set (or via $BITNET_AUTH_TOKEN), every API
         route except health/metrics requires ``Authorization: Bearer
         <token>`` (reference JWT-auth parity, src/test_validate_jwt.rs).
@@ -126,6 +127,10 @@ class BitNetServer:
         self.model_name = model_name
         self.rate_limiter = rate_limiter  # None = unlimited
         self.auth_token = auth_token or os.environ.get("BITNET_AUTH_TOKEN")
+        # multi-host serve: followers replay ONE model's control stream;
+        # hot-loading another model would create mesh-spanning programs
+        # the workers never execute (deadlock) — reject admin mutations
+        self.multihost = multihost
         self.allowed_model_dirs = (
             [os.path.realpath(d) for d in allowed_model_dirs]
             if allowed_model_dirs else None)
@@ -416,6 +421,11 @@ class BitNetServer:
         gated = self._gate(request)
         if gated is not None:
             return gated
+        if self.multihost:
+            return web.json_response(
+                {"error": "model hot-load is disabled in multi-host mode "
+                          "(followers replay one model's control stream)"},
+                status=409)
         name, path = body.get("name"), body.get("path")
         if not name or not path:
             return web.json_response(
@@ -442,6 +452,10 @@ class BitNetServer:
         gated = self._gate(request)
         if gated is not None:
             return gated
+        if self.multihost:
+            return web.json_response(
+                {"error": "model unload is disabled in multi-host mode"},
+                status=409)
         name = request.match_info["name"]
         try:
             self.manager.unload(name)
@@ -612,18 +626,30 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
     # (see parallel/multihost.py for the serve story — process 0 owns the
     # frontend; GSPMD spans all hosts' chips through the shard mesh)
     distributed = init_distributed()
-    ecfg0 = EngineConfig(max_seq_len=max_seq_len,
-                         kv_cache_dtype=kv_cache_dtype,
-                         kernel_path=kernel_path)
+    ecfg = EngineConfig(max_seq_len=max_seq_len,
+                        kv_cache_dtype=kv_cache_dtype,
+                        kernel_path=kernel_path)
+    # ONE validated parse of --shard for every branch (single-host,
+    # frontend, follower) — all hosts must fail identically on bad input
+    shard_dp = shard_tp = None
+    if shard:
+        from ..errors import ConfigError
+
+        try:
+            dp_s, tp_s = shard.split(",")
+            shard_dp, shard_tp = int(dp_s), int(tp_s)
+        except ValueError:
+            raise ConfigError(
+                f"--shard expects DP,TP (e.g. 2,4), got {shard!r}") from None
+        if shard_dp < 1 or shard_tp < 1:
+            raise ConfigError(f"--shard axes must be >= 1, got {shard!r}")
+
     if distributed and not is_primary():
         # follower: replay the frontend's control stream forever (the
         # worker_loop builds the same mesh/programs and blocks in follow())
         from .follower import worker_loop
 
-        tp = None
-        if shard:
-            tp = int(shard.split(",")[1])
-        worker_loop(model_path, ecfg0, num_slots=num_slots, tp=tp)
+        worker_loop(model_path, ecfg, num_slots=num_slots, tp=shard_tp)
         return
 
     mesh = None
@@ -632,26 +658,13 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
         from ..parallel.multihost import host_mesh
         from .follower import ControlChannel
 
-        tp = int(shard.split(",")[1]) if shard else None
-        mesh = host_mesh(tp=tp)
+        mesh = host_mesh(tp=shard_tp)
         channel = ControlChannel()
-    if shard and mesh is None:
-        from ..errors import ConfigError
+    elif shard:
         from ..parallel import make_mesh
 
-        try:
-            dp_s, tp_s = shard.split(",")
-            dp, tp = int(dp_s), int(tp_s)
-        except ValueError:
-            raise ConfigError(
-                f"--shard expects DP,TP (e.g. 2,4), got {shard!r}") from None
-        if dp < 1 or tp < 1:
-            raise ConfigError(f"--shard axes must be >= 1, got {shard!r}")
-        mesh = make_mesh(dp=dp, tp=tp)
+        mesh = make_mesh(dp=shard_dp, tp=shard_tp)
 
-    ecfg = EngineConfig(max_seq_len=max_seq_len,
-                        kv_cache_dtype=kv_cache_dtype,
-                        kernel_path=kernel_path)
     import jax.numpy as jnp
 
     cfg, params, _ = load_model(
@@ -676,7 +689,7 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
 
     dirs = model_dirs or [_os.path.dirname(_os.path.abspath(model_path))]
     server = BitNetServer(manager=manager, auth_token=auth_token,
-                          allowed_model_dirs=dirs)
+                          allowed_model_dirs=dirs, multihost=distributed)
     app = server.build_app()
 
     async def on_shutdown(app):

@@ -41,7 +41,7 @@ def mm_step(prm, carry):
         o = linear_apply_normed(wo, attn, asn, cfg.rms_norm_eps, "w2a8")
         gu = linear_apply_normed(wgu, h+o, fn, cfg.rms_norm_eps, "w2a8")
         Fh = wgu.n // 2
-        act = gu[:, :Fh] * jax.nn.silu(gu[:, Fh:])
+        act = jax.nn.silu(gu[:, :Fh]) * gu[:, Fh:]   # silu(gate)*up, matching _ffn
         dn = linear_apply_normed(wd, act, fsn, cfg.rms_norm_eps, "w2a8")
         return h + dn * jnp.bfloat16(0.1), None
     b = prm.blocks

@@ -171,3 +171,43 @@ class TestStackedKernels:
                 k_dim=K, n_dim=N, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestRopeFusedKernel:
+    """decode_attention_qkv (opt-in BITNET_ROPE_FUSED path): in-kernel
+    RoPE + q/k/v slicing must match apply_rope + decode_attention."""
+
+    def test_qkv_rope_fused_matches_unfused(self):
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention,
+            decode_attention_qkv,
+        )
+        from bitnet_tpu.ops.rope import apply_rope, build_rope_tables
+
+        rng = np.random.default_rng(5)
+        B, H, KV, D, S = 1, 4, 2, 64, 32
+        QR = H + 2 * KV
+        qkv = jnp.asarray(rng.standard_normal((B, QR * D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        pos = jnp.asarray([9] * B, jnp.int32)
+        sin, cos = build_rope_tables(D, S, 10000.0)
+        sin, cos = jnp.asarray(sin), jnp.asarray(cos)
+
+        # unfused reference: slice, rope in XLA, run the plain kernel
+        rows = qkv.reshape(B, QR, D)
+        posq = pos[:, None]
+        q = apply_rope(rows[:, 0:H][:, None], sin, cos, posq)[:, 0]
+        kn = apply_rope(rows[:, H:H + KV][:, None], sin, cos, posq)[:, 0]
+        vn = rows[:, H + KV:]
+        ref = decode_attention(q, kn, vn, kc, vc, pos, interpret=True)
+
+        got, kr, vr = decode_attention_qkv(
+            qkv, sin[pos], cos[pos], kc, vc, pos, n_heads=H,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(kr), np.asarray(kn),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(vr), np.asarray(vn),
+                                   rtol=1e-6, atol=1e-6)
