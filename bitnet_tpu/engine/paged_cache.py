@@ -13,9 +13,15 @@ Execution model: the jitted step gathers each sequence's pages into a
 dense ``[L, B, S_view, KV, D]`` view, runs the standard dense forward
 (models.bitnet.forward — no model-code fork), then scatters the freshly
 written rows back to the pool.  The gather adds one pass of HBM traffic
-over the view — the same order as attention's own KV read; a fused Pallas
-paged-attention kernel that walks block tables in-kernel is the follow-up
-optimization.
+over the view — the same order as attention's own KV read.
+
+A fused Pallas paged-attention kernel (block-table walk via
+scalar-prefetch index maps) was evaluated and deliberately NOT built on
+current XLA: the pool is a written buffer, and a pallas operand that is
+a loop-carried buffer updated anywhere in the program gets a defensive
+full copy per call (measured 3–8× decode regressions for the dense-cache
+analogues — see docs/architecture.md "cache-aliasing rule").  The
+XLA-side gather/scatter fuses; the kernel's copies would not.
 
 The page allocator is host-side (allocation happens only at admission and
 at page-boundary crossings — every ``page_size`` decode steps per slot).

@@ -276,7 +276,9 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         vn = qkv[:, (nh + nkv) * D:].reshape(B, 1, nkv, D)
         q = apply_rope(q, rope_sin, rope_cos, q_positions)
         kn = apply_rope(kn, rope_sin, rope_cos, q_positions)
-        if B <= 2:
+        import os as _os
+        attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
+        if B <= attn_max_b:
             # fused flash-decode kernel; grid steps scale with B, so
             # batched pools use the XLA einsum attention below (v5e:
             # B=8 was faster on XLA) while keeping the stacked matmuls
