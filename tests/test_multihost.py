@@ -105,9 +105,13 @@ else:
     sched = ContinuousBatchingScheduler(
         cfg, params, tok, ecfg, num_slots=2, mesh=host_mesh(tp=2),
         channel=ControlChannel())
-    gen = GenerationConfig(max_new_tokens=5, greedy=True)
+    gens = [GenerationConfig(max_new_tokens=5, greedy=True),
+            GenerationConfig(max_new_tokens=5, greedy=True),
+            # mirostat exercises the rep_logits=True control path (full
+            # logits replicated to the frontend host)
+            GenerationConfig(max_new_tokens=4, mirostat=2, seed=11)]
     outs = []
-    for prompt in ([1, 7, 20, 3], [3, 5, 8]):
+    for prompt, gen in zip(([1, 7, 20, 3], [3, 5, 8], [2, 9, 4]), gens):
         req = sched.submit(prompt, gen)
         toks = []
         while True:
@@ -173,10 +177,12 @@ def test_two_process_serve_follower_parity(mini_gguf_f32):
     cfg, params, _ = load_model(mini_gguf_f32.path, param_dtype=jnp.float32)
     tok = load_tokenizer(mini_gguf_f32.path)
     sched = ContinuousBatchingScheduler(cfg, params, tok, ecfg, num_slots=2)
-    gen = GenerationConfig(max_new_tokens=5, greedy=True)
+    gens = [GenerationConfig(max_new_tokens=5, greedy=True),
+            GenerationConfig(max_new_tokens=5, greedy=True),
+            GenerationConfig(max_new_tokens=4, mirostat=2, seed=11)]
     golden = []
     try:
-        for prompt in ([1, 7, 20, 3], [3, 5, 8]):
+        for prompt, gen in zip(([1, 7, 20, 3], [3, 5, 8], [2, 9, 4]), gens):
             req = sched.submit(prompt, gen)
             toks = []
             while True:
