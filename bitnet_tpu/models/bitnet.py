@@ -206,7 +206,7 @@ def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
     b = params.blocks
     if not (T == 1 and B <= 16 and kernel_path == "w2a8"):
         return False
-    if k_scale is not None or kv_positions is not None or window is not None:
+    if kv_positions is not None or window is not None:
         return False
     if write_slots is not None:
         return False
@@ -236,7 +236,9 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
                     v_cache: jnp.ndarray,
                     pre_len: jnp.ndarray,        # [B] valid cache slots
                     rope_sin: jnp.ndarray,       # [B, 1, 1, D/2] rows
-                    rope_cos: jnp.ndarray):
+                    rope_cos: jnp.ndarray,
+                    k_scale: jnp.ndarray | None = None,  # [L, B, S, KV]
+                    v_scale: jnp.ndarray | None = None):
     """Decode step with STACKED weight/cache kernels (profiler-driven:
     under lax.scan, per-layer slices of stacked arrays feeding pallas
     operands are materialized HBM copies — ~0.8 ms/step of weight copies
@@ -268,43 +270,82 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     # with a dynamic_update_slice write makes XLA insert defensive
     # whole-stack copies per layer (measured 19.8 ms/token).  Only the
     # WEIGHTS (read-only) ride the scalar-prefetch stacked kernels.
+    quantized = k_scale is not None
+
     def body(h, xs):
-        l, kc, vc = xs                          # h [B, H]; kc [B,S,KV,D]
+        l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
         qkv = mm(l, h, "wqkv", b.attn_norm)
         q = qkv[:, : nh * D].reshape(B, 1, nh, D)
         kn = qkv[:, nh * D: (nh + nkv) * D].reshape(B, 1, nkv, D)
         vn = qkv[:, (nh + nkv) * D:].reshape(B, 1, nkv, D)
         q = apply_rope(q, rope_sin, rope_cos, q_positions)
         kn = apply_rope(kn, rope_sin, rope_cos, q_positions)
+        if quantized:
+            # int8/fp8 cache: quantize the new rows, scatter all four
+            # arrays, and dequantize the layer slice for attention —
+            # the ROUND-TRIPPED new row feeds the kernel init so the
+            # numerics match the generic path (which reads the written
+            # row back from the quantized cache)
+            kq, ksr = _quantize_kv(kn, kc.dtype)
+            vq, vsr = _quantize_kv(vn, vc.dtype)
+            kc = kc.at[b_idx, q_positions].set(kq, mode="drop")
+            vc = vc.at[b_idx, q_positions].set(vq, mode="drop")
+            ks = ks.at[b_idx, q_positions].set(ksr, mode="drop")
+            vs = vs.at[b_idx, q_positions].set(vsr, mode="drop")
+            k_read = (kc.astype(jnp.float32) * ks[..., None]).astype(
+                x.dtype)
+            v_read = (vc.astype(jnp.float32) * vs[..., None]).astype(
+                x.dtype)
+            kn_in = (kq.astype(jnp.float32) * ksr[..., None]).astype(
+                x.dtype)
+            vn_in = (vq.astype(jnp.float32) * vsr[..., None]).astype(
+                x.dtype)
+        else:
+            kn_in, vn_in = kn, vn
         import os as _os
         attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
         if B <= attn_max_b:
             # fused flash-decode kernel; grid steps scale with B, so
             # batched pools use the XLA einsum attention below (v5e:
             # B=8 was faster on XLA) while keeping the stacked matmuls
-            attn = decode_attention(
-                q[:, 0], kn[:, 0], vn[:, 0], kc, vc, pre_len,
-                interpret=interp)
-            kc = kc.at[b_idx, q_positions].set(
-                kn.astype(kc.dtype), mode="drop")
-            vc = vc.at[b_idx, q_positions].set(
-                vn.astype(vc.dtype), mode="drop")
+            if quantized:
+                attn = decode_attention(
+                    q[:, 0], kn_in[:, 0], vn_in[:, 0], k_read, v_read,
+                    pre_len, interpret=interp)
+            else:
+                attn = decode_attention(
+                    q[:, 0], kn[:, 0], vn[:, 0], kc, vc, pre_len,
+                    interpret=interp)
+                kc = kc.at[b_idx, q_positions].set(
+                    kn.astype(kc.dtype), mode="drop")
+                vc = vc.at[b_idx, q_positions].set(
+                    vn.astype(vc.dtype), mode="drop")
         else:
-            kc = kc.at[b_idx, q_positions].set(
-                kn.astype(kc.dtype), mode="drop")
-            vc = vc.at[b_idx, q_positions].set(
-                vn.astype(vc.dtype), mode="drop")
-            attn = attention(q, kc, vc, q_positions, pre_len + T)[:, 0]
+            if not quantized:
+                kc = kc.at[b_idx, q_positions].set(
+                    kn.astype(kc.dtype), mode="drop")
+                vc = vc.at[b_idx, q_positions].set(
+                    vn.astype(vc.dtype), mode="drop")
+                k_read, v_read = kc, vc
+            attn = attention(q, k_read, v_read, q_positions,
+                             pre_len + T)[:, 0]
         a2 = attn.reshape(B, nh * D)
         h = mm(l, a2, "wo", b.attn_sub_norm, resid=h)
         gu = mm(l, h, "w_gateup", b.ffn_norm)
         h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
-        return h, (kc, vc)
+        return h, (kc, vc, ks, vs)
 
-    x2, (k_cache, v_cache) = jax.lax.scan(
+    if not quantized:
+        # dummy tiny xs keep ONE scan body for both modes
+        k_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
+        v_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
+    x2, (k_cache, v_cache, k_scale, v_scale) = jax.lax.scan(
         body, x[:, 0, :],
-        (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache))
-    return x2[:, None, :], k_cache, v_cache
+        (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache,
+         k_scale, v_scale))
+    if not quantized:
+        k_scale = v_scale = None
+    return x2[:, None, :], k_cache, v_cache, k_scale, v_scale
 
 
 def embed_tokens(params: BitNetParams, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -525,9 +566,9 @@ def forward(
 
     if _stacked_decode_ok(cfg, params, T, B, k_scale, kv_positions,
                           window, write_slots, kernel_path):
-        h, k_cache, v_cache = _decode_stacked(
+        h, k_cache, v_cache, k_scale, v_scale = _decode_stacked(
             cfg, params, x, q_positions, k_cache, v_cache, _pre_len,
-            rope_sin, rope_cos)
+            rope_sin, rope_cos, k_scale, v_scale)
         h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
         return h, k_cache, v_cache, k_scale, v_scale
 

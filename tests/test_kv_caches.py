@@ -269,3 +269,36 @@ class TestQuantizedCacheAccuracy:
             outs[kv] = eng.generate([1, 7, 20], gen).token_ids
         assert len(outs["int8"]) >= 1
         assert outs["int8"][0] == outs["bf16"][0]
+
+
+class TestQuantizedKVStacked:
+    """int8/fp8 KV caches routed through the STACKED w2a8 decode loop
+    (round-2: eligibility no longer excludes quantized caches — the
+    generic fallback paid the per-layer weight-slice copies)."""
+
+    @pytest.mark.parametrize("kv", ["int8", "fp8"])
+    def test_quantized_close_to_f32_cache(self, mini_gguf_qk256, kv):
+        import numpy as np
+
+        from bitnet_tpu.config import EngineConfig
+        from bitnet_tpu.engine import InferenceEngine
+
+        ids = [1, 5, 9, 14, 3, 7, 20, 11]
+
+        def logits(kv_dtype):
+            eng = InferenceEngine.from_gguf(
+                mini_gguf_qk256.path,
+                EngineConfig(kernel_path="w2a8", max_seq_len=64,
+                             compute_dtype="f32", kv_cache_dtype=kv_dtype))
+            # drive the DECODE path (eval_ids would prefill): greedy steps
+            out = eng.generate(ids[:3], __import__(
+                "bitnet_tpu.config", fromlist=["GenerationConfig"]
+            ).GenerationConfig(max_new_tokens=5, temperature=0.0))
+            return out.token_ids
+
+        ref = logits("f32")
+        got = logits(kv)
+        # accuracy envelope: quantized-cache greedy may diverge late but
+        # must agree on a prefix (same seed/model; int8 is near-lossless)
+        agree = sum(1 for a, b in zip(ref, got) if a == b)
+        assert agree >= 3, (ref, got)
