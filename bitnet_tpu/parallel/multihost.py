@@ -72,6 +72,13 @@ def init_distributed(
         os.environ.get(NPROC_ENV, "1"))
     process_id = process_id if process_id is not None else int(
         os.environ.get(PID_ENV, "0"))
+    if jax.distributed.is_initialized():
+        # idempotence: callers may init before serve() does (e.g. to warm
+        # the backend on the main thread).  NOTE even a same-value
+        # jax.config.update here would invalidate the backend cache and
+        # re-register the cpu client with the coordination service
+        # (ALREADY_EXISTS: cpu:global_topology) — touch nothing.
+        return True
     try:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     except Exception:

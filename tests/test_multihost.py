@@ -195,3 +195,97 @@ def test_two_process_serve_follower_parity(mini_gguf_f32):
     finally:
         sched.shutdown()
     assert got == golden, (got, golden)
+
+
+_HTTP_WORKER = r"""
+import os, sys, threading, time, json, urllib.request, urllib.error
+pid, nproc, port, local, repo, model, http_port = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
+    sys.argv[5], sys.argv[6], int(sys.argv[7]))
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={local}")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["BITNET_COORDINATOR"] = f"localhost:{port}"
+os.environ["BITNET_NUM_PROCESSES"] = str(nproc)
+os.environ["BITNET_PROCESS_ID"] = str(pid)
+sys.path.insert(0, repo)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from bitnet_tpu.serve.server import serve
+
+if pid == 0:
+    # production layout: serve() owns the MAIN thread (jax.distributed
+    # init, model load, scheduler loop); the checker drives HTTP from a
+    # side thread and hard-exits the process when done
+    def checker():
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{http_port}/health", timeout=2)
+                break
+            except Exception:
+                time.sleep(1.0)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http_port}/v1/inference",
+            data=json.dumps({"tokens": [1, 7, 20], "max_tokens": 4,
+                             "greedy": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                body = json.loads(r.read())
+            print("HTTP_TOKENS", body.get("tokens"), flush=True)
+        except Exception as e:
+            print("HTTP_FAIL", e, flush=True)
+            os._exit(2)
+        # hot-load must be rejected in multi-host mode
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{http_port}/v1/models/load",
+            data=json.dumps({"name": "x", "path": model}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req2, timeout=60)
+            print("HTTP_LOAD_STATUS 200", flush=True)
+        except urllib.error.HTTPError as e:
+            print("HTTP_LOAD_STATUS", e.code, flush=True)
+        os._exit(0)
+
+    threading.Thread(target=checker, daemon=True).start()
+serve(model, port=http_port, num_slots=2, shard="2,2", max_seq_len=64)
+"""
+
+@pytest.mark.slow
+def test_two_process_http_serve(mini_gguf_f32):
+    """Full HTTP stack over the follower protocol: process 0 serves
+    /v1/inference while process 1 follows; hot-load returns 409."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _HTTP_WORKER, str(pid), "2", "18787",
+             "2", repo, mini_gguf_f32.path, "18788"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        for pid in range(2)
+    ]
+    try:
+        out0, err0 = procs[0].communicate(timeout=420)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-host HTTP serve timed out")
+    finally:
+        procs[1].kill()
+        procs[1].communicate()
+    if procs[0].returncode != 0:
+        pytest.skip(f"gloo multi-process unavailable: "
+                    f"{err0.decode()[-500:]}")
+    text = out0.decode()
+    assert "HTTP_TOKENS" in text, text
+    toks = text.split("HTTP_TOKENS ", 1)[1].splitlines()[0]
+    assert toks.startswith("[") and len(eval(toks)) >= 1, text
+    assert "HTTP_LOAD_STATUS 409" in text, text
