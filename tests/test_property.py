@@ -113,7 +113,14 @@ class TestSamplingProps:
     def test_temperature_preserves_argmax(self, logits, temp):
         lg = jnp.asarray(np.asarray(logits, np.float32)[None])
         out = apply_temperature(lg, temp)
-        assert int(jnp.argmax(out)) == int(jnp.argmax(lg))
+        # scaling can flush subnormal gaps to zero and create NEW ties
+        # (e.g. FLT_MIN/2 → -0.0 == 0.0), so assert the scaled argmax is
+        # among the unscaled near-maximal indices rather than bit-equal
+        lg_np = np.asarray(lg)[0]
+        top = float(lg_np.max())
+        near_top = np.flatnonzero(
+            top - lg_np <= abs(top) * 1e-6 + 1e-37)
+        assert int(jnp.argmax(out)) in set(near_top.tolist())
 
     @SET
     @given(st.lists(floats, min_size=8, max_size=64), st.integers(1, 8))
