@@ -26,6 +26,10 @@ class KernelSpec:
 
 
 REGISTRY: list[KernelSpec] = [
+    KernelSpec("ternary_matmul_qk256_w2a8_stacked", "matmul", "pallas",
+               True,
+               "scalar-prefetch stacked-layer W2A8 matmul with fused "
+               "norm/SwiGLU/residual (shipped decode default)"),
     KernelSpec("ternary_matmul_qk256_w2a8", "matmul", "pallas", True,
                "fused word-unpack + int8 MXU matmul with per-token int8 "
                "activations (shipped TPU default)"),

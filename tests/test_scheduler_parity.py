@@ -170,3 +170,58 @@ class TestCancellation:
             assert toks == []
         finally:
             s.shutdown()
+
+
+class TestMultiStepDispatch:
+    """decode_steps_per_dispatch > 1: K decode steps per device round
+    trip (lax.scan) must be token-for-token identical to K=1."""
+
+    def _run(self, mini_gguf_f32, k, gen, prompts):
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        tok = load_tokenizer(mini_gguf_f32.path)
+        s = ContinuousBatchingScheduler(
+            cfg, params, tok, ECFG, num_slots=2,
+            decode_steps_per_dispatch=k)
+        try:
+            outs = []
+            for p in prompts:
+                req = s.submit(p, gen)
+                toks = []
+                while True:
+                    t, _, done, _ = req.out.get(timeout=120)
+                    if t is not None:
+                        toks.append(t)
+                    if done:
+                        break
+                outs.append(toks)
+            return outs
+        finally:
+            s.shutdown()
+
+    def test_greedy_parity(self, mini_gguf_f32):
+        gen = GenerationConfig(max_new_tokens=10, greedy=True)
+        prompts = [[1, 7, 20, 3], [3, 5, 8]]
+        assert self._run(mini_gguf_f32, 4, gen, prompts) == \
+            self._run(mini_gguf_f32, 1, gen, prompts)
+
+    def test_sampled_parity(self, mini_gguf_f32):
+        gen = GenerationConfig(max_new_tokens=9, temperature=0.8,
+                               top_k=5, repetition_penalty=1.2, seed=7)
+        prompts = [[2, 9, 4]]
+        assert self._run(mini_gguf_f32, 3, gen, prompts) == \
+            self._run(mini_gguf_f32, 1, gen, prompts)
+
+    def test_stop_token_mid_window(self, mini_gguf_f32):
+        """A stop token inside the K-window truncates exactly there."""
+        gen1 = GenerationConfig(max_new_tokens=12, greedy=True)
+        prompts = [[1, 7, 20, 3]]
+        golden = self._run(mini_gguf_f32, 1, gen1, prompts)[0]
+        assert len(golden) >= 3
+        stop_at = golden[2]
+        gen2 = GenerationConfig(max_new_tokens=12, greedy=True,
+                                stop_token_ids=(stop_at,))
+        got = self._run(mini_gguf_f32, 4, gen2, prompts)[0]
+        ref = self._run(mini_gguf_f32, 1, gen2, prompts)[0]
+        assert got == ref
+        assert stop_at not in got
