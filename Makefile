@@ -2,11 +2,13 @@
 
 PY ?= python
 
+# full suite = merge gate (~30 min: multi-process gloo, 8-device GSPMD)
 test:
 	$(PY) -m pytest tests/ -q
 
+# inner loop (~3-5 min): everything not marked slow
 test-fast:
-	$(PY) -m pytest tests/ -q -x --ignore=tests/test_native.py
+	$(PY) -m pytest tests/ -q -x -m "not slow"
 
 bench:
 	$(PY) bench.py

@@ -198,11 +198,24 @@ class EngineConfig:
     # wider DMA blocks); single-chip engines only — sharded paths keep
     # the unfused layout for clean column-parallel PartitionSpecs
     fuse_projections: bool = False
+    # decode tokens per host round-trip in generate_stream (engine/loop.py
+    # K-step lax.scan segments; tokens are bit-identical to K=1).
+    # 0 = auto: 8 on TPU (host sync >> device step), 1 elsewhere.
+    decode_steps_per_dispatch: int = 0
+    # at pos >= max_seq_len: 'shift' trims to the last half of the context
+    # and re-prefills (reference keep-half truncation, engine.rs:1222-1227);
+    # 'stop' ends generation with StopReason.CONTEXT_FULL
+    context_overflow: str = "shift"
     strict: StrictMode = field(default_factory=StrictMode)
 
     def __post_init__(self) -> None:
         if self.kv_cache_dtype not in ("bf16", "f32", "int8", "fp8"):
             raise ConfigError(f"bad kv_cache_dtype {self.kv_cache_dtype!r}")
+        if self.context_overflow not in ("shift", "stop"):
+            raise ConfigError(
+                f"bad context_overflow {self.context_overflow!r}")
+        if self.decode_steps_per_dispatch < 0:
+            raise ConfigError("decode_steps_per_dispatch must be >= 0")
         if self.logits_dtype not in ("auto", "bf16", "int8"):
             raise ConfigError(f"bad logits_dtype {self.logits_dtype!r}")
         if self.kernel_path not in ("auto", "w2a8", "pallas", "xla"):

@@ -110,13 +110,15 @@ class InferenceEngine:
         self.params = params
         self.engine_cfg = engine_cfg or EngineConfig()
         self.tokenizer = tokenizer
+        fuse_fell_back = False
         if (self.engine_cfg.fuse_projections
                 and params.blocks.wqkv is None):
             from ..models.bitnet import fuse_block_params
             import dataclasses as _dc
 
-            self.params = _dc.replace(
-                params, blocks=fuse_block_params(params.blocks))
+            fused = fuse_block_params(params.blocks)
+            fuse_fell_back = fused.wqkv is None
+            self.params = _dc.replace(params, blocks=fused)
         # hyperparameter sanity gates (engine.rs:786-792)
         cfg.validate()
         if self.engine_cfg.max_seq_len > cfg.max_seq_len:
@@ -139,6 +141,10 @@ class InferenceEngine:
             self.engine_cfg.kv_cache_dtype,
         )
         self.kernel_recorder: list[str] = []
+        if fuse_fell_back:
+            # surfaced in honest-compute receipts: the engine asked for
+            # fused projections but runs the unfused 7-call path
+            self.kernel_recorder.append("fuse_projections_fallback")
         self.prefix_cache = None
         if self.engine_cfg.prefix_cache_tokens > 0:
             from .prefix_cache import PrefixCache
@@ -201,6 +207,26 @@ class InferenceEngine:
         if key not in self._sample_jit:
             chain = SamplerChain(gen_cfg)
             self._sample_jit[key] = jax.jit(chain.sample)
+        return self._sample_jit[key]
+
+    def _segment_steps(self) -> int:
+        k = self.engine_cfg.decode_steps_per_dispatch
+        if k == 0:
+            return 8 if jax.default_backend() == "tpu" else 1
+        return k
+
+    def _get_segment(self, gen_cfg: GenerationConfig, n_steps: int):
+        """K-step decode segment program (engine/loop.py) keyed by the
+        sampler config + K."""
+        key = ("seg", n_steps, gen_cfg.temperature, gen_cfg.top_k,
+               gen_cfg.top_p, gen_cfg.min_p, gen_cfg.typical_p,
+               gen_cfg.repetition_penalty, gen_cfg.is_greedy)
+        if key not in self._sample_jit:
+            from .loop import build_decode_segment
+
+            self._sample_jit[key] = build_decode_segment(
+                self.cfg, self._kernel_path, SamplerChain(gen_cfg), n_steps,
+                self.engine_cfg.max_seq_len)
         return self._sample_jit[key]
 
     # -- helpers -------------------------------------------------------------
@@ -413,42 +439,94 @@ class InferenceEngine:
         pos = len(token_ids)
         t_dec = time.perf_counter()
         generated = 0
-        while True:
+        emitted: list[int] = []
+        # K-step segments: sample→forward K times in ONE dispatch
+        # (engine/loop.py); mirostat keeps K=1 (host-side adaptive state)
+        K = self._segment_steps() if mirostat is None else 1
+        active = jnp.asarray([True] + [False] * (B - 1))
+        stopped = False
+        while not stopped:
             if pos >= S:
+                if self.engine_cfg.context_overflow == "shift":
+                    # keep-half truncation + re-prefill (reference
+                    # engine.rs:1222-1227): generation continues on the
+                    # trimmed context
+                    keep = max(1, S // 2)
+                    kept = (list(token_ids) + emitted)[-keep:]
+                    logits = self.prefill(kept)
+                    pos = keep
+                    self.kernel_recorder.append(f"context_shift_keep{keep}")
+                    continue
                 self._last_stop_reason = StopReason.CONTEXT_FULL
                 break
-            key, sub = jax.random.split(key)
-            if mirostat is not None:
-                tok_id = mirostat.sample(logits[0], sub)
-                token = jnp.full((B, 1), tok_id, jnp.int32)
+            remaining = gen_cfg.max_new_tokens - generated
+            if K > 1 and remaining >= K and pos + K <= S:
+                seg = self._get_segment(gen_cfg, K)
+                toks, logits, self.cache, _pos_dev, history_dev, key = seg(
+                    self.params, logits, self.cache,
+                    jnp.where(active, pos, S).astype(jnp.int32),
+                    history_dev, key, active)
+                step_toks = [int(t) for t in np.asarray(toks[0])]
+                pos_delta = K
             else:
-                sampled = sampler(logits, history_dev, sub)  # [B]
-                token = sampled[:, None]
-                tok_id = int(sampled[0])
-            generated += 1
-            metrics.generated_tokens = generated
+                key, sub = jax.random.split(key)
+                if mirostat is not None:
+                    tok_id = mirostat.sample(logits[0], sub)
+                    token = jnp.full((B, 1), tok_id, jnp.int32)
+                else:
+                    sampled = sampler(logits, history_dev, sub)  # [B]
+                    token = sampled[:, None]
+                    tok_id = int(sampled[0])
+                step_toks = None
+                pos_delta = 1
 
-            text = ""
-            if self.tokenizer is not None:
-                text = self.tokenizer.token_to_piece(tok_id)
-            ev = TokenEvent(token_id=tok_id, text=text, index=generated - 1)
-            reason = stop.check(tok_id, text)
-            if reason in (StopReason.STOP_TOKEN, StopReason.EOS):
-                # stop tokens are not emitted (engine.rs stop handling)
-                self._last_stop_reason = reason
-                break
-            yield ev
-            if reason is not None:
-                self._last_stop_reason = reason
-                break
-
-            positions = np.full((B, 1), S, np.int32)
-            positions[0, 0] = pos
-            logits, self.cache = decode(
-                self.params, token, self.cache, jnp.asarray(positions))
-            history_dev = jnp.roll(history_dev, -1, axis=1).at[:, -1].set(
-                token[:, 0])
-            pos += 1
+            if step_toks is None:
+                # single-step path: sample → stop-check → decode
+                generated += 1
+                metrics.generated_tokens = generated
+                text = (self.tokenizer.token_to_piece(tok_id)
+                        if self.tokenizer is not None else "")
+                ev = TokenEvent(token_id=tok_id, text=text,
+                                index=generated - 1)
+                reason = stop.check(tok_id, text)
+                if reason in (StopReason.STOP_TOKEN, StopReason.EOS):
+                    # stop tokens are not emitted (engine.rs stop handling)
+                    self._last_stop_reason = reason
+                    break
+                emitted.append(tok_id)
+                yield ev
+                if reason is not None:
+                    self._last_stop_reason = reason
+                    break
+                positions = np.full((B, 1), S, np.int32)
+                positions[0, 0] = pos
+                logits, self.cache = decode(
+                    self.params, token, self.cache, jnp.asarray(positions))
+                history_dev = jnp.roll(
+                    history_dev, -1, axis=1).at[:, -1].set(token[:, 0])
+                pos += pos_delta
+            else:
+                # segment path: all K tokens are already decoded on device;
+                # the host replays stop logic and discards any overshoot
+                for tok_id in step_toks:
+                    generated += 1
+                    metrics.generated_tokens = generated
+                    text = (self.tokenizer.token_to_piece(tok_id)
+                            if self.tokenizer is not None else "")
+                    ev = TokenEvent(token_id=tok_id, text=text,
+                                    index=generated - 1)
+                    reason = stop.check(tok_id, text)
+                    if reason in (StopReason.STOP_TOKEN, StopReason.EOS):
+                        self._last_stop_reason = reason
+                        stopped = True
+                        break
+                    emitted.append(tok_id)
+                    yield ev
+                    if reason is not None:
+                        self._last_stop_reason = reason
+                        stopped = True
+                        break
+                pos += pos_delta
         metrics.decode_s = time.perf_counter() - t_dec
         self.kernel_recorder.append(f"decode_{self._kernel_path}_x{generated}")
 

@@ -1,14 +1,18 @@
-"""Fully on-device decode loops.
+"""Multi-step on-device decode segments.
 
 The reference's decode loop syncs with the host every token
-(``engine.rs:1076-1231``).  On TPU that sync costs more than the compute
-for small models, so the hot path here is a ``lax.while_loop`` that runs
-entirely on device: sample → append → forward → repeat, with the KV cache
-as loop carry.  The host only sees the final token buffer (and can stream
-in chunks by running the loop in segments).
+(``engine.rs:1076-1231``).  On TPU that host round-trip dwarfs the device
+step (measured ~0.4 s through the dev relay vs ~2 ms compute; ~1 ms even
+colocated), so :meth:`InferenceEngine.generate_stream` runs decoding in
+K-token SEGMENTS: one compiled ``lax.scan`` samples → appends → forwards
+K times entirely on device, and the host only runs tokenizer/stop logic
+on the returned K tokens.  Sampling threads the PRNG key stream and the
+repetition history in-scan, so the produced tokens are bit-identical to K
+single dispatches (tests/test_engine.py::test_multi_step_segment_parity).
 
-Used by: greedy/sampled generation fast path, the benchmark harness, and
-speculative decoding's verify loop.
+The same pattern at pool scale lives in
+``serve/scheduler.py::decode_multi``; this is the single-sequence engine
+variant with the full :class:`SamplerChain`.
 """
 
 from __future__ import annotations
@@ -19,61 +23,42 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..models.bitnet import BitNetParams, forward, logits as model_logits
+from ..models.bitnet import forward_cache, logits as model_logits
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "n_steps", "kernel_path", "temperature"),
-    donate_argnums=(2, 3),
-)
-def decode_loop(
-    cfg: ModelConfig,
-    params: BitNetParams,
-    k_cache: jnp.ndarray,        # [L, B, S, KV, D]
-    v_cache: jnp.ndarray,
-    first_token: jnp.ndarray,    # [B] token sampled from prefill logits
-    start_pos: jnp.ndarray,      # [B] position of first_token
-    n_steps: int,
-    key: jax.Array,
-    eos_id: int = -1,
-    kernel_path: str = "xla",
-    temperature: float = 0.0,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Generate ``n_steps`` tokens on device.
+def build_decode_segment(cfg: ModelConfig, kernel_path: str, sampler_chain,
+                         n_steps: int, max_seq_len: int):
+    """Compile a K-step decode segment.
 
-    Returns (tokens [B, n_steps], k_cache, v_cache).  Greedy when
-    ``temperature == 0``.  Generation continues past EOS (host trims) so
-    shapes stay static; ``eos_id`` freezes a finished row's token to keep
-    caches consistent.
+    Returns ``segment(params, logits, cache, pos, history, key, active)``
+    → ``(tokens [B, K], logits [B, V], cache, pos, history, key)`` where
+    ``tokens[:, j]`` is the j-th sampled token.  ``active`` [B] bool masks
+    live rows (padding rows neither write cache nor advance position).
+    The caller samples from the RETURNED logits on the next dispatch, so
+    chaining segments reproduces the single-step loop exactly.
     """
-    B = first_token.shape[0]
-    S = k_cache.shape[2]
-    out = jnp.zeros((B, n_steps), jnp.int32)
+    S = max_seq_len
 
-    def body(i, carry):
-        tok, pos, kc, vc, out, key, done = carry
-        out = out.at[:, i].set(tok)
-        # forward one token at current positions
-        positions = jnp.where(done | (pos >= S), S, pos)[:, None]
-        h, kc, vc, _, _ = forward(
-            cfg, params, tok[:, None], positions, kc, vc, pos,
-            num_real_tokens=jnp.where(done, 0, 1).astype(jnp.int32),
-            kernel_path=kernel_path,
-        )
-        lg = model_logits(cfg, params, h, kernel_path)[:, 0, :]
-        if temperature > 0.0:
+    @partial(jax.jit, donate_argnums=(2,))
+    def segment(params, logits, cache, pos, history, key, active):
+        def body(carry, _):
+            lg, pos, cache, hist, key = carry
             key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(sub, lg / temperature, axis=-1)
-            nxt = nxt.astype(jnp.int32)
-        else:
-            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        done = done | (nxt == eos_id)
-        nxt = jnp.where(done, jnp.maximum(eos_id, 0), nxt)
-        return nxt, pos + 1, kc, vc, out, key, done
+            nxt = sampler_chain.sample(lg, hist, sub)        # [B]
+            tok = nxt[:, None].astype(jnp.int32)
+            positions = jnp.where(active, pos, S)[:, None]   # pad → OOB drop
+            h, cache = forward_cache(
+                cfg, params, tok, positions, cache,
+                active.astype(jnp.int32), kernel_path)
+            lg2 = model_logits(cfg, params, h, kernel_path)[:, -1, :]
+            hist = jnp.where(
+                active[:, None],
+                jnp.concatenate([hist[:, 1:], nxt[:, None]], axis=1), hist)
+            pos = pos + active.astype(pos.dtype)
+            return (lg2, pos, cache, hist, key), nxt
 
-    init = (first_token.astype(jnp.int32), start_pos.astype(jnp.int32),
-            k_cache, v_cache, out, key, jnp.zeros((B,), bool))
-    tok, pos, kc, vc, out, key, done = jax.lax.fori_loop(
-        0, n_steps, body, init)
-    return out, kc, vc
+        (logits, pos, cache, history, key), toks = jax.lax.scan(
+            body, (logits, pos, cache, history, key), None, length=n_steps)
+        return toks.T, logits, cache, pos, history, key
+
+    return segment

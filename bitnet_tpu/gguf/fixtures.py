@@ -31,6 +31,10 @@ class MiniModelSpec:
     rope_base: float = 10000.0
     rms_norm_eps: float = 1e-5
     quant: str = "f32"  # 'f32' | 'bitnet32' | 'qk256'
+    # store quantized linears orientation-FLIPPED ([in, out] instead of
+    # [out, in]) — exercises the loader's transposed-I2_S repack path
+    # (reference re-derives orientation, formats/gguf/loader.rs:1427-1480)
+    transposed: bool = False
     sub_norm: bool = False   # emit BitNet 2B-4T attn/ffn sub-layernorms
     seed: int = 0
     architecture: str = "bitnet-25"   # reference arch string family
@@ -132,17 +136,25 @@ def generate_mini_gguf(path: str, spec: MiniModelSpec | None = None) -> MiniMode
         if spec.quant == "f32":
             add_float(name, raw)
             return
+        # square tensors are orientation-ambiguous from shape alone (the
+        # loader, like the reference, assumes [out, in] then) — only flip
+        # non-square linears
+        flip = spec.transposed and out_dim != in_dim
+        stored = raw.T.copy() if flip else raw
+        shape = (in_dim, out_dim) if flip else (out_dim, in_dim)
         if spec.quant == "bitnet32":
-            payload = quantize_bitnet32(raw)
+            payload = quantize_bitnet32(stored)
             from ..quant.i2s import dequantize_bitnet32
-            weights[name] = dequantize_bitnet32(payload, raw.size).reshape(raw.shape)
-            w.add_quantized_tensor(name, (out_dim, in_dim), GGMLType.I2_S, payload)
+            deq = dequantize_bitnet32(payload, raw.size).reshape(shape)
+            weights[name] = deq.T if flip else deq
+            w.add_quantized_tensor(name, shape, GGMLType.I2_S, payload)
             return
         if spec.quant == "qk256":
-            payload = quantize_qk256(raw)
+            payload = quantize_qk256(stored)
             from ..quant.qk256 import dequantize_qk256
-            weights[name] = dequantize_qk256(payload, out_dim, in_dim)
-            w.add_quantized_tensor(name, (out_dim, in_dim), GGMLType.I2_S, payload)
+            deq = dequantize_qk256(payload, shape[0], shape[1])
+            weights[name] = deq.T if flip else deq
+            w.add_quantized_tensor(name, shape, GGMLType.I2_S, payload)
             return
         raise ValueError(f"unknown quant {spec.quant!r}")
 

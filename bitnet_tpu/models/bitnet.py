@@ -107,13 +107,22 @@ def quantize_head(params: BitNetParams) -> BitNetParams:
 def fuse_block_params(blocks: BlockParams) -> BlockParams:
     """Fuse q|k|v and gate|up into single projections (decode at M=1 is
     launch- and DMA-bound; 7 kernel calls/layer become 4).  Falls back to
-    the unfused params when widths aren't 128-aligned or kinds differ."""
+    the unfused params — LOUDLY — when widths aren't 128-aligned or kinds
+    differ (a silent fallback would degrade every decode to the 7-call
+    path with no trace); anything other than those known alignment
+    conditions propagates."""
+    from ..errors import QuantizationError
     from ..ops.linear import concat_linears
 
     try:
         wqkv = concat_linears([blocks.wq, blocks.wk, blocks.wv])
         w_gateup = concat_linears([blocks.w_gate, blocks.w_up])
-    except Exception:
+    except QuantizationError as e:
+        from ..obs.warn_once import warn_once
+
+        warn_once(
+            f"projection fusion disabled — decode runs the unfused 7-call "
+            f"path: {e}")
         return blocks
     return dataclasses.replace(blocks, wqkv=wqkv, w_gateup=w_gateup,
                                wq=None, wk=None, wv=None,
@@ -246,7 +255,10 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     floor.  Scalar-prefetch block indexing reads straight from the
     stacks; the caches stay scan CARRIES updated in-place via
     dynamic_update_slice)."""
-    from ..ops.decode_attention import decode_attention
+    from ..ops.decode_attention import (
+        decode_attention,
+        decode_attention_quant,
+    )
     from ..ops.ternary_matmul import ternary_matmul_stacked
 
     b = params.blocks
@@ -265,12 +277,93 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
             l, h, lin.packed, sv[name], gamma, k_dim=lin.k, n_dim=lin.n,
             eps=eps, interpret=interp, **kw)
 
-    # NOTE the caches stay scan xs/ys (per-layer 2.6 MB slice semantics):
-    # carrying the FULL [L, ...] stacks and mixing an opaque pallas read
-    # with a dynamic_update_slice write makes XLA insert defensive
-    # whole-stack copies per layer (measured 19.8 ms/token).  Only the
-    # WEIGHTS (read-only) ride the scalar-prefetch stacked kernels.
+    # NOTE the caches ride the scan as READ-ONLY xs (per-layer 2.6 MB
+    # slice semantics): carrying the FULL [L, ...] stacks and mixing an
+    # opaque pallas read with a dynamic_update_slice write makes XLA
+    # insert defensive whole-stack copies per layer (measured 19.8
+    # ms/token).  Only the WEIGHTS (read-only, loop-invariant) ride the
+    # scalar-prefetch stacked kernels.
+    #
+    # Round-3 rows mode (default): the caches are xs ONLY — each layer
+    # emits just its new k/v row (and scale) as ys, and ONE post-scan
+    # scatter writes all L rows at the query position.  Round 2 threaded
+    # the full slices back out as ys too, which paid the slice copy twice
+    # (read + restack ≈ 0.7 ms/step at B=1).  Attention reads the
+    # PRE-write slice and folds the new token in-kernel
+    # (ops/decode_attention.py), so nothing downstream needs the written
+    # cache until the next step.  BITNET_CACHE_YS=1 restores the round-2
+    # xs/ys threading for A/B timing.
     quantized = k_scale is not None
+    import os as _os
+    rows_mode = _os.environ.get("BITNET_CACHE_YS", "0") != "1"
+
+    def body_rows(h, xs):
+        """Rows mode: xs caches are PRE-write read-only slices; returns
+        the new (quantized) k/v rows + scales as ys for the post-scan
+        scatter."""
+        l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
+        qkv = mm(l, h, "wqkv", b.attn_norm)
+        q = qkv[:, : nh * D].reshape(B, 1, nh, D)
+        kn = qkv[:, nh * D: (nh + nkv) * D].reshape(B, 1, nkv, D)
+        vn = qkv[:, (nh + nkv) * D:].reshape(B, 1, nkv, D)
+        q = apply_rope(q, rope_sin, rope_cos, q_positions)
+        kn = apply_rope(kn, rope_sin, rope_cos, q_positions)
+        if quantized:
+            kq, ksr = _quantize_kv(kn, kc.dtype)
+            vq, vsr = _quantize_kv(vn, vc.dtype)
+            # the ROUND-TRIPPED row feeds attention so numerics match the
+            # generic path (which reads the written row back quantized)
+            kn_in = (kq.astype(jnp.float32) * ksr[..., None]).astype(
+                x.dtype)
+            vn_in = (vq.astype(jnp.float32) * vsr[..., None]).astype(
+                x.dtype)
+        else:
+            kq, vq = kn.astype(kc.dtype), vn.astype(vc.dtype)
+            ksr = vsr = jnp.zeros((B, 1, 1), jnp.float32)
+            kn_in, vn_in = kn, vn
+        # flash-decode kernel gate: its grid steps scale with B while XLA
+        # einsum attention batches rows — v5e rows-mode measurements:
+        # B=1 pallas 1.51 ms vs einsum n/a; B=8 pallas 5.48 ms vs einsum
+        # 2.99 ms.  Keep the kernel for tiny B only.
+        attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
+        quant_kernel = quantized and kc.dtype == jnp.int8
+        if B <= attn_max_b and (not quantized or quant_kernel):
+            if quant_kernel:
+                # int8 cache + per-vector scales dequantize IN-KERNEL —
+                # the cache stream stays int8 all the way into VMEM
+                # (half the HBM read of the bf16 cache)
+                attn = decode_attention_quant(
+                    q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc,
+                    ks, vs, pre_len, interpret=interp)
+            else:
+                attn = decode_attention(
+                    q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc, pre_len,
+                    interpret=interp)
+        else:
+            # XLA einsum attention needs the POST-write cache view; the
+            # written slice copy feeds only this read (the canonical
+            # cache update is the post-scan scatter)
+            if quantized:
+                kcw = kc.at[b_idx, q_positions].set(kq, mode="drop")
+                vcw = vc.at[b_idx, q_positions].set(vq, mode="drop")
+                ksw = ks.at[b_idx, q_positions].set(ksr, mode="drop")
+                vsw = vs.at[b_idx, q_positions].set(vsr, mode="drop")
+                k_read = (kcw.astype(jnp.float32)
+                          * ksw[..., None]).astype(x.dtype)
+                v_read = (vcw.astype(jnp.float32)
+                          * vsw[..., None]).astype(x.dtype)
+            else:
+                k_read = kc.at[b_idx, q_positions].set(
+                    kn.astype(kc.dtype), mode="drop")
+                v_read = vc.at[b_idx, q_positions].set(
+                    vn.astype(vc.dtype), mode="drop")
+            attn = attention(q, k_read, v_read, q_positions,
+                             pre_len + T)[:, 0]
+        a2 = attn.reshape(B, nh * D)
+        h = mm(l, a2, "wo", b.attn_sub_norm, resid=h)
+        gu = mm(l, h, "w_gateup", b.ffn_norm)
+        h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
+        return h, (kq, vq, ksr, vsr)
 
     def body(h, xs):
         l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
@@ -339,10 +432,24 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         # dummy tiny xs keep ONE scan body for both modes
         k_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
         v_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
-    x2, (k_cache, v_cache, k_scale, v_scale) = jax.lax.scan(
-        body, x[:, 0, :],
-        (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache,
-         k_scale, v_scale))
+    xs = (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache,
+          k_scale, v_scale)
+    if rows_mode:
+        x2, (k_rows, v_rows, ks_rows, vs_rows) = jax.lax.scan(
+            body_rows, x[:, 0, :], xs)
+        # ONE scatter writes all L new rows at the query position
+        # (mode="drop" keeps padding semantics: slot == S writes nothing)
+        li = jnp.arange(L, dtype=jnp.int32)[:, None, None]
+        bi = b_idx[None]                        # [1, B, 1]
+        qp = q_positions[None]                  # [1, B, 1]
+        k_cache = k_cache.at[li, bi, qp].set(k_rows, mode="drop")
+        v_cache = v_cache.at[li, bi, qp].set(v_rows, mode="drop")
+        if quantized:
+            k_scale = k_scale.at[li, bi, qp].set(ks_rows, mode="drop")
+            v_scale = v_scale.at[li, bi, qp].set(vs_rows, mode="drop")
+    else:
+        x2, (k_cache, v_cache, k_scale, v_scale) = jax.lax.scan(
+            body, x[:, 0, :], xs)
     if not quantized:
         k_scale = v_scale = None
     return x2[:, None, :], k_cache, v_cache, k_scale, v_scale

@@ -189,18 +189,49 @@ def _load_linear(
             f"({out_dim}, {in_dim})"
         )
 
-    if mode != "dense" and info.ggml_type == GGMLType.I2_S and not transposed:
+    if mode != "dense" and info.ggml_type == GGMLType.I2_S:
         flavor = detect_i2s_flavor(info.nelems, info.nbytes, name=name,
                                    cols=int(info.shape[0]) if info.shape else None)
         report.flavors[name] = flavor.value
         codes, scales = _i2s_codes_and_scales(reader, info, flavor)
+        # orientation-flipped storage ([in, out]): the code matrix is
+        # already [K=in, N=out] — REPACK, never dequantize (a dense
+        # fallback would inflate HBM ~8x and abandon the ternary kernel;
+        # the reference re-derives orientation and keeps QK256 packed,
+        # formats/gguf/loader.rs:1427-1480)
         if flavor == I2SFlavor.GGML_QK256_NO_SCALE:
             report.kinds[role] = "qk256"
-            return qk256_linear_from_codes(codes.T.copy())
-        if scales is not None:
+            return qk256_linear_from_codes(
+                np.ascontiguousarray(codes) if transposed
+                else codes.T.copy())
+        if scales is not None and not transposed:
             report.kinds[role] = "bitnet32"
             return bitnet32_linear_from_codes(codes.T.copy(), scales.T.copy())
-        # fall through to dense if block structure didn't align
+        if scales is not None and transposed:
+            # per-block scales follow the STORED row direction, so a
+            # transposed tensor's blocks run along N, not K.  A uniform
+            # scale transposes trivially; real per-block scales cannot
+            # ride the K-block kernel layout — warn loudly and fall
+            # through to dense (recorded in the LoadReport).
+            uniq = np.unique(np.asarray(scales, np.float32))
+            k_t, n_t = codes.shape  # [in, out] already
+            if uniq.size == 1 and k_t % BLOCK32 == 0:
+                report.kinds[role] = "bitnet32"
+                return bitnet32_linear_from_codes(
+                    np.ascontiguousarray(codes),
+                    np.full((k_t // BLOCK32, n_t), uniq[0], np.float32))
+            from ..obs.warn_once import warn_once
+
+            warn_once(
+                f"{name}: transposed {flavor.value} tensor with per-block "
+                "scales cannot keep the packed kernel layout — "
+                "dequantizing to dense (HBM inflates ~8x)")
+        elif scales is None and flavor != I2SFlavor.GGML_QK256_NO_SCALE:
+            from ..obs.warn_once import warn_once
+
+            warn_once(
+                f"{name}: {flavor.value} block structure did not align "
+                "(cols % 32 != 0) — dequantizing to dense")
 
     w = _to_float(reader, info)
     w = w.reshape(shape if len(shape) == 2 else (out_dim, in_dim))

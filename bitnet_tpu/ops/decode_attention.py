@@ -509,6 +509,185 @@ def decode_attention_qkv(
     return out.reshape(B, H, D), kr, vr
 
 
+def _decode_attn_quant_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
+                              ks_ref, vs_ref, out_ref, m_scr, d_scr,
+                              ctx_scr, *, scale: float, n_kv: int, G: int,
+                              D: int, chunk: int, n_chunks: int):
+    """Flash-decode over an int8 KV cache with per-vector scales,
+    dequantized IN-KERNEL.
+
+    The cache streams HBM→VMEM as int8 (half the bytes of bf16) and the
+    scales arrive TRANSPOSED [KV, S] so the per-(slot, head) factors fold
+    into the score/PV math without a Mosaic relayout:
+      scores: (q · k_int8) * k_scale[slot, head]  — applied after the dot
+      PV:     (e * v_scale[slot, head]) · v_int8  — folded into e
+    The NEW token's k/v arrives as round-tripped bf16 rows (same numerics
+    as the generic path that reads the written row back quantized).
+
+    Matches the reference's quantized-cache intent
+    (crates/bitnet-inference/src/kv_cache_optimized.rs:1-40) — there the
+    win is RAM; here it is the HBM stream, which decode is bound by.
+    """
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    pos = pos_ref[b, 0]
+    HH = n_kv * G
+
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
+
+    def rowmask(h, dtype):
+        return (row_head == h).astype(dtype)              # [H, 1]
+
+    def head_bcast(s2d):
+        """[KV, chunk] per-slot scales → [H, chunk] rows by head."""
+        acc = None
+        for h in range(n_kv):
+            seg = (jnp.broadcast_to(s2d[h:h + 1, :], (HH, chunk))
+                   * rowmask(h, s2d.dtype))
+            acc = seg if acc is None else acc + seg
+        return acc
+
+    def select_rows(wide):
+        acc = None
+        for h in range(n_kv):
+            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
+            acc = seg if acc is None else acc + seg
+        return acc
+
+    qf = q_ref[0].reshape(HH, D)                          # [H, D] bf16
+    q_wide = jnp.concatenate(
+        [qf * rowmask(h, qf.dtype) for h in range(n_kv)], axis=1)
+
+    @pl.when(c == 0)
+    def _():
+        kn_sel = None
+        vn_sel = None
+        for h in range(n_kv):
+            rm = rowmask(h, jnp.float32)
+            kh = jnp.broadcast_to(
+                kn_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32),
+                (HH, D)) * rm
+            vh = jnp.broadcast_to(
+                vn_ref[0, :, h * D:(h + 1) * D].astype(jnp.float32),
+                (HH, D)) * rm
+            kn_sel = kh if kn_sel is None else kn_sel + kh
+            vn_sel = vh if vn_sel is None else vn_sel + vh
+        s_new = jnp.sum(
+            qf.astype(jnp.float32) * kn_sel,
+            axis=1, keepdims=True) * scale                # [H, 1]
+        m_scr[:] = s_new
+        d_scr[:] = jnp.ones((HH, 1), jnp.float32)
+        ctx_scr[:] = vn_sel
+
+    base = c * chunk
+    kc = k_ref[0].astype(q_wide.dtype)                    # int8 → bf16
+    vc = v_ref[0].astype(q_wide.dtype)
+    s = jax.lax.dot_general(
+        q_wide, kc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [H, chunk]
+    s = s * head_bcast(ks_ref[0])                         # dequant scores
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (HH, chunk), 1)
+    s = jnp.where(idx < pos, s, NEG_INF)
+
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    e = jnp.exp(s - m_new)                                # [H, chunk]
+    m_scr[:] = m_new
+    d_scr[:] = d_scr[:] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+    ev = (e * head_bcast(vs_ref[0])).astype(vc.dtype)     # dequant PV
+    r = jax.lax.dot_general(
+        ev, vc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [H, KV*D]
+    ctx_scr[:] = ctx_scr[:] * alpha + select_rows(r)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[0] = (ctx_scr[:] / d_scr[:]).reshape(
+            n_kv, G, D).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def decode_attention_quant(
+    q: jnp.ndarray,         # [B, n_heads, D] (post-RoPE)
+    k_new: jnp.ndarray,     # [B, KV, D] DEQUANTIZED (round-tripped) rows
+    v_new: jnp.ndarray,     # [B, KV, D]
+    k_cache: jnp.ndarray,   # [B, S, KV, D] int8 (PRE-write)
+    v_cache: jnp.ndarray,   # [B, S, KV, D] int8
+    k_scale: jnp.ndarray,   # [B, S, KV] f32 per-vector scales
+    v_scale: jnp.ndarray,   # [B, S, KV]
+    pos: jnp.ndarray,       # [B] int32
+    interpret: bool = False,
+    chunk: int | None = None,
+) -> jnp.ndarray:
+    """:func:`decode_attention` over an int8 quantized cache; the dequant
+    happens in VMEM so HBM only streams int8 + the tiny scale planes."""
+    B, H, D = q.shape
+    S, KV = k_cache.shape[1], k_cache.shape[2]
+    G = H // KV
+    act = jnp.bfloat16
+    qg = q.astype(act).reshape(B, KV, G, D)
+    kn = k_new.astype(act).reshape(B, 1, KV * D)
+    vn = v_new.astype(act).reshape(B, 1, KV * D)
+    kcv = k_cache.reshape(B, S, KV * D)
+    vcv = v_cache.reshape(B, S, KV * D)
+    # transpose the scale planes to [B, KV, S]: per-head rows broadcast
+    # on sublanes in-kernel (a [S, KV] block would need a relayout)
+    kst = jnp.swapaxes(k_scale.astype(jnp.float32), 1, 2)
+    vst = jnp.swapaxes(v_scale.astype(jnp.float32), 1, 2)
+    pos2 = pos.reshape(B, 1).astype(jnp.int32)
+
+    if chunk is None:
+        chunk = min(DEFAULT_CHUNK, S)
+    chunk = min(chunk, S)
+    while S % chunk:
+        chunk //= 2
+    n_chunks = S // chunk
+
+    grid = (B, n_chunks)
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_quant_kernel,
+                          scale=float(D) ** -0.5, n_kv=KV, G=G, D=D,
+                          chunk=chunk, n_chunks=n_chunks),
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, KV, G, D), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KV * D), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KV * D), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, KV * D), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, KV * D), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, chunk), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, chunk), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, KV, G, D), lambda b, c: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((KV * G, 1), jnp.float32),    # running max
+            pltpu.VMEM((KV * G, 1), jnp.float32),    # running denom
+            pltpu.VMEM((KV * G, D), jnp.float32),    # running context
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=2 * B * S * KV * D + 8 * B * S * KV,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(pos2, qg, kn, vn, kcv, vcv, kst, vst)
+    return out.reshape(B, H, D)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
 def decode_attention(
     q: jnp.ndarray,         # [B, n_heads, D] (post-RoPE)

@@ -29,6 +29,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pytest
 
+# ---------------------------------------------------------------------------
+# Fast tier: `pytest -m "not slow"` is the documented inner loop (~3-5 min);
+# the full suite (~30 min: multi-process gloo runs, 8-device GSPMD, paged
+# scheduler parity) stays the merge gate.  Heavy modules are marked
+# wholesale here so new tests in them inherit the tier; individually heavy
+# tests elsewhere carry explicit @pytest.mark.slow.
+# ---------------------------------------------------------------------------
+_SLOW_MODULES = {
+    "test_multihost", "test_parallel", "test_sharded_engine",
+    "test_scheduler_paged", "test_scheduler_parity", "test_scheduler_stress",
+    "test_serve", "test_native", "test_batch_api", "test_health_ws",
+    "test_speculative", "test_checkpoint_obs", "test_recovery",
+}
+_SLOW_TESTS = (
+    "TestQuantizedKVStacked", "TestPagedForward", "TestQuantizedCacheAccuracy",
+    "test_ring_buffer_matches_full_cache_windowed",
+    "test_prefill_then_decode_matches_full_forward",
+    "test_model_forward_uses_fused_path",
+    "test_property_random_shapes",
+    "test_top_p_keeps_argmax_and_probability_mass",
+    "test_fp8_kv_generates_close_to_f32",
+    "test_q8_0_gguf_loads_and_generates",
+    "test_distribution_roughly_matches",
+    "TestMirostat",
+    "test_ring_matches_allgather_sp",
+    "TestMultiStepSegments", "TestContextOverflow",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        mod = it.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        if (mod.removesuffix(".py") in _SLOW_MODULES
+                or any(pat in it.nodeid for pat in _SLOW_TESTS)):
+            it.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def rng():

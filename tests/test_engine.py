@@ -187,3 +187,80 @@ class TestFP8KVCache:
         # first token depends only on prefill; fp8 KV quantization noise
         # must not flip it on this tame fixture
         assert fp8[0] == ref[0], (fp8, ref)
+
+
+class TestMultiStepSegments:
+    """K-step decode segments (engine/loop.py) are token-identical to K=1
+    dispatches, and context overflow continues via keep-half shift."""
+
+    def test_multi_step_segment_parity(self, mini_gguf_f32):
+        e1 = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32",
+                         decode_steps_per_dispatch=1))
+        e4 = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32",
+                         decode_steps_per_dispatch=4))
+        for gen in (GenerationConfig(max_new_tokens=11, greedy=True),
+                    GenerationConfig(max_new_tokens=10, temperature=0.9,
+                                     top_k=12, seed=7),
+                    GenerationConfig(max_new_tokens=9, temperature=0.8,
+                                     top_p=0.9, repetition_penalty=1.2,
+                                     seed=3)):
+            r1 = e1.generate([1, 5, 9], gen)
+            r4 = e4.generate([1, 5, 9], gen)
+            assert r1.token_ids == r4.token_ids, gen
+            assert r1.stop_reason == r4.stop_reason
+
+    def test_segment_stop_token_mid_segment(self, mini_gguf_f32):
+        e4 = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32",
+                         decode_steps_per_dispatch=4))
+        first = e4.generate([1, 5], GenerationConfig(
+            max_new_tokens=1, greedy=True)).token_ids[0]
+        r = e4.generate([1, 5], GenerationConfig(
+            max_new_tokens=8, greedy=True, stop_token_ids=(first,)))
+        assert r.stop_reason == StopReason.STOP_TOKEN
+        assert r.token_ids == []
+
+
+class TestContextOverflow:
+    def test_shift_continues_generation(self, mini_gguf_f32):
+        e = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=16, compute_dtype="f32",
+                         context_overflow="shift"))
+        r = e.generate([1, 5, 9], GenerationConfig(max_new_tokens=24,
+                                                   greedy=True))
+        # 3 prompt + 24 generated > 16: survives the window with a shift
+        assert len(r.token_ids) == 24
+        assert r.stop_reason == StopReason.MAX_TOKENS
+        assert any(k.startswith("context_shift") for k in e.kernel_recorder)
+
+    def test_shift_matches_explicit_trim(self, mini_gguf_f32):
+        """Post-shift continuation == generating from the trimmed context."""
+        e = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=16, compute_dtype="f32"))
+        prompt = [1, 5, 9]
+        r = e.generate(prompt, GenerationConfig(max_new_tokens=20,
+                                                greedy=True))
+        # replay: up to the shift the context is prompt+tokens; find the
+        # first shifted token index: shift happens when pos hits 16, i.e.
+        # after 13 generated tokens
+        pre = r.token_ids[:13]
+        ctx = (prompt + pre)[-8:]           # keep-half = 8
+        r2 = e.generate(ctx, GenerationConfig(max_new_tokens=7, greedy=True))
+        assert r.token_ids[13:] == r2.token_ids[: len(r.token_ids) - 13]
+
+    def test_stop_policy_preserved(self, mini_gguf_f32):
+        e = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=16, compute_dtype="f32",
+                         context_overflow="stop"))
+        r = e.generate([1, 5, 9], GenerationConfig(max_new_tokens=24,
+                                                   greedy=True))
+        assert r.stop_reason == StopReason.CONTEXT_FULL
+        assert len(r.token_ids) == 13
