@@ -474,6 +474,62 @@ def _quantize_kv(x: jnp.ndarray, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q.astype(dtype), scale
 
 
+def block_qkv(
+    cfg: ModelConfig,
+    bp: "BlockParams",           # single layer (no L axis)
+    x: jnp.ndarray,              # [B, T, H]
+    rope_sin: jnp.ndarray,
+    rope_cos: jnp.ndarray,
+    q_positions: jnp.ndarray,    # [B, T]
+    kernel_path: str = "xla",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Projection + RoPE half of a block: handles BOTH the fused-wqkv and
+    unfused parameterizations (attn_norm fuses into the kernel preamble).
+
+    Shared by block_forward and the sequence-parallel/ring prefills
+    (parallel/sequence.py, parallel/ring.py) so every parallelism mode
+    runs the SHIPPED parameterization — fused projections and the 2B-4T
+    sub-norms included.  Returns (q [B,T,nh,D], k, v [B,T,nkv,D]) roped.
+    """
+    B, T, H = x.shape
+    nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    lapn = partial(linear_apply_normed, eps=cfg.rms_norm_eps,
+                   path=kernel_path)
+    if bp.wqkv is not None:
+        qkv = lapn(bp.wqkv, x, bp.attn_norm)   # ONE fused kernel call
+        q = qkv[..., : nh * D].reshape(B, T, nh, D)
+        k = qkv[..., nh * D: (nh + nkv) * D].reshape(B, T, nkv, D)
+        v = qkv[..., (nh + nkv) * D:].reshape(B, T, nkv, D)
+    else:
+        h = rms_norm(x, bp.attn_norm, cfg.rms_norm_eps)
+        q = lapn(bp.wq, h, None).reshape(B, T, nh, D)
+        k = lapn(bp.wk, h, None).reshape(B, T, nkv, D)
+        v = lapn(bp.wv, h, None).reshape(B, T, nkv, D)
+    if rope_sin.ndim == 2:
+        rope_pos = jnp.minimum(q_positions, rope_sin.shape[0] - 1)
+    else:
+        rope_pos = q_positions  # pre-gathered rows ignore positions
+    q = apply_rope(q, rope_sin, rope_cos, rope_pos)
+    k = apply_rope(k, rope_sin, rope_cos, rope_pos)
+    return q, k, v
+
+
+def block_finish(
+    cfg: ModelConfig,
+    bp: "BlockParams",
+    x: jnp.ndarray,              # [B, T, H] PRE-attention residual
+    attn: jnp.ndarray,           # [B, T, nh, D] or [B, T, nh*D]
+    kernel_path: str = "xla",
+) -> jnp.ndarray:
+    """o-projection (+ 2B-4T attn_sub_norm) + residual + FFN — the half of
+    a block after attention; shared with the SP/ring prefills."""
+    B, T, _ = x.shape
+    lapn = partial(linear_apply_normed, eps=cfg.rms_norm_eps,
+                   path=kernel_path)
+    x = lapn(bp.wo, attn.reshape(B, T, -1), bp.attn_sub_norm, resid=x)
+    return _ffn(cfg, bp, x, kernel_path)
+
+
 def block_forward(
     cfg: ModelConfig,
     x: jnp.ndarray,              # [B, T, H]
@@ -541,28 +597,10 @@ def block_forward(
         x = lapn(bp.wo, attn, bp.attn_sub_norm, resid=x)
         x = _ffn(cfg, bp, x, kernel_path)
         return x, k_cache, v_cache, k_scale, v_scale
-    if bp.wqkv is not None:
-        # attn_norm rides the kernel's quantize preamble (w2a8 decode)
-        qkv = lapn(bp.wqkv, x, bp.attn_norm)   # ONE fused kernel call
-        q = qkv[..., : nh * D].reshape(B, T, nh, D)
-        k = qkv[..., nh * D: (nh + nkv) * D].reshape(B, T, nkv, D)
-        v = qkv[..., (nh + nkv) * D:].reshape(B, T, nkv, D)
-    else:
-        # unfused projections share ONE explicit norm (quantize still
-        # fuses per matmul via lapn with gamma=None)
-        h = rms_norm(x, bp.attn_norm, cfg.rms_norm_eps)
-        q = lapn(bp.wq, h, None).reshape(B, T, nh, D)
-        k = lapn(bp.wk, h, None).reshape(B, T, nkv, D)
-        v = lapn(bp.wv, h, None).reshape(B, T, nkv, D)
-
-    # RoPE at absolute positions (clamp padded S-positions into table
-    # range); pre-gathered rows skip the per-layer table lookup
-    if rope_sin.ndim == 2:
-        rope_pos = jnp.minimum(q_positions, rope_sin.shape[0] - 1)
-    else:
-        rope_pos = q_positions  # ignored by apply_rope for row inputs
-    q = apply_rope(q, rope_sin, rope_cos, rope_pos)
-    k = apply_rope(k, rope_sin, rope_cos, rope_pos)
+    # projections + RoPE (fused/unfused + attn_norm preamble): shared
+    # helper so SP/ring run the identical parameterization
+    q, k, v = block_qkv(cfg, bp, x, rope_sin, rope_cos, q_positions,
+                        kernel_path)
 
     # cache write: scatter at write slots; slot==S drops (padding)
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
@@ -586,9 +624,7 @@ def block_forward(
             k.astype(k_cache.dtype), mode="drop")
         v_cache = v_cache.at[b_idx, write_slots].set(
             v.astype(v_cache.dtype), mode="drop")
-        attn = attn1[:, None].reshape(B, T, nh * D)
-        x = lapn(bp.wo, attn, bp.attn_sub_norm, resid=x)
-        x = _ffn(cfg, bp, x, kernel_path)
+        x = block_finish(cfg, bp, x, attn1[:, None], kernel_path)
         return x, k_cache, v_cache, k_scale, v_scale
     if quantized:
         kq, ks = _quantize_kv(k, k_cache.dtype)
@@ -618,12 +654,8 @@ def block_forward(
     else:
         attn = attention(q, k_read, v_read, q_positions, new_len,
                          kv_positions=kv_positions, window=window)
-    attn = attn.reshape(B, T, nh * D)
-    # BitNet 2B-4T attn sub-layernorm + residual fuse into the o kernel
-    x = lapn(bp.wo, attn, bp.attn_sub_norm, resid=x)
-
-    # --- FFN (SwiGLU; reference lib.rs:751-793) ---
-    x = _ffn(cfg, bp, x, kernel_path)
+    # o-projection (+ 2B-4T attn sub-norm) + residual + SwiGLU FFN
+    x = block_finish(cfg, bp, x, attn, kernel_path)
     return x, k_cache, v_cache, k_scale, v_scale
 
 

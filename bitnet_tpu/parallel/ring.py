@@ -87,19 +87,15 @@ def ring_parallel_prefill(cfg, params, tokens: jnp.ndarray, mesh,
     from jax.sharding import PartitionSpec as P
 
     from ..errors import ConfigError
-    from ..models.bitnet import embed_tokens
+    from ..models.bitnet import block_finish, block_qkv, embed_tokens
     from ..models.bitnet import logits as model_logits
-    from ..ops.linear import linear_apply
     from ..ops.rmsnorm import rms_norm
-    from ..ops.rope import apply_rope
     from .sequence import SEQ_AXIS
 
     B, T = tokens.shape
     n = mesh.shape[SEQ_AXIS]
     if T % n != 0:
         raise ConfigError(f"seq len {T} not divisible by {n} devices")
-    nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    lap = partial(linear_apply, path=kernel_path)
     positions = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
 
     @partial(
@@ -112,25 +108,15 @@ def ring_parallel_prefill(cfg, params, tokens: jnp.ndarray, mesh,
     )
     def run(prm, tok_local, pos_local):
         x = embed_tokens(prm, tok_local).astype(jnp.float32)
-        Tl = x.shape[1]
 
         def body(carry, bp):
             h_in = carry
-            h = rms_norm(h_in, bp.attn_norm, cfg.rms_norm_eps)
-            q = lap(bp.wq, h).reshape(B, Tl, nh, D)
-            k = lap(bp.wk, h).reshape(B, Tl, nkv, D)
-            v = lap(bp.wv, h).reshape(B, Tl, nkv, D)
-            q = apply_rope(q, prm.rope_sin, prm.rope_cos, pos_local)
-            k = apply_rope(k, prm.rope_sin, prm.rope_cos, pos_local)
-
+            # SHIPPED block parameterization (fused wqkv + sub-norms)
+            q, k, v = block_qkv(cfg, bp, h_in, prm.rope_sin, prm.rope_cos,
+                                pos_local, kernel_path)
             attn = ring_attention_local(q, k, v, pos_local, pos_local,
                                         SEQ_AXIS)
-            h_in = h_in + lap(bp.wo, attn.reshape(B, Tl, nh * D))
-
-            h = rms_norm(h_in, bp.ffn_norm, cfg.rms_norm_eps)
-            gate = jax.nn.silu(lap(bp.w_gate, h)) if cfg.hidden_act == "silu" \
-                else jax.nn.relu(lap(bp.w_gate, h)) ** 2
-            h_in = h_in + lap(bp.w_down, gate * lap(bp.w_up, h))
+            h_in = block_finish(cfg, bp, h_in, attn, kernel_path)
             return h_in, (k, v)
 
         x, (k_loc, v_loc) = jax.lax.scan(body, x, prm.blocks)

@@ -54,19 +54,15 @@ def sequence_parallel_prefill(
     attention the K/V for *all* chunks are all-gathered so causal masking
     by absolute position sees the complete prefix.
     """
-    from ..models.bitnet import embed_tokens
+    from ..models.bitnet import block_finish, block_qkv, embed_tokens
     from ..models.bitnet import logits as model_logits
     from ..ops.attention import attention
-    from ..ops.linear import linear_apply
     from ..ops.rmsnorm import rms_norm
-    from ..ops.rope import apply_rope
 
     B, T = tokens.shape
     n = mesh.shape[SEQ_AXIS]
     if T % n != 0:
         raise ConfigError(f"seq len {T} not divisible by {n} devices")
-    nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    lap = partial(linear_apply, path=kernel_path)
 
     positions = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
 
@@ -84,13 +80,11 @@ def sequence_parallel_prefill(
 
         def body(carry, bp):
             h_in = carry
-            # --- attention with all-gathered KV ---
-            h = rms_norm(h_in, bp.attn_norm, cfg.rms_norm_eps)
-            q = lap(bp.wq, h).reshape(B, Tl, nh, D)
-            k = lap(bp.wk, h).reshape(B, Tl, nkv, D)
-            v = lap(bp.wv, h).reshape(B, Tl, nkv, D)
-            q = apply_rope(q, prm.rope_sin, prm.rope_cos, pos_local)
-            k = apply_rope(k, prm.rope_sin, prm.rope_cos, pos_local)
+            # projections + RoPE via the SHIPPED block parameterization
+            # (fused wqkv + 2B-4T sub-norms included) — models.bitnet
+            # block_qkv/block_finish are the same code block_forward runs
+            q, k, v = block_qkv(cfg, bp, h_in, prm.rope_sin, prm.rope_cos,
+                                pos_local, kernel_path)
 
             # gather the full key space over ICI: [B, T, nkv, D]
             k_all = jax.lax.all_gather(k, SEQ_AXIS, axis=1, tiled=True)
@@ -102,13 +96,7 @@ def sequence_parallel_prefill(
                 q, k_all, v_all, pos_local,
                 kv_valid_len=jnp.full((B,), Tl * n, jnp.int32),
                 kv_positions=pos_all)
-            h_in = h_in + lap(bp.wo, attn.reshape(B, Tl, nh * D))
-
-            # --- FFN (token-local, no comm) ---
-            h = rms_norm(h_in, bp.ffn_norm, cfg.rms_norm_eps)
-            gate = jax.nn.silu(lap(bp.w_gate, h)) if cfg.hidden_act == "silu" \
-                else jax.nn.relu(lap(bp.w_gate, h)) ** 2
-            h_in = h_in + lap(bp.w_down, gate * lap(bp.w_up, h))
+            h_in = block_finish(cfg, bp, h_in, attn, kernel_path)
             return h_in, (k, v)
 
         x, (k_loc, v_loc) = jax.lax.scan(body, x, prm.blocks)
