@@ -38,6 +38,10 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kernel-path", default="auto",
                    choices=["auto", "pallas", "xla"])
     p.add_argument("--compute-dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--weight-quant", default="none",
+                   choices=["none", "tl1", "tl2"],
+                   help="runtime TL1/TL2 table-lookup re-quantization "
+                        "(reference tl1.rs/tl2.rs)")
     p.add_argument("--strict", action="store_true",
                    help="strict mode: no mock tokenizer, no fallback kernels")
     p.add_argument("--no-stream", action="store_true")
@@ -64,6 +68,7 @@ def _build_engine(args):
         kv_cache_dtype=args.kv_cache_dtype,
         kernel_path=args.kernel_path,
         compute_dtype=args.compute_dtype,
+        weight_quant=getattr(args, "weight_quant", "none"),
         strict=strict,
     )
     tokenizer = None

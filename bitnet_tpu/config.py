@@ -198,6 +198,10 @@ class EngineConfig:
     # wider DMA blocks); single-chip engines only — sharded paths keep
     # the unfused layout for clean column-parallel PartitionSpecs
     fuse_projections: bool = False
+    # runtime weight re-quantization: 'tl1'/'tl2' convert every linear to
+    # the TL table-lookup kernel layout at engine init (reference runtime
+    # TL quantizers, bitnet-quantization/src/tl1.rs:163)
+    weight_quant: str = "none"       # 'none' | 'tl1' | 'tl2'
     # decode tokens per host round-trip in generate_stream (engine/loop.py
     # K-step lax.scan segments; tokens are bit-identical to K=1).
     # 0 = auto: 8 on TPU (host sync >> device step), 1 elsewhere.
@@ -214,6 +218,8 @@ class EngineConfig:
         if self.context_overflow not in ("shift", "stop"):
             raise ConfigError(
                 f"bad context_overflow {self.context_overflow!r}")
+        if self.weight_quant not in ("none", "tl1", "tl2"):
+            raise ConfigError(f"bad weight_quant {self.weight_quant!r}")
         if self.decode_steps_per_dispatch < 0:
             raise ConfigError("decode_steps_per_dispatch must be >= 0")
         if self.logits_dtype not in ("auto", "bf16", "int8"):

@@ -110,6 +110,16 @@ class InferenceEngine:
         self.params = params
         self.engine_cfg = engine_cfg or EngineConfig()
         self.tokenizer = tokenizer
+        tl_quantized = None
+        if self.engine_cfg.weight_quant in ("tl1", "tl2"):
+            # runtime TL re-quantization (reference tl1.rs/tl2.rs): every
+            # linear moves to the TL table-lookup kernel layout
+            from ..quant.tl import quantize_params_tl
+
+            params = quantize_params_tl(params,
+                                        self.engine_cfg.weight_quant)
+            self.params = params
+            tl_quantized = self.engine_cfg.weight_quant
         fuse_fell_back = False
         if (self.engine_cfg.fuse_projections
                 and params.blocks.wqkv is None):
@@ -141,6 +151,8 @@ class InferenceEngine:
             self.engine_cfg.kv_cache_dtype,
         )
         self.kernel_recorder: list[str] = []
+        if tl_quantized:
+            self.kernel_recorder.append(f"weight_quant_{tl_quantized}")
         if fuse_fell_back:
             # surfaced in honest-compute receipts: the engine asked for
             # fused projections but runs the unfused 7-call path

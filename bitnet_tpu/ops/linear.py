@@ -121,6 +121,13 @@ class TernaryLinear:
                    usually 1.0)
       'bitnet32' — ``packed`` [Kp/16, N] int32 words; ``scales``
                    [K/32, N] f32; value = LUT[code] * scale
+      'tl'       — TL1/TL2 table-lookup layout (runtime weight quant,
+                   reference bitnet-quantization/src/tl1.rs:19-82):
+                   ``packed`` like bitnet32 but value = (code - 2) *
+                   scale (levels {-2,-1,0,1}, zero-point 2 — the kernels
+                   reuse the same zero-point identity with the
+                   (code>>1) LUT-bias add dropped).  TL per-block scales
+                   (block 64/128) arrive EXPANDED to [K/32, N].
     """
 
     kind: str
@@ -159,6 +166,11 @@ def dequantize_weight(lin: TernaryLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
     if lin.kind == "dense":
         return lin.weight.astype(dtype)
     codes = _unpack_packed(lin.packed)[: lin.k, : lin.n]
+    if lin.kind == "tl":
+        # TL reverse table: value = (code - 2) * scale (tl1.rs:49-82)
+        vals = (codes.astype(jnp.int8) - 2).astype(jnp.float32)
+        s = jnp.repeat(lin.scales.astype(jnp.float32), 32, axis=0)
+        return (vals * s[: lin.k, : lin.n]).astype(dtype)
     vals = _codes_to_values(codes, jnp.float32)
     if lin.kind == "bitnet32":
         # scales [K/32, Np] broadcast over 32-row blocks
@@ -267,7 +279,7 @@ def concat_linears(lins: list[TernaryLinear]) -> TernaryLinear:
         raise QuantizationError("fusion needs equal K")
     packed = jnp.concatenate([l.packed for l in lins], axis=-1)
     n_total = sum(l.n for l in lins)
-    if kind == "bitnet32":
+    if kind in ("bitnet32", "tl"):   # per-K-block scales concat along N
         scales = jnp.concatenate([l.scales for l in lins], axis=-1)
     else:  # qk256: scalar-per-tensor → per-column vector [..., 1, Ntot]
         cols = []
@@ -335,4 +347,25 @@ def bitnet32_linear_from_codes(
     return TernaryLinear(
         kind="bitnet32", k=k, n=n, packed=packed,
         scales=jnp.asarray(scales),
+    )
+
+
+def tl_linear_from_codes(
+    codes_kn: np.ndarray, scales_blocks_kn: np.ndarray, block: int
+) -> TernaryLinear:
+    """TL1/TL2 runtime-quantized linear in the kernel layout.
+
+    ``codes_kn`` [K, N] unsigned 2-bit LUT indices (value = code - 2);
+    ``scales_blocks_kn`` [K/block, N] f32 per-block scales with ``block``
+    ∈ {64 (TL1), 128 (TL2)} — expanded here to the kernels' 32-row scale
+    granularity (exact: a TL block is a whole number of 32-rows)."""
+    k, n = codes_kn.shape
+    if k % block != 0:
+        raise QuantizationError(f"TL needs K % {block} == 0, got {k}")
+    packed = jnp.asarray(_pad_cols(fold_packed_words(_repack(codes_kn))))
+    s32 = np.repeat(np.asarray(scales_blocks_kn, np.float32),
+                    block // 32, axis=0)
+    return TernaryLinear(
+        kind="tl", k=k, n=n, packed=packed,
+        scales=jnp.asarray(_pad_cols(s32)),
     )

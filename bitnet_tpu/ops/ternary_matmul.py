@@ -63,18 +63,23 @@ def _bitcast_i32_to_i8(x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     return jnp.transpose(b, (0, 2, 1)).reshape(R * 4, N)
 
 
-def _unpack_words_biased_i8(p32: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-    """[R, BN] i32 words → [16R, BN] i8 **biased** values {0,1,3,4}.
+def _unpack_words_biased_i8(p32: jnp.ndarray, interpret: bool,
+                            lut_bias: bool = True) -> jnp.ndarray:
+    """[R, BN] i32 words → [16R, BN] i8 **biased** values.
 
-    Biased value = LUT{-2,-1,1,2}[code] + 2 = code + (code >> 1); callers
-    remove the bias via the zero-point correction.  Output rows follow the
-    tile-local interleave: within a KT=256 subtile (R=16), plane p / word s
-    / byte j lands at row p*64 + 4s + j = logical row (ops/linear.py).
+    ``lut_bias=True`` (ternary I2_S): biased value = LUT{-2,-1,1,2}[code]
+    + 2 = code + (code >> 1) ∈ {0,1,3,4}.  ``lut_bias=False`` (TL1/TL2
+    table-lookup levels {-2,-1,0,1}, tl1.rs:49-82): biased value = code
+    ∈ {0..3} — one VPU op cheaper.  Both use zero-point 2, so callers
+    remove the bias via the same correction ``− 2·Σx``.  Output rows
+    follow the tile-local interleave: within a KT=256 subtile (R=16),
+    plane p / word s / byte j lands at row p*64 + 4s + j = logical row
+    (ops/linear.py).
     """
     planes = []
     for p in range(4):
         t = (p32 >> (2 * p)) & MASK2
-        b = t + ((t >> 1) & MASK1)
+        b = t + ((t >> 1) & MASK1) if lut_bias else t
         planes.append(_bitcast_i32_to_i8(b, interpret))
     return jnp.concatenate(planes, axis=0)
 
@@ -109,7 +114,8 @@ def _qk256_kernel(x_ref, w_ref, sumx_ref, scale_ref, out_ref, acc_ref,
 
 
 def _bitnet32_kernel(x_ref, w_ref, s_ref, corr_ref, out_ref, acc_ref,
-                     *, n_k: int, bkt: int, interpret: bool):
+                     *, n_k: int, bkt: int, interpret: bool,
+                     lut_bias: bool = True):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -118,7 +124,8 @@ def _bitnet32_kernel(x_ref, w_ref, s_ref, corr_ref, out_ref, acc_ref,
 
     for t in range(bkt):
         p32 = w_ref[pl.ds(t * (KT // 16), KT // 16), :]
-        v = _unpack_words_biased_i8(p32, interpret).astype(jnp.float32)
+        v = _unpack_words_biased_i8(p32, interpret, lut_bias).astype(
+            jnp.float32)
         s = s_ref[pl.ds(t * (KT // 32), KT // 32), :]   # [KT/32, BN] f32
         # elementwise row-repeat ×32 (NOT pltpu.repeat, which tiles copies)
         s32 = jnp.broadcast_to(
@@ -530,7 +537,7 @@ def _ternary_matmul_2d(
                 vecscale=vecscale)
             in_specs = [x_spec, w_spec, col_spec, s_spec]
             operands = (x_in, packed, sum_in, s)
-    elif kind == "bitnet32":
+    elif kind in ("bitnet32", "tl"):
         # pad scales along K-blocks to Kp/32
         s = jnp.asarray(scales, jnp.float32)
         if s.shape[0] * 32 != Kp:
@@ -539,7 +546,8 @@ def _ternary_matmul_2d(
                               memory_space=pltpu.VMEM)
         # bias correction 2·(sum32 @ s) precomputed in XLA (exact: HIGHEST
         # precision f32 MXU) — sums over the same bf16-rounded values the
-        # main dot consumes
+        # main dot consumes.  TL shares zero-point 2, so the identical
+        # correction applies (value = code − 2, tl1.rs reverse table).
         sum32 = jnp.sum(
             x_in.astype(jnp.float32).reshape(Mp, Kp // 32, 32), axis=-1)
         corr = 2.0 * jnp.matmul(sum32, s,
@@ -547,7 +555,8 @@ def _ternary_matmul_2d(
         corr_spec = pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
                                  memory_space=pltpu.VMEM)
         kernel = functools.partial(_bitnet32_kernel, n_k=n_k, bkt=bkt,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   lut_bias=kind == "bitnet32")
         in_specs = [x_spec, w_spec, s_spec, corr_spec]
         operands = (x_in, packed, s, corr)
     else:

@@ -77,3 +77,108 @@ def quantize_tl2(x: np.ndarray) -> tuple[bytes, np.ndarray]:
 def dequantize_tl2(payload: np.ndarray | bytes, nelems: int,
                    scales: np.ndarray) -> np.ndarray:
     return _tl_dequantize(payload, nelems, scales, TL2_BLOCK)
+
+
+# --------------------------------------------------------------------------
+# Runtime weight quantization → TL kernel path
+# (reference: TL1Quantizer::quantize, bitnet-quantization/src/tl1.rs:163 —
+#  TL is a RUNTIME format there too, produced from loaded tensors, not a
+#  GGUF storage type)
+# --------------------------------------------------------------------------
+def _dense_host_kn(lin) -> np.ndarray:
+    """Materialize a 2-D TernaryLinear's [K, N] float weights on the HOST
+    (numpy — keeps the conversion off the accelerator)."""
+    from ..ops.linear import unpack_words_host
+
+    if lin.kind == "dense":
+        return np.asarray(lin.weight, np.float32)
+    codes = unpack_words_host(np.asarray(lin.packed), lin.k)[:, : lin.n]
+    c = codes.astype(np.int32)
+    if lin.kind == "tl":
+        vals = (c - 2).astype(np.float32)
+        s = np.repeat(np.asarray(lin.scales, np.float32), 32, axis=0)
+        return vals * s[: lin.k, : lin.n]
+    vals = (c + (c >= 2) - 2).astype(np.float32)       # LUT {-2,-1,1,2}
+    if lin.kind == "bitnet32":
+        s = np.repeat(np.asarray(lin.scales, np.float32), 32, axis=0)
+        return vals * s[: lin.k, : lin.n]
+    s = np.asarray(lin.scales, np.float32) if lin.scales is not None else 1.0
+    if np.ndim(s) >= 2:                                # per-column vector
+        s = s.reshape(1, -1)[:, : lin.n]
+    return vals * s
+
+
+def quantize_linear_tl(lin, block: int):
+    """Re-quantize a TernaryLinear (2-D or [L]-stacked) into the TL kernel
+    layout: per-K-block absmax scales, codes = clamp(round(w/s)+2, 0, 3).
+
+    Matches the flat TL codec exactly when K % block == 0 (a [out, in]
+    row-major flat block IS a per-column K-block after the [K, N]
+    transpose)."""
+    from ..ops.linear import TernaryLinear, tl_linear_from_codes
+
+    stacked = (lin.packed if lin.packed is not None
+               else lin.weight).ndim == 3
+    if not stacked:
+        w = _dense_host_kn(lin)
+        K, N = w.shape
+        # layers narrower than the TL block (or not divisible) shrink the
+        # block (finer scales — strictly more accurate); real BitNet dims
+        # (2560/6912) divide both TL blocks exactly
+        while block > 32 and K % block:
+            block //= 2
+        if K % block:
+            raise QuantizationError(
+                f"TL block must divide K={K} (got down to {block})")
+        b = w.reshape(K // block, block, N)
+        absmax = np.abs(b).max(axis=1)                 # [K/block, N]
+        scale = np.where(absmax == 0.0, 1.0, absmax).astype(np.float32)
+        codes = np.clip(
+            np.round(w / np.repeat(scale, block, axis=0)) + _NUM_LEVELS // 2,
+            0, _NUM_LEVELS - 1).astype(np.uint8)
+        return tl_linear_from_codes(codes, scale, block)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    layers = []
+    for li in range(lin.packed.shape[0] if lin.packed is not None
+                    else lin.weight.shape[0]):
+        l2 = dataclasses.replace(
+            lin,
+            weight=None if lin.weight is None else lin.weight[li],
+            packed=None if lin.packed is None else lin.packed[li],
+            scales=None if lin.scales is None else (
+                lin.scales[li] if np.ndim(lin.scales) >= 1 else lin.scales),
+        )
+        layers.append(quantize_linear_tl(l2, block))
+    return TernaryLinear(
+        kind="tl", k=layers[0].k, n=layers[0].n,
+        packed=jnp.stack([l.packed for l in layers]),
+        scales=jnp.stack([l.scales for l in layers]),
+    )
+
+
+def quantize_params_tl(params, variant: str = "tl1"):
+    """Runtime-quantize every linear of a BitNetParams to TL1/TL2.
+
+    The TPU parity of the reference's runtime TL quantizers + kernels
+    (tl1.rs / tl2.rs + the AVX TL paths, cpu/x86.rs:541,655): models of
+    any loadable format ride the per-K-block-scale kernel with the TL
+    reverse table.  Embeddings/norms stay untouched (as in the
+    reference)."""
+    import dataclasses
+
+    block = {"tl1": TL1_BLOCK, "tl2": TL2_BLOCK}.get(variant)
+    if block is None:
+        raise QuantizationError(f"unknown TL variant {variant!r}")
+    b = params.blocks
+    q = {}
+    for role in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                 "wqkv", "w_gateup"):
+        lin = getattr(b, role)
+        q[role] = None if lin is None else quantize_linear_tl(lin, block)
+    blocks = dataclasses.replace(b, **q)
+    lm_head = (None if params.lm_head is None
+               else quantize_linear_tl(params.lm_head, block))
+    return dataclasses.replace(params, blocks=blocks, lm_head=lm_head)

@@ -1,0 +1,147 @@
+"""TL1/TL2 runtime-quantized INFERENCE path (VERDICT r2 Missing #2).
+
+The reference ships runtime TL quantizers + table-lookup kernels
+(bitnet-quantization/src/tl1.rs:19-82, tl2.rs; AVX paths x86.rs:541,655).
+Here any loadable model re-quantizes at engine init into the TL kernel
+layout (per-K-block scales, levels {-2,-1,0,1}, zero-point-2 unpack) and
+rides the same fused Pallas kernel family — BASELINE config #3.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitnet_tpu.config import EngineConfig, GenerationConfig
+from bitnet_tpu.engine import InferenceEngine
+from bitnet_tpu.ops.linear import (
+    TernaryLinear,
+    dense_linear,
+    dequantize_weight,
+    linear_apply,
+    tl_linear_from_codes,
+)
+from bitnet_tpu.quant.tl import (
+    TL1_BLOCK,
+    TL2_BLOCK,
+    dequantize_tl1,
+    quantize_linear_tl,
+    quantize_params_tl,
+    quantize_tl1,
+)
+
+
+class TestTLLinear:
+    @pytest.mark.parametrize("block", [TL1_BLOCK, TL2_BLOCK])
+    def test_quantize_matches_flat_codec(self, block):
+        """Per-[K,N]-column quantization == the flat [out,in] codec."""
+        rng = np.random.default_rng(0)
+        out_dim, in_dim = 96, 256
+        w = rng.standard_normal((out_dim, in_dim)).astype(np.float32)
+        lin = quantize_linear_tl(dense_linear(jnp.asarray(w.T)), block)
+        assert lin.kind == "tl"
+        got = np.asarray(dequantize_weight(lin, jnp.float32))  # [K, N]
+        # flat codec reference (row-major [out, in])
+        payload, scales = (quantize_tl1(w) if block == TL1_BLOCK
+                           else __import__("bitnet_tpu.quant.tl",
+                                           fromlist=["quantize_tl2"]
+                                           ).quantize_tl2(w))
+        from bitnet_tpu.quant.tl import dequantize_tl2
+        deq = (dequantize_tl1(payload, w.size, scales) if block == TL1_BLOCK
+               else dequantize_tl2(payload, w.size, scales))
+        ref = deq.reshape(out_dim, in_dim).T               # [K, N]
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("path", ["xla", "pallas", "w2a8"])
+    def test_matmul_matches_dense(self, path):
+        rng = np.random.default_rng(1)
+        K, N, M = 256, 128, 4
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+        lin = quantize_linear_tl(dense_linear(jnp.asarray(w)), TL1_BLOCK)
+        wd = np.asarray(dequantize_weight(lin, jnp.float32))
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+        y = np.asarray(linear_apply(lin, x, path=path), np.float32)
+        ref = np.asarray(x, np.float32) @ wd
+        np.testing.assert_allclose(y, ref, rtol=5e-2, atol=5e-2)
+
+    def test_codes_cover_four_levels(self):
+        rng = np.random.default_rng(2)
+        w = rng.standard_normal((64, 128)).astype(np.float32)
+        lin = quantize_linear_tl(dense_linear(jnp.asarray(w.T)), TL1_BLOCK)
+        from bitnet_tpu.ops.linear import unpack_words_host
+
+        codes = unpack_words_host(np.asarray(lin.packed), lin.k)
+        assert set(np.unique(codes)) <= {0, 1, 2, 3}
+        assert 0 in codes and 1 in codes  # -2 level actually used
+
+
+class TestTLEngine:
+    def test_tl_kernel_matches_tl_dequant_dense(self, mini_gguf_f32):
+        """The packed TL kernel path == a dense model built from the SAME
+        TL-dequantized weights (codec loss is intrinsic to 2-bit; kernel
+        correctness is what's gated here)."""
+        tl = InferenceEngine.from_gguf(
+            mini_gguf_f32.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32",
+                         weight_quant="tl1"))
+        assert "weight_quant_tl1" in tl.kernel_recorder
+        assert tl.params.blocks.wq.kind == "tl"
+
+        def densify(lin):
+            if lin is None:
+                return None
+            if lin.packed is not None and lin.packed.ndim == 3:
+                per = [dequantize_weight(dataclasses.replace(
+                    lin, packed=lin.packed[i],
+                    scales=lin.scales[i]), jnp.float32)
+                    for i in range(lin.packed.shape[0])]
+                return TernaryLinear(kind="dense", k=lin.k, n=lin.n,
+                                     weight=jnp.stack(per))
+            return dense_linear(dequantize_weight(lin, jnp.float32))
+
+        b = tl.params.blocks
+        dense_params = dataclasses.replace(
+            tl.params,
+            blocks=dataclasses.replace(
+                b, **{r: densify(getattr(b, r))
+                      for r in ("wq", "wk", "wv", "wo",
+                                "w_gate", "w_up", "w_down")}),
+            lm_head=densify(tl.params.lm_head))
+        ref_eng = InferenceEngine(
+            tl.cfg, dense_params,
+            EngineConfig(max_seq_len=64, compute_dtype="f32"),
+            tokenizer=tl.tokenizer)
+        a = ref_eng.eval_ids([1, 7, 20, 3]).reshape(-1)
+        bb = tl.eval_ids([1, 7, 20, 3]).reshape(-1)
+        cos = float(a @ bb / (np.linalg.norm(a) * np.linalg.norm(bb) + 1e-9))
+        assert cos > 0.999, cos
+        r = tl.generate([1, 5, 9], GenerationConfig(max_new_tokens=6,
+                                                    greedy=True))
+        assert len(r.token_ids) >= 1
+
+    def test_tl2_with_fused_projections(self, mini_gguf_qk256):
+        # the 256-wide fixture has 128-aligned projection widths
+        tl = InferenceEngine.from_gguf(
+            mini_gguf_qk256.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32",
+                         weight_quant="tl2", fuse_projections=True))
+        assert tl.params.blocks.wqkv is not None
+        assert tl.params.blocks.wqkv.kind == "tl"
+        r = tl.generate([2, 4, 8], GenerationConfig(max_new_tokens=5,
+                                                    greedy=True))
+        assert len(r.token_ids) >= 1
+
+    def test_tl_on_qk256_checkpoint(self, mini_gguf_qk256):
+        """TL re-quantization of an already-ternary checkpoint (the 2B
+        scenario: QK256 GGUF → runtime TL kernels)."""
+        tl = InferenceEngine.from_gguf(
+            mini_gguf_qk256.path,
+            EngineConfig(max_seq_len=64, weight_quant="tl1"))
+        base = InferenceEngine.from_gguf(
+            mini_gguf_qk256.path, EngineConfig(max_seq_len=64))
+        a = base.eval_ids([1, 7, 20]).reshape(-1)
+        b = tl.eval_ids([1, 7, 20]).reshape(-1)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        # ternary values {-1,0,1} are exactly representable in TL levels
+        assert cos > 0.995, cos
