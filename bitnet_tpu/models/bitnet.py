@@ -297,11 +297,30 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     import os as _os
     rows_mode = _os.environ.get("BITNET_CACHE_YS", "0") != "1"
 
+    rope_fused = _os.environ.get("BITNET_ROPE_FUSED", "0") == "1"
+
     def body_rows(h, xs):
         """Rows mode: xs caches are PRE-write read-only slices; returns
         the new (quantized) k/v rows + scales as ys for the post-scan
         scatter."""
         l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
+        if rope_fused and not quantized and B <= 2:
+            # ONE kernel applies RoPE to the raw q|k|v row, runs
+            # flash-decode, and emits the roped k/v rows — exactly the ys
+            # rows mode wants (round-2's layout-flip objection was about
+            # the per-layer restack, which rows mode no longer does)
+            from ..ops.decode_attention import decode_attention_qkv
+
+            qkv = mm(l, h, "wqkv", b.attn_norm)
+            attn1, k_row, v_row = decode_attention_qkv(
+                qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
+                kc, vc, pre_len, n_heads=nh, interpret=interp)
+            h = mm(l, attn1.reshape(B, nh * D), "wo", b.attn_sub_norm,
+                   resid=h)
+            gu = mm(l, h, "w_gateup", b.ffn_norm)
+            h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
+            zs = jnp.zeros((B, 1, 1), jnp.float32)
+            return h, (k_row[:, None], v_row[:, None], zs, zs)
         qkv = mm(l, h, "wqkv", b.attn_norm)
         q = qkv[:, : nh * D].reshape(B, 1, nh, D)
         kn = qkv[:, nh * D: (nh + nkv) * D].reshape(B, 1, nkv, D)
@@ -428,28 +447,68 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
         return h, (kc, vc, ks, vs)
 
-    if not quantized:
-        # dummy tiny xs keep ONE scan body for both modes
-        k_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
-        v_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
-    xs = (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache,
-          k_scale, v_scale)
     if rows_mode:
-        x2, (k_rows, v_rows, ks_rows, vs_rows) = jax.lax.scan(
-            body_rows, x[:, 0, :], xs)
-        # ONE scatter writes all L new rows at the query position
-        # (mode="drop" keeps padding semantics: slot == S writes nothing)
-        li = jnp.arange(L, dtype=jnp.int32)[:, None, None]
-        bi = b_idx[None]                        # [1, B, 1]
-        qp = q_positions[None]                  # [1, B, 1]
-        k_cache = k_cache.at[li, bi, qp].set(k_rows, mode="drop")
-        v_cache = v_cache.at[li, bi, qp].set(v_rows, mode="drop")
         if quantized:
-            k_scale = k_scale.at[li, bi, qp].set(ks_rows, mode="drop")
-            v_scale = v_scale.at[li, bi, qp].set(vs_rows, mode="drop")
+            xs = (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache,
+                  k_scale, v_scale)
+        else:
+            # no dummy scale xs: slicing even a tiny constant per scan
+            # step costs ~2.5 µs/layer of XLA fusions (profiled ~80
+            # µs/step at L=30)
+            xs = (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache)
+
+        def body_rows_plain(h, xs3):
+            l, kc, vc = xs3
+            return body_rows(h, (l, kc, vc, None, None))
+
+        x2, (k_rows, v_rows, ks_rows, vs_rows) = jax.lax.scan(
+            body_rows if quantized else body_rows_plain, x[:, 0, :], xs)
+        # ONE write of all L new rows at the query position.  Per-batch
+        # unrolled dynamic_update_slice (B ≤ 16 here) instead of a
+        # gather-indexed scatter: XLA updates the donated cache IN PLACE
+        # (the scatter materialized a full-cache copy — profiled ~160
+        # µs/step).  DUS clamps instead of dropping, so padded rows
+        # (slot == S) write back the row they clamped onto (read-select-
+        # write: a [L, KV, D] row read is noise).
+        z = jnp.int32(0)
+        for b in range(B):
+            p = jnp.minimum(q_positions[b, 0], S - 1)
+            ok = (q_positions[b, 0] < S)[None, None, None, None, None]
+
+            def wr(cache, rows):
+                old = jax.lax.dynamic_slice(
+                    cache, (z, jnp.int32(b), p, z, z),
+                    (L, 1, 1, cache.shape[3], cache.shape[4]))
+                new = jnp.where(ok, rows[:, b:b + 1, :, :, :][:, :, :1],
+                                old)
+                return jax.lax.dynamic_update_slice(
+                    cache, new.astype(cache.dtype),
+                    (z, jnp.int32(b), p, z, z))
+
+            k_cache = wr(k_cache, k_rows)
+            v_cache = wr(v_cache, v_rows)
+            if quantized:
+                ok3 = ok[..., 0, 0]
+
+                def wrs(sc, rows):
+                    old = jax.lax.dynamic_slice(
+                        sc, (z, jnp.int32(b), p, z),
+                        (L, 1, 1, sc.shape[3]))
+                    new = jnp.where(ok3, rows[:, b:b + 1, :1], old)
+                    return jax.lax.dynamic_update_slice(
+                        sc, new, (z, jnp.int32(b), p, z))
+
+                k_scale = wrs(k_scale, ks_rows)
+                v_scale = wrs(v_scale, vs_rows)
     else:
+        if not quantized:
+            # dummy tiny xs keep ONE scan body for both modes
+            k_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
+            v_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
         x2, (k_cache, v_cache, k_scale, v_scale) = jax.lax.scan(
-            body, x[:, 0, :], xs)
+            body, x[:, 0, :],
+            (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache,
+             k_scale, v_scale))
     if not quantized:
         k_scale = v_scale = None
     return x2[:, None, :], k_cache, v_cache, k_scale, v_scale

@@ -584,7 +584,12 @@ def _pick_blocks_stacked(M: int, Kp: int, Np: int) -> tuple[int, int, int]:
     (2026-08-17, within-run comparisons): whole-N blocks win at every
     decode shape (qkv 1.08×, gateup 1.07× of the HBM floor), and bkt
     wants the K-block ≤ ~1280 rows AND ≤ ~2 MB packed (gateup bkt=2 beat
-    5; down bkt=3 beat 9/27)."""
+    5; down bkt=3 beat 9/27).  BITNET_BKT_ROWCAP / BITNET_BKT_MBCAP
+    override the caps for in-model sweeps."""
+    import os as _os
+
+    rowcap = int(_os.environ.get("BITNET_BKT_ROWCAP", "1280"))
+    mbcap = float(_os.environ.get("BITNET_BKT_MBCAP", "2"))
     bm = max(16, -(-M // 8) * 8)
     bn = Np if Np <= 14336 else _largest_divisor(Np, 7168, 128)
     nk = Kp // KT
@@ -592,7 +597,7 @@ def _pick_blocks_stacked(M: int, Kp: int, Np: int) -> tuple[int, int, int]:
     for d in range(1, nk + 1):
         if nk % d or nk // d < 2 and nk != 1:
             continue
-        if d * KT <= 1280 and d * 16 * bn * 4 <= (2 << 20):
+        if d * KT <= rowcap and d * 16 * bn * 4 <= mbcap * (1 << 20):
             bkt = d
     return bm, bn, bkt
 

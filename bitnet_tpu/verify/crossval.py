@@ -41,9 +41,27 @@ class CrossvalResult:
     passed: bool
     backend: str
     elapsed_s: float
+    # perplexity parity on the shared token set (reference records ppl in
+    # baselines/cpu-main.json:19-21) — both sides computed from the SAME
+    # per-position logits that feed the cosine gate
+    ppl_ours: float | None = None
+    ppl_theirs: float | None = None
+    ppl_rel_delta: float | None = None
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+
+def _perplexity(logits: np.ndarray, tokens: list[int]) -> float | None:
+    """exp(mean next-token NLL): positions 0..T-2 predict tokens[1..]."""
+    T = min(logits.shape[0], len(tokens))
+    if T < 2:
+        return None
+    x = logits[: T - 1].astype(np.float64)
+    x = x - x.max(axis=1, keepdims=True)
+    logp = x - np.log(np.exp(x).sum(axis=1, keepdims=True))
+    nll = -np.mean([logp[i, tokens[i + 1]] for i in range(T - 1)])
+    return float(np.exp(nll))
 
 
 def compare_per_token(ours: np.ndarray, theirs: np.ndarray,
@@ -59,6 +77,9 @@ def compare_per_token(ours: np.ndarray, theirs: np.ndarray,
                for t in range(ours.shape[0])]
     first_div = next((i for i, c in enumerate(cosines) if c < threshold),
                      None)
+    po = _perplexity(ours, tokens) if tokens else None
+    pt = _perplexity(theirs, tokens) if tokens else None
+    rel = (abs(po - pt) / pt if po is not None and pt else None)
     return CrossvalResult(
         prompt_tokens=list(tokens or []),
         cosines=[round(c, 6) for c in cosines],
@@ -67,6 +88,9 @@ def compare_per_token(ours: np.ndarray, theirs: np.ndarray,
         passed=first_div is None,
         backend=backend,
         elapsed_s=round(elapsed_s, 3),
+        ppl_ours=None if po is None else round(po, 4),
+        ppl_theirs=None if pt is None else round(pt, 4),
+        ppl_rel_delta=None if rel is None else round(rel, 6),
     )
 
 

@@ -59,6 +59,21 @@ def main():
          {"BITNET_CACHE_YS": "1"}, dict(B=1), False),
         ("B rows-mode  bf16 B=1",
          {"BITNET_CACHE_YS": "0"}, dict(B=1), False),
+        ("R rows + rope-fused attn B=1",
+         {"BITNET_CACHE_YS": "0", "BITNET_ROPE_FUSED": "1"},
+         dict(B=1), False),
+        ("S rows + fused FFN B=1",
+         {"BITNET_CACHE_YS": "0", "BITNET_FUSED_FFN": "1"},
+         dict(B=1), False),
+        ("T rows + rope-fused + fused FFN B=1",
+         {"BITNET_CACHE_YS": "0", "BITNET_ROPE_FUSED": "1",
+          "BITNET_FUSED_FFN": "1"}, dict(B=1), False),
+        ("U rows + bkt rowcap 2560/4MB B=1",
+         {"BITNET_CACHE_YS": "0", "BITNET_BKT_ROWCAP": "2560",
+          "BITNET_BKT_MBCAP": "4"}, dict(B=1), False),
+        ("V rows + bkt rowcap 768/1MB B=1",
+         {"BITNET_CACHE_YS": "0", "BITNET_BKT_ROWCAP": "768",
+          "BITNET_BKT_MBCAP": "1"}, dict(B=1), False),
         ("C rows-mode  int8 B=1 (in-kernel dequant)",
          {"BITNET_CACHE_YS": "0"}, dict(B=1), True),
         ("D rows-mode  bf16 B=8 (pallas attn)",
@@ -77,7 +92,10 @@ def main():
     for name, env, kw, quant in runs:
         if only and name[0] not in only:
             continue
-        os.environ.pop("BITNET_DECODE_ATTN_MAX_B", None)
+        for k in ("BITNET_DECODE_ATTN_MAX_B", "BITNET_ROPE_FUSED",
+                  "BITNET_FUSED_FFN", "BITNET_BKT_ROWCAP",
+                  "BITNET_BKT_MBCAP"):
+            os.environ.pop(k, None)
         for k, v in env.items():
             os.environ[k] = v
         try:

@@ -78,9 +78,21 @@ def generate(path: str, quant: str = "qk256", seed: int = 0) -> None:
     w.add_metadata("tokenizer.ggml.eos_token_id", 2)
     w.add_metadata("tokenizer.ggml.unknown_token_id", 0)
 
-    gain = 0.05   # keep 30-layer activations tame (see gguf/fixtures.py)
+    # Conditioning matters for a MEANINGFUL parity gate: with naive gains
+    # the random ternary weights give attention scores with std ~16 —
+    # softmax saturates, any bf16-level perturbation flips which key wins
+    # somewhere in 30 layers, and cosine decays per position on EVERY
+    # compute path (measured: even pure-bf16-XLA vs the f32 golden fell
+    # 0.9996 → 0.866 over 8 positions).  Calibrate instead:
+    #   pre-norm gain  ≈ 1/sqrt(H·E[w²]) → unit-variance q/k/v (score
+    #   std ≈ 1, smooth softmax), and
+    #   sub-norm gain small → residual-dominated stream (trained
+    #   checkpoints behave the same way: blocks are refinements).
+    ew2 = 2.5                         # E[w²] of the {-2,-1,1,2} LUT
+    pre_gain = 1.0 / np.sqrt(H * ew2)
+    sub_gain = 0.05
 
-    def norm(name, dim, g=gain):
+    def norm(name, dim, g):
         w.add_tensor(name, ((np.ones(dim) + rng.standard_normal(dim) * 0.01)
                             * g).astype(np.float32), GGMLType.F32)
 
@@ -95,16 +107,16 @@ def generate(path: str, quant: str = "qk256", seed: int = 0) -> None:
                  GGMLType.F32)
     for i in range(L):
         t0 = time.time()
-        norm(f"blk.{i}.attn_norm.weight", H)
+        norm(f"blk.{i}.attn_norm.weight", H, pre_gain)
         lin(f"blk.{i}.attn_q.weight", NH * D, H)
         lin(f"blk.{i}.attn_k.weight", NKV * D, H)
         lin(f"blk.{i}.attn_v.weight", NKV * D, H)
-        norm(f"blk.{i}.attn_sub_norm.weight", NH * D)
+        norm(f"blk.{i}.attn_sub_norm.weight", NH * D, sub_gain)
         lin(f"blk.{i}.attn_output.weight", H, NH * D)
-        norm(f"blk.{i}.ffn_norm.weight", H)
+        norm(f"blk.{i}.ffn_norm.weight", H, pre_gain)
         lin(f"blk.{i}.ffn_gate.weight", F, H)
         lin(f"blk.{i}.ffn_up.weight", F, H)
-        norm(f"blk.{i}.ffn_sub_norm.weight", F)
+        norm(f"blk.{i}.ffn_sub_norm.weight", F, sub_gain)
         lin(f"blk.{i}.ffn_down.weight", H, F)
         print(f"layer {i}: {time.time()-t0:.1f}s", flush=True)
     norm("output_norm.weight", H, 1.0)
