@@ -42,6 +42,10 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
                    choices=["none", "tl1", "tl2"],
                    help="runtime TL1/TL2 table-lookup re-quantization "
                         "(reference tl1.rs/tl2.rs)")
+    p.add_argument("--decode-steps", type=int, default=0,
+                   help="decode tokens per host round-trip (K-step "
+                        "on-device segments; 0 = auto: 8 on TPU). "
+                        "Tokens are bit-identical to K=1.")
     p.add_argument("--strict", action="store_true",
                    help="strict mode: no mock tokenizer, no fallback kernels")
     p.add_argument("--no-stream", action="store_true")
@@ -69,6 +73,7 @@ def _build_engine(args):
         kernel_path=args.kernel_path,
         compute_dtype=args.compute_dtype,
         weight_quant=getattr(args, "weight_quant", "none"),
+        decode_steps_per_dispatch=getattr(args, "decode_steps", 0),
         strict=strict,
     )
     tokenizer = None

@@ -71,6 +71,13 @@ def main():
         ("U rows + bkt rowcap 2560/4MB B=1",
          {"BITNET_CACHE_YS": "0", "BITNET_BKT_ROWCAP": "2560",
           "BITNET_BKT_MBCAP": "4"}, dict(B=1), False),
+        ("W rows + rope-fused + bkt 2560/4MB B=1",
+         {"BITNET_CACHE_YS": "0", "BITNET_ROPE_FUSED": "1",
+          "BITNET_BKT_ROWCAP": "2560", "BITNET_BKT_MBCAP": "4"},
+         dict(B=1), False),
+        ("X rows + bkt 2560/8MB B=1",
+         {"BITNET_CACHE_YS": "0", "BITNET_BKT_ROWCAP": "2560",
+          "BITNET_BKT_MBCAP": "8"}, dict(B=1), False),
         ("V rows + bkt rowcap 768/1MB B=1",
          {"BITNET_CACHE_YS": "0", "BITNET_BKT_ROWCAP": "768",
           "BITNET_BKT_MBCAP": "1"}, dict(B=1), False),

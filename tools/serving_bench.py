@@ -61,12 +61,26 @@ def main() -> None:
         print("# programs warm; starting timed run", file=sys.stderr)
 
         t0 = time.time()
-        reqs = [sched.submit(p, gen) for p in prompts]
+        submit_t = {}
+        reqs = []
+        for p in prompts:
+            r = sched.submit(p, gen)
+            submit_t[id(r)] = time.time()
+            reqs.append(r)
         done_tokens = 0
+        ttfts = []
         for r in reqs:
+            first = True
             while True:
                 tok, _, done, _ = r.out.get(timeout=1800)
                 if tok is not None:
+                    if first:
+                        # NOTE: queue-drain order makes later requests'
+                        # TTFT include time their first token sat in the
+                        # queue — an upper bound, which is the honest
+                        # direction for a latency SLO
+                        ttfts.append(time.time() - submit_t[id(r)])
+                        first = False
                     done_tokens += 1
                 if done:
                     break
@@ -75,6 +89,7 @@ def main() -> None:
         sched.shutdown()
 
     import json
+    ttfts.sort()
     print(json.dumps({
         "metric": "serving aggregate generated tokens/s "
                   "(continuous batching, greedy, end-to-end)",
@@ -85,6 +100,9 @@ def main() -> None:
         "new_tokens_per_request": args.new_tokens,
         "total_tokens": done_tokens,
         "wall_s": round(dt, 2),
+        "ttft_p50_s": round(ttfts[len(ttfts) // 2], 3) if ttfts else None,
+        "ttft_p95_s": (round(ttfts[int(len(ttfts) * 0.95)], 3)
+                       if ttfts else None),
         "decode_steps": sched.stats["decode_steps"],
         "steps_per_dispatch": args.steps_per_dispatch,
     }))
