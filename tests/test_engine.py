@@ -264,3 +264,26 @@ class TestContextOverflow:
                                                    greedy=True))
         assert r.stop_reason == StopReason.CONTEXT_FULL
         assert len(r.token_ids) == 13
+
+
+class TestRopeFusedModelParity:
+    """Rows-mode decode defaults the rope-fused attention kernel ON
+    (models/bitnet.py `_decode_stacked`); tokens must match the unfused
+    path exactly at the model level, not just the kernel level."""
+
+    def test_rope_fused_default_matches_unfused(self, mini_gguf_qk256,
+                                                monkeypatch):
+        def run(flag):
+            monkeypatch.setenv("BITNET_ROPE_FUSED", flag)
+            eng = InferenceEngine.from_gguf(
+                mini_gguf_qk256.path,
+                EngineConfig(kernel_path="w2a8", max_seq_len=64,
+                             compute_dtype="f32"))
+            out = eng.generate([1, 5, 9, 14], GenerationConfig(
+                max_new_tokens=8, greedy=True))
+            return out.token_ids
+
+        fused = run("1")      # rows-mode default
+        unfused = run("0")
+        assert len(fused) >= 1
+        assert fused == unfused
