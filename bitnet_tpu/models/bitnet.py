@@ -310,23 +310,39 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         the new (quantized) k/v rows + scales as ys for the post-scan
         scatter."""
         l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
-        if rope_fused and not quantized and B <= 2:
+        if (rope_fused and B <= 2
+                and (not quantized or kc.dtype == jnp.int8)):
             # ONE kernel applies RoPE to the raw q|k|v row, runs
             # flash-decode, and emits the roped k/v rows — exactly the ys
             # rows mode wants (round-2's layout-flip objection was about
-            # the per-layer restack, which rows mode no longer does)
-            from ..ops.decode_attention import decode_attention_qkv
+            # the per-layer restack, which rows mode no longer does).
+            # With an int8 cache the kernel also quantizes the new rows
+            # in-VMEM and streams the cache as int8 (half the HBM read).
+            if quantized:
+                from ..ops.decode_attention import decode_attention_qkv_quant
 
-            qkv = mm(l, h, "wqkv", b.attn_norm)
-            attn1, k_row, v_row = decode_attention_qkv(
-                qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
-                kc, vc, pre_len, n_heads=nh, interpret=interp)
+                qkv = mm(l, h, "wqkv", b.attn_norm)
+                attn1, k_row, v_row, ks_row, vs_row = (
+                    decode_attention_qkv_quant(
+                        qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
+                        kc, vc, ks, vs, pre_len, n_heads=nh,
+                        interpret=interp))
+                ys = (k_row[:, None], v_row[:, None],
+                      ks_row[:, None], vs_row[:, None])
+            else:
+                from ..ops.decode_attention import decode_attention_qkv
+
+                qkv = mm(l, h, "wqkv", b.attn_norm)
+                attn1, k_row, v_row = decode_attention_qkv(
+                    qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
+                    kc, vc, pre_len, n_heads=nh, interpret=interp)
+                zs = jnp.zeros((B, 1, 1), jnp.float32)
+                ys = (k_row[:, None], v_row[:, None], zs, zs)
             h = mm(l, attn1.reshape(B, nh * D), "wo", b.attn_sub_norm,
                    resid=h)
             gu = mm(l, h, "w_gateup", b.ffn_norm)
             h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
-            zs = jnp.zeros((B, 1, 1), jnp.float32)
-            return h, (k_row[:, None], v_row[:, None], zs, zs)
+            return h, ys
         qkv = mm(l, h, "wqkv", b.attn_norm)
         q = qkv[:, : nh * D].reshape(B, 1, nh, D)
         kn = qkv[:, nh * D: (nh + nkv) * D].reshape(B, 1, nkv, D)

@@ -211,3 +211,57 @@ class TestRopeFusedKernel:
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(vr), np.asarray(vn),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_qkv_rope_fused_quant_matches_unfused(self):
+        """decode_attention_qkv_quant: in-kernel rope + row quantization +
+        int8-stream attention must match apply_rope → _quantize_kv →
+        decode_attention_quant."""
+        from bitnet_tpu.models.bitnet import _quantize_kv
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention_quant,
+            decode_attention_qkv_quant,
+        )
+        from bitnet_tpu.ops.rope import apply_rope, build_rope_tables
+
+        rng = np.random.default_rng(7)
+        B, H, KV, D, S = 1, 4, 2, 64, 32
+        QR = H + 2 * KV
+        qkv = jnp.asarray(rng.standard_normal((B, QR * D)), jnp.float32)
+        kf = rng.standard_normal((B, S, KV, D)).astype(np.float32)
+        vf = rng.standard_normal((B, S, KV, D)).astype(np.float32)
+        kc, ks = _quantize_kv(jnp.asarray(kf), jnp.int8)
+        vc, vs = _quantize_kv(jnp.asarray(vf), jnp.int8)
+        pos = jnp.asarray([9] * B, jnp.int32)
+        sin, cos = build_rope_tables(D, S, 10000.0)
+        sin, cos = jnp.asarray(sin), jnp.asarray(cos)
+
+        # unfused reference: slice + rope in XLA, quantize new rows in
+        # XLA, run the plain quant kernel over round-tripped rows
+        rows = qkv.reshape(B, QR, D)
+        posq = pos[:, None]
+        q = apply_rope(rows[:, 0:H][:, None], sin, cos, posq)[:, 0]
+        kn = apply_rope(rows[:, H:H + KV][:, None], sin, cos, posq)[:, 0]
+        vn = rows[:, H + KV:]
+        kq_ref, ksr = _quantize_kv(kn[:, None], jnp.int8)
+        vq_ref, vsr = _quantize_kv(vn[:, None], jnp.int8)
+        kn_rt = kq_ref[:, 0].astype(jnp.float32) * ksr[:, 0][..., None]
+        vn_rt = vq_ref[:, 0].astype(jnp.float32) * vsr[:, 0][..., None]
+        ref = decode_attention_quant(q, kn_rt, vn_rt, kc, vc, ks, vs,
+                                     pos, interpret=True)
+
+        got, kq, vq, ks_o, vs_o = decode_attention_qkv_quant(
+            qkv, sin[pos], cos[pos], kc, vc, ks, vs, pos, n_heads=H,
+            interpret=True)
+        # bf16-level tolerance: decode_attention_quant's wrapper rounds
+        # the round-tripped new rows (and q) through bf16 in XLA; the
+        # fused kernel keeps them f32 until the dot — strictly tighter
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=4e-3, atol=4e-3)
+        np.testing.assert_array_equal(np.asarray(kq),
+                                      np.asarray(kq_ref[:, 0]))
+        np.testing.assert_array_equal(np.asarray(vq),
+                                      np.asarray(vq_ref[:, 0]))
+        np.testing.assert_allclose(np.asarray(ks_o), np.asarray(ksr[:, 0]),
+                                   rtol=1e-6, atol=0)
+        np.testing.assert_allclose(np.asarray(vs_o), np.asarray(vsr[:, 0]),
+                                   rtol=1e-6, atol=0)

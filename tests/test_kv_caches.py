@@ -302,3 +302,29 @@ class TestQuantizedKVStacked:
         # must agree on a prefix (same seed/model; int8 is near-lossless)
         agree = sum(1 for a, b in zip(ref, got) if a == b)
         assert agree >= 3, (ref, got)
+
+    def test_int8_rope_fused_matches_unfused(self, mini_gguf_qk256,
+                                             monkeypatch):
+        """The rope-fused int8 kernel (decode_attention_qkv_quant, the
+        rows-mode default at B≤2) vs the unfused quant path: same rows,
+        near-identical attention (the fused kernel keeps the new rows f32
+        until the dot where the unfused wrapper rounds through bf16, so
+        tokens may flip at exact ties — require strong prefix agreement)."""
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+
+        def run(flag):
+            monkeypatch.setenv("BITNET_ROPE_FUSED", flag)
+            eng = InferenceEngine.from_gguf(
+                mini_gguf_qk256.path,
+                EngineConfig(kernel_path="w2a8", max_seq_len=64,
+                             compute_dtype="f32", kv_cache_dtype="int8"))
+            out = eng.generate([1, 5, 9, 14], GenerationConfig(
+                max_new_tokens=6, greedy=True))
+            return out.token_ids
+
+        fused = run("1")
+        unfused = run("0")
+        assert len(fused) >= 1
+        agree = sum(1 for a, b in zip(fused, unfused) if a == b)
+        assert agree >= 4, (fused, unfused)
