@@ -265,3 +265,56 @@ class TestRopeFusedKernel:
                                    rtol=1e-6, atol=0)
         np.testing.assert_allclose(np.asarray(vs_o), np.asarray(vsr[:, 0]),
                                    rtol=1e-6, atol=0)
+
+
+class TestBatchedKernel:
+    def test_batched_matches_per_b_kernel(self):
+        """decode_attention_batched (whole batch per grid step) must match
+        decode_attention exactly at the same chunking, including per-b
+        masking off different pos values and new-token fold-in."""
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention,
+            decode_attention_batched,
+        )
+
+        rng = np.random.default_rng(11)
+        B, H, KV, D, S = 8, 4, 2, 64, 128
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        ref = decode_attention(q, kn, vn, kc, vc, pos, interpret=True,
+                               chunk=32)
+        got = decode_attention_batched(q, kn, vn, kc, vc, pos,
+                                       interpret=True, chunk=32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_batched_engine_tokens_match_xla_attention(self, mini_gguf_qk256,
+                                                       monkeypatch):
+        """B=4 stacked decode with BITNET_BATCHED_ATTN=1 (pre-write-cache
+        pallas kernel) must produce the same tokens as the default XLA
+        einsum attention path."""
+        import jax.numpy as jnp
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.models.loader import load_model
+
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[2, 7, 11], [3, 5, 8, 12, 30], [40, 41], [9]]
+
+        def run(flag):
+            monkeypatch.setenv("BITNET_BATCHED_ATTN", flag)
+            eng = InferenceEngine(
+                cfg, params,
+                EngineConfig(max_seq_len=64, max_batch_size=4,
+                             kv_cache_dtype="f32", compute_dtype="f32",
+                             kernel_path="w2a8"))
+            return [r.token_ids for r in eng.generate_batch(prompts, gen)]
+
+        base = run("0")
+        got = run("1")
+        assert got == base
