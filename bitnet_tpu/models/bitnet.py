@@ -208,17 +208,10 @@ def _scale_vec(lin: TernaryLinear) -> jnp.ndarray:
     return s
 
 
-def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
-                       B: int, k_scale, kv_positions, window, write_slots,
-                       kernel_path: str) -> bool:
-    """Trace-time eligibility for the stacked decode loop."""
-    b = params.blocks
-    if not (T == 1 and B <= 16 and kernel_path == "w2a8"):
-        return False
-    if kv_positions is not None or window is not None:
-        return False
-    if write_slots is not None:
-        return False
+def _stacked_weights_ok(cfg: ModelConfig, b) -> bool:
+    """Weight-side eligibility shared by the stacked decode loop and the
+    stacked prefill: fused projections, stacked qk256 packs with scales,
+    K == Kp, norm widths matching."""
     if b.wqkv is None or b.w_gateup is None or cfg.hidden_act != "silu":
         return False
     for lin in (b.wqkv, b.wo, b.w_gateup, b.w_down):
@@ -236,6 +229,36 @@ def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
         return False
     return (b.attn_norm.shape[-1] == b.wqkv.k
             and b.ffn_norm.shape[-1] == b.w_gateup.k)
+
+
+def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
+                       B: int, k_scale, kv_positions, window, write_slots,
+                       kernel_path: str) -> bool:
+    """Trace-time eligibility for the stacked decode loop."""
+    if not (T == 1 and B <= 16 and kernel_path == "w2a8"):
+        return False
+    if kv_positions is not None or window is not None:
+        return False
+    if write_slots is not None:
+        return False
+    return _stacked_weights_ok(cfg, params.blocks)
+
+
+def _stacked_prefill_ok(cfg: ModelConfig, params: BitNetParams, T: int,
+                        kv_positions, window, write_slots,
+                        kernel_path: str) -> bool:
+    """Trace-time eligibility for the stacked prefill (T>1) path."""
+    import os as _os
+
+    if _os.environ.get("BITNET_STACKED_PREFILL", "0") != "1":
+        return False
+    if not (T > 1 and kernel_path == "w2a8"):
+        return False
+    if kv_positions is not None or window is not None:
+        return False
+    if write_slots is not None:
+        return False
+    return _stacked_weights_ok(cfg, params.blocks)
 
 
 def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
@@ -548,6 +571,111 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     return x2[:, None, :], k_cache, v_cache, k_scale, v_scale
 
 
+def _prefill_stacked(cfg: ModelConfig, params: BitNetParams,
+                     x: jnp.ndarray,              # [B, T, H] embedded
+                     q_positions: jnp.ndarray,    # [B, T]
+                     k_cache: jnp.ndarray,        # [L, B, S, KV, D]
+                     v_cache: jnp.ndarray,
+                     pre_len: jnp.ndarray,        # [B] valid cache slots
+                     rope_sin: jnp.ndarray,       # [B, T, 1, D/2] rows
+                     rope_cos: jnp.ndarray,
+                     k_scale: jnp.ndarray | None = None,  # [L, B, S, KV]
+                     v_scale: jnp.ndarray | None = None):
+    """Prefill (T>1) with STACKED scalar-prefetch weight kernels.
+
+    Same motivation as the decode loop (_decode_stacked): under
+    ``lax.scan`` each layer's weight slice feeding a pallas operand is a
+    materialized HBM copy — ~0.6 GB of stacked packs re-copied per
+    forward pass.  The prefill matmuls are M-blocked
+    (ternary_matmul_stacked_prefill) with norm/SwiGLU/quantize in XLA,
+    where at M=B·T rows they amortize; attention and cache writes are the
+    same XLA ops as block_forward's generic path, so numerics match the
+    unstacked prefill bit-for-bit at matching block geometry.
+    """
+    from ..ops.flash import flash_attention
+    from ..ops.ternary_matmul import ternary_matmul_stacked_prefill
+
+    b = params.blocks
+    B, T, H = x.shape
+    M = B * T
+    nh, nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L, S = k_cache.shape[0], k_cache.shape[2]
+    eps = cfg.rms_norm_eps
+    interp = jax.default_backend() != "tpu"
+    sv = {n: _scale_vec(getattr(b, n))
+          for n in ("wqkv", "wo", "w_gateup", "w_down")}
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    quantized = k_scale is not None
+    has_asn = b.attn_sub_norm is not None
+    has_fsn = b.ffn_sub_norm is not None
+    # sub-norm gammas ride the scan as xs; absent ones use [L, 1] dummies
+    # so ONE traced body covers both parameterizations
+    asn = b.attn_sub_norm if has_asn else jnp.zeros((L, 1), jnp.float32)
+    fsn = b.ffn_sub_norm if has_fsn else jnp.zeros((L, 1), jnp.float32)
+    use_flash = T * S >= (1 << 19) and T > 1
+    new_len = pre_len + T
+
+    def mm(l, h2, name):
+        lin = getattr(b, name)
+        return ternary_matmul_stacked_prefill(
+            l, h2, lin.packed, sv[name], k_dim=lin.k, n_dim=lin.n,
+            interpret=interp)
+
+    def body(h, xs):
+        l, an, asn_l, fn, fsn_l, kc, vc, ks, vs = xs
+        h2 = h.reshape(M, H)
+        qkv = mm(l, rms_norm(h2, an, eps), "wqkv").reshape(B, T, -1)
+        q = qkv[..., : nh * D].reshape(B, T, nh, D)
+        kn = qkv[..., nh * D: (nh + nkv) * D].reshape(B, T, nkv, D)
+        vn = qkv[..., (nh + nkv) * D:].reshape(B, T, nkv, D)
+        q = apply_rope(q, rope_sin, rope_cos, q_positions)
+        kn = apply_rope(kn, rope_sin, rope_cos, q_positions)
+        if quantized:
+            kq, ksr = _quantize_kv(kn, kc.dtype)
+            vq, vsr = _quantize_kv(vn, vc.dtype)
+            kc = kc.at[b_idx, q_positions].set(kq, mode="drop")
+            vc = vc.at[b_idx, q_positions].set(vq, mode="drop")
+            ks = ks.at[b_idx, q_positions].set(ksr, mode="drop")
+            vs = vs.at[b_idx, q_positions].set(vsr, mode="drop")
+            k_read = (kc.astype(jnp.float32) * ks[..., None]).astype(
+                x.dtype)
+            v_read = (vc.astype(jnp.float32) * vs[..., None]).astype(
+                x.dtype)
+        else:
+            kc = kc.at[b_idx, q_positions].set(
+                kn.astype(kc.dtype), mode="drop")
+            vc = vc.at[b_idx, q_positions].set(
+                vn.astype(vc.dtype), mode="drop")
+            k_read, v_read = kc, vc
+        if use_flash:
+            attn = flash_attention(q, k_read, v_read, q_positions, new_len)
+        else:
+            attn = attention(q, k_read, v_read, q_positions, new_len)
+        a2 = attn.reshape(M, nh * D)
+        if has_asn:
+            a2 = rms_norm(a2, asn_l, eps)
+        h2 = mm(l, a2, "wo") + h2
+        g2 = rms_norm(h2, fn, eps)
+        gu = mm(l, g2, "w_gateup")
+        F = gu.shape[1] // 2
+        act = jax.nn.silu(gu[:, :F]) * gu[:, F:]
+        if has_fsn:
+            act = rms_norm(act, fsn_l, eps)
+        h2 = mm(l, act, "w_down") + h2
+        return h2.reshape(B, T, H), (kc, vc, ks, vs)
+
+    if not quantized:
+        k_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
+        v_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
+    x, (k_cache, v_cache, k_scale, v_scale) = jax.lax.scan(
+        body, x,
+        (jnp.arange(L, dtype=jnp.int32), b.attn_norm, asn, b.ffn_norm,
+         fsn, k_cache, v_cache, k_scale, v_scale))
+    if not quantized:
+        k_scale = v_scale = None
+    return x, k_cache, v_cache, k_scale, v_scale
+
+
 def embed_tokens(params: BitNetParams, tokens: jnp.ndarray) -> jnp.ndarray:
     """[B, T] int32 → [B, T, H] activations (reference: embed, lib.rs:1278)."""
     return jnp.take(params.embed, tokens, axis=0)
@@ -799,6 +927,14 @@ def forward(
     if _stacked_decode_ok(cfg, params, T, B, k_scale, kv_positions,
                           window, write_slots, kernel_path):
         h, k_cache, v_cache, k_scale, v_scale = _decode_stacked(
+            cfg, params, x, q_positions, k_cache, v_cache, _pre_len,
+            rope_sin, rope_cos, k_scale, v_scale)
+        h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
+        return h, k_cache, v_cache, k_scale, v_scale
+
+    if _stacked_prefill_ok(cfg, params, T, kv_positions, window,
+                           write_slots, kernel_path):
+        h, k_cache, v_cache, k_scale, v_scale = _prefill_stacked(
             cfg, params, x, q_positions, k_cache, v_cache, _pre_len,
             rope_sin, rope_cos, k_scale, v_scale)
         h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)

@@ -365,6 +365,99 @@ def ternary_matmul_stacked(
     return out[:M, :n_dim]
 
 
+def _qk256_w2a8_stacked_prefill_kernel(l_ref, xq_ref, w_ref, sumq_ref,
+                                       sx_ref, scale_ref, out_ref, acc_ref,
+                                       *, n_k: int, bkt: int,
+                                       interpret: bool):
+    """Stacked-layer variant of the plain W2A8 kernel for PREFILL shapes
+    (M-blocked, activations quantized in XLA): the weight stack
+    ``[L, Kp/16, Np]`` is indexed by the scalar-prefetch layer index, so
+    the prefill ``lax.scan`` stops materializing a per-layer weight-slice
+    copy for every pallas operand (the same ~0.8 ms/pass of
+    ``dynamic-slice_bitcast_fusion`` the decode loop eliminated).
+
+    The body is :func:`_qk256_w2a8_kernel` verbatim (drop the stacked
+    refs' unit leading axis); norm/quantize stay in XLA because a
+    [M≥512, Kp] activation block + int8 scratch would blow VMEM — at
+    prefill M the XLA-side prep amortizes over the rows anyway.
+    """
+    del l_ref  # consumed by the BlockSpec index maps
+    _qk256_w2a8_kernel(xq_ref, w_ref.at[0], sumq_ref, sx_ref,
+                       scale_ref.at[0], out_ref, acc_ref,
+                       n_k=n_k, bkt=bkt, interpret=interpret,
+                       vecscale=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_dim", "n_dim", "interpret", "blocks"),
+)
+def ternary_matmul_stacked_prefill(
+    l: jnp.ndarray,            # [] / [1] int32 layer index (traced)
+    x: jnp.ndarray,            # [M, K] float (already normed/activated)
+    packed: jnp.ndarray,       # [L, Kp/16, Np] stacked int32 words
+    scale_vec: jnp.ndarray,    # [L, Np] f32 per-column scales
+    k_dim: int,
+    n_dim: int,
+    interpret: bool = False,
+    blocks: tuple[int, int, int] | None = None,
+) -> jnp.ndarray:
+    """Prefill-shaped (M-blocked) W2A8 matmul over one layer of a stacked
+    weight array; activations are absmax-int8 quantized here in XLA with
+    the exact math of `_ternary_matmul_2d`'s w2a8 branch, so results are
+    bit-identical to the unstacked path at matching block sizes."""
+    M, K = x.shape
+    Kp = packed.shape[1] * 16
+    Np = packed.shape[2]
+    bm, bn, bkt = blocks or _pick_blocks(M, Kp, Np, "w2a8")
+    bk = bkt * KT
+    if K != Kp:
+        x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, Kp - K)))
+    Mp = -(-M // bm) * bm
+    n_m, n_n, n_k = Mp // bm, Np // bn, Kp // bk
+
+    xf = x.astype(jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8)
+    sx = absmax / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    sumq = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+    xq = _pad_to(xq, 0, bm)
+    sumq = _pad_to(sumq, 0, bm)
+    sx = _pad_to(sx, 0, bm)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_m, n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k, lr: (m, k)),
+            pl.BlockSpec((1, bk // 16, bn),
+                         lambda m, n, k, lr: (lr[0], k, n)),
+            pl.BlockSpec((bm, 1), lambda m, n, k, lr: (m, 0)),
+            pl.BlockSpec((bm, 1), lambda m, n, k, lr: (m, 0)),
+            pl.BlockSpec((1, 1, bn), lambda m, n, k, lr: (lr[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, lr: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _qk256_w2a8_stacked_prefill_kernel, n_k=n_k, bkt=bkt,
+            interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        grid_spec=gs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Kp * Np,
+            bytes_accessed=Mp * Kp + (Kp // 4) * Np + Mp * Np * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), xq, packed,
+      sumq, sx, scale_vec.reshape(-1, 1, Np))
+    return out[:M, :n_dim]
+
+
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     size = x.shape[axis]
     target = -(-size // mult) * mult

@@ -328,3 +328,43 @@ class TestQuantizedKVStacked:
         assert len(fused) >= 1
         agree = sum(1 for a, b in zip(fused, unfused) if a == b)
         assert agree >= 4, (fused, unfused)
+
+
+class TestStackedPrefill:
+    def test_stacked_prefill_matches_default(self, mini_gguf_qk256,
+                                             monkeypatch):
+        """BITNET_STACKED_PREFILL=1 (scalar-prefetch stacked prefill
+        matmuls) must reproduce the default prefill bit-for-bit: same
+        quantize math, same block geometry, weights read from the stacks
+        instead of per-layer scan-slice copies."""
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+
+        def run(flag, kv="bf16"):
+            monkeypatch.setenv("BITNET_STACKED_PREFILL", flag)
+            eng = InferenceEngine.from_gguf(
+                mini_gguf_qk256.path,
+                EngineConfig(kernel_path="w2a8", max_seq_len=64,
+                             compute_dtype="f32", kv_cache_dtype=kv))
+            out = eng.generate([1, 5, 9, 14, 23, 2, 8], GenerationConfig(
+                max_new_tokens=5, greedy=True))
+            return out.token_ids
+
+        assert run("1") == run("0")
+
+    def test_stacked_prefill_matches_default_int8_kv(self, mini_gguf_qk256,
+                                                     monkeypatch):
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+
+        def run(flag):
+            monkeypatch.setenv("BITNET_STACKED_PREFILL", flag)
+            eng = InferenceEngine.from_gguf(
+                mini_gguf_qk256.path,
+                EngineConfig(kernel_path="w2a8", max_seq_len=64,
+                             compute_dtype="f32", kv_cache_dtype="int8"))
+            out = eng.generate([1, 5, 9, 14, 23], GenerationConfig(
+                max_new_tokens=5, greedy=True))
+            return out.token_ids
+
+        assert run("1") == run("0")
