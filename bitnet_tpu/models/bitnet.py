@@ -392,7 +392,7 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
         quant_kernel = quantized and kc.dtype == jnp.int8
         batched_attn = (_os.environ.get("BITNET_BATCHED_ATTN", "0") == "1"
-                        and not quantized)
+                        and (not quantized or kc.dtype == jnp.int8))
         if B <= attn_max_b and (not quantized or quant_kernel):
             if quant_kernel:
                 # int8 cache + per-vector scales dequantize IN-KERNEL —
@@ -406,15 +406,25 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
                     q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc, pre_len,
                     interpret=interp)
         elif batched_attn:
-            # whole-batch-per-grid-step kernel: amortizes the fixed cost
+            # whole-batch-per-grid-step kernels: amortize the fixed cost
             # the per-b grid paid B times (which made pallas lose to XLA
-            # einsum at B=8) and reads the PRE-write cache, skipping the
-            # post-write slice copy below
-            from ..ops.decode_attention import decode_attention_batched
+            # einsum at B=8) and read the PRE-write cache, skipping the
+            # post-write slice copy below (int8 caches additionally
+            # stream at half the bytes with in-VMEM scale dequant)
+            if quantized:
+                from ..ops.decode_attention import (
+                    decode_attention_quant_batched,
+                )
 
-            attn = decode_attention_batched(
-                q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc, pre_len,
-                interpret=interp)
+                attn = decode_attention_quant_batched(
+                    q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc, ks, vs,
+                    pre_len, interpret=interp)
+            else:
+                from ..ops.decode_attention import decode_attention_batched
+
+                attn = decode_attention_batched(
+                    q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc, pre_len,
+                    interpret=interp)
         else:
             # XLA einsum attention needs the POST-write cache view; the
             # written slice copy feeds only this read (the canonical

@@ -1149,3 +1149,172 @@ def decode_attention_batched(
         interpret=interpret,
     )(pos2, qg, kn, vn, kcv, vcv)
     return out.reshape(B, H, D)
+
+
+def _decode_attn_quant_batched_kernel(pos_ref, q_ref, kn_ref, vn_ref,
+                                      k_ref, v_ref, ks_ref, vs_ref,
+                                      out_ref, *scr, scale: float,
+                                      n_kv: int, G: int, D: int, B: int,
+                                      chunk: int, n_chunks: int):
+    """Whole-batch flash-decode over an int8 KV cache: the per-b loop of
+    _decode_attn_batched_kernel with _decode_attn_quant_kernel's
+    in-VMEM scale dequant — the cache streams as int8 (half the bytes)
+    for EVERY batch size, not just the B≤2 fused path."""
+    c = pl.program_id(0)
+    HH = n_kv * G
+
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
+
+    def rowmask(h, dtype):
+        return (row_head == h).astype(dtype)              # [H, 1]
+
+    def head_bcast(s2d):
+        acc = None
+        for h in range(n_kv):
+            seg = (jnp.broadcast_to(s2d[h:h + 1, :], (HH, chunk))
+                   * rowmask(h, s2d.dtype))
+            acc = seg if acc is None else acc + seg
+        return acc
+
+    def select_rows(wide):
+        acc = None
+        for h in range(n_kv):
+            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
+            acc = seg if acc is None else acc + seg
+        return acc
+
+    base = c * chunk
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (HH, chunk), 1)
+
+    for b in range(B):
+        m_scr, d_scr, ctx_scr = scr[3 * b], scr[3 * b + 1], scr[3 * b + 2]
+        pos = pos_ref[b, 0]
+        qf = q_ref[b].reshape(HH, D)                      # [H, D] bf16
+        q_wide = jnp.concatenate(
+            [qf * rowmask(h, qf.dtype) for h in range(n_kv)], axis=1)
+
+        @pl.when(c == 0)
+        def _(b=b, m_scr=m_scr, d_scr=d_scr, ctx_scr=ctx_scr, qf=qf):
+            kn_sel = None
+            vn_sel = None
+            for h in range(n_kv):
+                rm = rowmask(h, jnp.float32)
+                kh = jnp.broadcast_to(
+                    kn_ref[b, :, h * D:(h + 1) * D].astype(jnp.float32),
+                    (HH, D)) * rm
+                vh = jnp.broadcast_to(
+                    vn_ref[b, :, h * D:(h + 1) * D].astype(jnp.float32),
+                    (HH, D)) * rm
+                kn_sel = kh if kn_sel is None else kn_sel + kh
+                vn_sel = vh if vn_sel is None else vn_sel + vh
+            s_new = jnp.sum(
+                qf.astype(jnp.float32) * kn_sel,
+                axis=1, keepdims=True) * scale
+            m_scr[:] = s_new
+            d_scr[:] = jnp.ones((HH, 1), jnp.float32)
+            ctx_scr[:] = vn_sel
+
+        kc = k_ref[b].astype(jnp.bfloat16)                # int8 → bf16
+        vc = v_ref[b].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q_wide.astype(jnp.bfloat16), kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [H, chunk]
+        s = s * head_bcast(ks_ref[b])                     # dequant scores
+        s = jnp.where(idx < pos, s, NEG_INF)
+
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        e = jnp.exp(s - m_new)                            # [H, chunk]
+        m_scr[:] = m_new
+        d_scr[:] = d_scr[:] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        ev = (e * head_bcast(vs_ref[b])).astype(vc.dtype)
+        r = jax.lax.dot_general(
+            ev, vc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [H, KV*D]
+        ctx_scr[:] = ctx_scr[:] * alpha + select_rows(r)
+
+        @pl.when(c == n_chunks - 1)
+        def _(b=b, d_scr=d_scr, ctx_scr=ctx_scr):
+            out_ref[b] = (ctx_scr[:] / d_scr[:]).reshape(
+                n_kv, G, D).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def decode_attention_quant_batched(
+    q: jnp.ndarray,         # [B, n_heads, D] (post-RoPE)
+    k_new: jnp.ndarray,     # [B, KV, D] ROUND-TRIPPED through the cache dtype
+    v_new: jnp.ndarray,     # [B, KV, D]
+    k_cache: jnp.ndarray,   # [B, S, KV, D] int8 (PRE-write)
+    v_cache: jnp.ndarray,   # [B, S, KV, D] int8
+    k_scale: jnp.ndarray,   # [B, S, KV] f32 per-vector scales
+    v_scale: jnp.ndarray,   # [B, S, KV]
+    pos: jnp.ndarray,       # [B] int32
+    interpret: bool = False,
+    chunk: int | None = None,
+) -> jnp.ndarray:
+    """:func:`decode_attention_quant` semantics with ALL batch rows per
+    grid step — quantized-KV decode for batched pools (B>2), where the
+    generic path dequantizes the whole cache slice in XLA first."""
+    B, H, D = q.shape
+    S, KV = k_cache.shape[1], k_cache.shape[2]
+    G = H // KV
+    qg = q.astype(jnp.bfloat16).reshape(B, KV, G, D)
+    kn = k_new.astype(jnp.bfloat16).reshape(B, 1, KV * D)
+    vn = v_new.astype(jnp.bfloat16).reshape(B, 1, KV * D)
+    kcv = k_cache.reshape(B, S, KV * D)
+    vcv = v_cache.reshape(B, S, KV * D)
+    kst = jnp.swapaxes(k_scale.astype(jnp.float32), 1, 2)   # [B, KV, S]
+    vst = jnp.swapaxes(v_scale.astype(jnp.float32), 1, 2)
+    pos2 = pos.reshape(B, 1).astype(jnp.int32)
+
+    if chunk is None:
+        # int8 cache blocks are half the bytes of bf16 — same row budget
+        chunk = max(128, 2048 // B)
+    chunk = min(chunk, S, DEFAULT_CHUNK)
+    while S % chunk:
+        chunk //= 2
+    n_chunks = S // chunk
+
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_quant_batched_kernel,
+                          scale=float(D) ** -0.5, n_kv=KV, G=G, D=D,
+                          B=B, chunk=chunk, n_chunks=n_chunks),
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, KV, G, D), lambda c: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, KV * D), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, KV * D), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, chunk), lambda c: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, chunk), lambda c: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, KV, G, D), lambda c: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            s for _ in range(B)
+            for s in (pltpu.VMEM((KV * G, 1), jnp.float32),
+                      pltpu.VMEM((KV * G, 1), jnp.float32),
+                      pltpu.VMEM((KV * G, D), jnp.float32))
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=2 * B * S * KV * D + 8 * B * S * KV,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(pos2, qg, kn, vn, kcv, vcv, kst, vst)
+    return out.reshape(B, H, D)

@@ -318,3 +318,59 @@ class TestBatchedKernel:
         base = run("0")
         got = run("1")
         assert got == base
+
+    def test_batched_quant_matches_per_b_kernel(self):
+        """decode_attention_quant_batched must match decode_attention_quant
+        exactly at the same chunking (int8 stream + in-VMEM scale dequant,
+        whole batch per grid step)."""
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention_quant,
+            decode_attention_quant_batched,
+        )
+
+        rng = np.random.default_rng(13)
+        B, H, KV, D, S = 8, 4, 2, 64, 128
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kc = jnp.asarray(rng.integers(-127, 128, (B, S, KV, D)), jnp.int8)
+        vc = jnp.asarray(rng.integers(-127, 128, (B, S, KV, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(1e-3, 2e-2, (B, S, KV)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(1e-3, 2e-2, (B, S, KV)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        ref = decode_attention_quant(q, kn, vn, kc, vc, ks, vs, pos,
+                                     interpret=True, chunk=32)
+        got = decode_attention_quant_batched(q, kn, vn, kc, vc, ks, vs,
+                                             pos, interpret=True, chunk=32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_batched_engine_tokens_match_int8_kv(self, mini_gguf_qk256,
+                                                 monkeypatch):
+        """B=4 stacked decode + int8 KV with BITNET_BATCHED_ATTN=1 must
+        agree with the default dequant-in-XLA einsum attention path
+        (near-identical numerics: the kernel keeps bf16 q/cache rounding,
+        the XLA path dequantizes to f32 — require full prefix match on a
+        short greedy run)."""
+        import jax.numpy as jnp
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.models.loader import load_model
+
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[2, 7, 11], [3, 5, 8, 12, 30], [40, 41], [9]]
+
+        def run(flag):
+            monkeypatch.setenv("BITNET_BATCHED_ATTN", flag)
+            eng = InferenceEngine(
+                cfg, params,
+                EngineConfig(max_seq_len=64, max_batch_size=4,
+                             kv_cache_dtype="int8", compute_dtype="f32",
+                             kernel_path="w2a8"))
+            return [r.token_ids for r in eng.generate_batch(prompts, gen)]
+
+        base = run("0")
+        got = run("1")
+        agree = sum(a == b for a, b in zip(base, got))
+        assert agree >= 3, (base, got)
