@@ -328,13 +328,21 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     rope_fused = _os.environ.get(
         "BITNET_ROPE_FUSED", "1" if rows_mode else "0") == "1"
 
+    # fp8 caches may ride the same fused/batched quant kernels as int8
+    # (the kernels parameterize qmax and cast the stream in-VMEM) —
+    # opt-in until the fp8<->f32 Mosaic casts are hardware-verified
+    fp8_kernel = _os.environ.get("BITNET_FP8_KERNEL", "0") == "1"
+
+    def quant_dt_ok(dt):
+        return dt == jnp.int8 or (fp8_kernel and dt == jnp.float8_e4m3fn)
+
     def body_rows(h, xs):
         """Rows mode: xs caches are PRE-write read-only slices; returns
         the new (quantized) k/v rows + scales as ys for the post-scan
         scatter."""
         l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
         if (rope_fused and B <= 2
-                and (not quantized or kc.dtype == jnp.int8)):
+                and (not quantized or quant_dt_ok(kc.dtype))):
             # ONE kernel applies RoPE to the raw q|k|v row, runs
             # flash-decode, and emits the roped k/v rows — exactly the ys
             # rows mode wants (round-2's layout-flip objection was about
@@ -390,9 +398,9 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         # B=1 pallas 1.51 ms vs einsum n/a; B=8 pallas 5.48 ms vs einsum
         # 2.99 ms.  Keep the kernel for tiny B only.
         attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
-        quant_kernel = quantized and kc.dtype == jnp.int8
+        quant_kernel = quantized and quant_dt_ok(kc.dtype)
         batched_attn = (_os.environ.get("BITNET_BATCHED_ATTN", "0") == "1"
-                        and (not quantized or kc.dtype == jnp.int8))
+                        and (not quantized or quant_dt_ok(kc.dtype)))
         if B <= attn_max_b and (not quantized or quant_kernel):
             if quant_kernel:
                 # int8 cache + per-vector scales dequantize IN-KERNEL —

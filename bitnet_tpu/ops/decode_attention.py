@@ -693,7 +693,8 @@ def _decode_attn_qkv_quant_kernel(pos_ref, qkv_ref, sin_ref, cos_ref,
                                   out_ref, kq_ref, vq_ref, kso_ref, vso_ref,
                                   m_scr, d_scr, ctx_scr, q_scr,
                                   *, scale: float, n_kv: int, G: int,
-                                  D: int, chunk: int, n_chunks: int):
+                                  D: int, chunk: int, n_chunks: int,
+                                  qmax: float = 127.0, is_int: bool = True):
     """Rope-fused flash-decode over an int8 KV cache: ONE kernel applies
     RoPE to the raw q|k|v row, QUANTIZES the new k/v rows in-VMEM
     (per-vector absmax, same math as models/bitnet._quantize_kv), streams
@@ -745,24 +746,29 @@ def _decode_attn_qkv_quant_kernel(pos_ref, qkv_ref, sin_ref, cos_ref,
         v_row = rows[HH + n_kv:]
         q_scr[:] = qf
 
-        # per-vector absmax int8 quantization (== _quantize_kv for int8)
+        # per-vector absmax quantization (== _quantize_kv: round+clip for
+        # int8, straight cast for fp8 e4m3 — the cast itself rounds)
         def quantize(row):
             am = jnp.max(jnp.abs(row), axis=1, keepdims=True)   # [KV, 1]
-            s = jnp.maximum(am, 1e-8) / 127.0
-            qv = jnp.clip(jnp.round(row / s), -127, 127)
+            s = jnp.maximum(am, 1e-8) / qmax
+            qv = row / s
+            if is_int:
+                qv = jnp.clip(jnp.round(qv), -qmax, qmax)
             return qv, s
 
         kq, k_s = quantize(k_row)
         vq, v_s = quantize(v_row)
-        kq_ref[0] = kq.astype(kq_ref.dtype)
-        vq_ref[0] = vq.astype(vq_ref.dtype)
+        kq8 = kq.astype(kq_ref.dtype)
+        vq8 = vq.astype(vq_ref.dtype)
+        kq_ref[0] = kq8
+        vq_ref[0] = vq8
         kso_ref[0] = k_s
         vso_ref[0] = v_s
         # accumulators start from the ROUND-TRIPPED new token so numerics
         # match the generic path (which reads the written row back
         # quantized); e-weight exp(0) = 1
-        k_rt = kq * k_s
-        v_rt = vq * v_s
+        k_rt = kq8.astype(jnp.float32) * k_s
+        v_rt = vq8.astype(jnp.float32) * v_s
         kn_sel = None
         vn_sel = None
         for h in range(n_kv):
@@ -850,10 +856,12 @@ def decode_attention_qkv_quant(
     n_chunks = S // chunk
 
     grid = (B, n_chunks)
+    is_int = dt == jnp.int8
     out, kq, vq, ks_o, vs_o = pl.pallas_call(
         functools.partial(_decode_attn_qkv_quant_kernel,
                           scale=float(D) ** -0.5, n_kv=KV, G=G, D=D,
-                          chunk=chunk, n_chunks=n_chunks),
+                          chunk=chunk, n_chunks=n_chunks,
+                          qmax=127.0 if is_int else 448.0, is_int=is_int),
         out_shape=(
             jax.ShapeDtypeStruct((B, KV, G, D), qkv.dtype),
             jax.ShapeDtypeStruct((B, KV, D), dt),

@@ -329,6 +329,29 @@ class TestQuantizedKVStacked:
         agree = sum(1 for a, b in zip(fused, unfused) if a == b)
         assert agree >= 4, (fused, unfused)
 
+    def test_fp8_rope_fused_matches_unfused(self, mini_gguf_qk256,
+                                            monkeypatch):
+        """BITNET_FP8_KERNEL=1 routes fp8 caches onto the fused quant
+        kernels (in-VMEM e4m3 quantize/dequant); tokens must agree with
+        the default dequant-in-XLA path."""
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+
+        def run(flag):
+            monkeypatch.setenv("BITNET_FP8_KERNEL", flag)
+            eng = InferenceEngine.from_gguf(
+                mini_gguf_qk256.path,
+                EngineConfig(kernel_path="w2a8", max_seq_len=64,
+                             compute_dtype="f32", kv_cache_dtype="fp8"))
+            out = eng.generate([1, 5, 9, 14], GenerationConfig(
+                max_new_tokens=6, greedy=True))
+            return out.token_ids
+
+        fused = run("1")
+        base = run("0")
+        agree = sum(1 for a, b in zip(fused, base) if a == b)
+        assert agree >= 4, (fused, base)
+
 
 class TestStackedPrefill:
     def test_stacked_prefill_matches_default(self, mini_gguf_qk256,
@@ -368,3 +391,4 @@ class TestStackedPrefill:
             return out.token_ids
 
         assert run("1") == run("0")
+
