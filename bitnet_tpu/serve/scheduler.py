@@ -419,6 +419,47 @@ class ContinuousBatchingScheduler:
 
             self._decode_step_paged = decode_step_paged
 
+            @partial(jax.jit, donate_argnums=(3,),
+                     static_argnames=("use_typical", "n_steps"))
+            def decode_multi_paged(params, tokens, positions, cache,
+                                   active, temps, top_ks, top_ps, min_ps,
+                                   typ_ps, rep_pens, history, keys,
+                                   use_typical=False, n_steps=1):
+                """``n_steps`` paged decode steps in ONE dispatch — the
+                paged twin of ``decode_multi``.  The host pre-allocates
+                the window's page-boundary pages (``_paged_grow(steps)``)
+                so every in-scan write lands in mapped pages; stopped
+                slots overshoot into pages they still hold (released
+                wholesale at finish, same semantics as the dense path)."""
+                def one(carry, _):
+                    tokens, positions, cache, history, keys = carry
+                    pos_in = jnp.where(active, positions, S_view)
+                    h, cache = paged_forward(
+                        cfg, params, tokens[:, None], pos_in[:, None],
+                        cache, num_real_tokens=active.astype(jnp.int32),
+                        kernel_path=kp, pad_marker=S_view)
+                    raw = model_logits(cfg, params, h, kp)[:, 0, :].astype(
+                        jnp.float32)
+                    nxt, _, new_keys = pooled_sample(
+                        raw, temps, top_ks, top_ps, min_ps, typ_ps,
+                        rep_pens, history, keys, use_typical)
+                    history = jnp.where(
+                        active[:, None],
+                        jnp.concatenate([history[:, 1:], nxt[:, None]],
+                                        axis=1),
+                        history)
+                    positions = positions + active.astype(positions.dtype)
+                    tokens = jnp.where(active, nxt, tokens)
+                    return (tokens, positions, cache, history, new_keys), nxt
+
+                (tokens, positions, cache, history, keys), nxt_seq = \
+                    jax.lax.scan(
+                        one, (tokens, positions, cache, history, keys),
+                        None, length=n_steps)
+                return nxt_seq, keys, cache
+
+            self._decode_multi_paged = decode_multi_paged
+
             def make_prefill_paged(T: int):
                 @partial(jax.jit, donate_argnums=(1, 2))
                 def prefill(params, pool_k, pool_v, table_row, tokens,
@@ -955,19 +996,23 @@ class ContinuousBatchingScheduler:
             tables=self.cache.tables.at[slot_idx].set(-1),
             lengths=self.cache.lengths.at[slot_idx].set(0))
 
-    def _paged_grow(self, active_idx: list[int]) -> list[int]:
-        """Allocate page-boundary pages for this step's writes; when the
-        pool is dry, evict the youngest slot(s) CONTEXT_FULL until the
-        rest fit.  Returns the surviving active indices."""
+    def _paged_grow(self, active_idx: list[int],
+                    steps: int = 1) -> list[int]:
+        """Allocate page-boundary pages for this dispatch window's writes
+        (``steps`` decode tokens); when the pool is dry, evict the
+        youngest slot(s) CONTEXT_FULL until the rest fit.  Returns the
+        surviving active indices."""
         from ..engine import paged_cache as pc
 
         survivors = list(active_idx)
         # youngest last: eviction order
         survivors.sort(key=lambda i: self.slots[i].admitted_at)
         kept = []
+        nb = self.cache.tables.shape[1]
         for i in survivors:
             slot = self.slots[i]
-            need = pc.pages_needed(slot.pos + 1, self.page_size)
+            need = min(pc.pages_needed(slot.pos + steps, self.page_size),
+                       nb)
             grow = need - len(slot.pages)
             if grow <= 0:
                 kept.append(i)
@@ -1082,8 +1127,15 @@ class ContinuousBatchingScheduler:
                     self._finish(i, StopReason.TIMEOUT)
             self._admit()
             active_idx = [i for i, s in enumerate(self.slots) if s.active]
+            # window size first: paged growth must cover every in-scan
+            # write of a multi-step dispatch (mirostat keeps K=1 —
+            # host-side stateful sampling)
+            k_cfg = self.decode_steps_per_dispatch
+            any_mirostat = any(self.slots[i].mirostat is not None
+                               for i in active_idx)
+            k_eff = 1 if any_mirostat else k_cfg
             if self.paged and active_idx:
-                active_idx = self._paged_grow(active_idx)
+                active_idx = self._paged_grow(active_idx, k_eff)
             self.stats["active_slots"] = len(active_idx)
             self.stats["queue_depth"] = self.pending.qsize()
             if not active_idx:
@@ -1122,16 +1174,15 @@ class ContinuousBatchingScheduler:
                 positions[i] = s.pos
                 hist[i] = self._slot_history(s)
                 keys[i] = np.asarray(s.key, np.uint32)
-            k_cfg = self.decode_steps_per_dispatch
-            any_mirostat = any(self.slots[i].mirostat is not None
-                               for i in active_idx)
-            if k_cfg > 1 and not self.paged and not any_mirostat:
+            if k_eff > 1:
                 if self._channel is not None:
                     self._channel.send((
                         "decode_multi", self._tokens.copy(), positions,
                         active, temps, top_ks, top_ps, min_ps, typ_ps,
-                        reps, hist, keys, use_typical, k_cfg))
-                nxt_seq, new_keys, self.cache = self._decode_multi(
+                        reps, hist, keys, use_typical, k_eff))
+                multi_fn = (self._decode_multi_paged if self.paged
+                            else self._decode_multi)
+                nxt_seq, new_keys, self.cache = multi_fn(
                     self.params, jnp.asarray(self._tokens),
                     jnp.asarray(positions), self.cache,
                     jnp.asarray(active), jnp.asarray(temps),
@@ -1139,13 +1190,13 @@ class ContinuousBatchingScheduler:
                     jnp.asarray(min_ps), jnp.asarray(typ_ps),
                     jnp.asarray(reps), jnp.asarray(hist),
                     jnp.asarray(keys), use_typical=use_typical,
-                    n_steps=k_cfg)
+                    n_steps=k_eff)
                 nxt_np = np.asarray(nxt_seq)          # [k, B]
                 new_keys_np = np.asarray(new_keys)
-                self.stats["decode_steps"] += k_cfg
+                self.stats["decode_steps"] += k_eff
                 for i in active_idx:
                     self.slots[i].key = jnp.asarray(new_keys_np[i])
-                for step in range(k_cfg):
+                for step in range(k_eff):
                     for i in active_idx:
                         s = self.slots[i]
                         if not s.active:

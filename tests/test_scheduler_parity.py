@@ -225,3 +225,52 @@ class TestMultiStepDispatch:
         ref = self._run(mini_gguf_f32, 1, gen2, prompts)[0]
         assert got == ref
         assert stop_at not in got
+
+
+class TestMultiStepDispatchPaged:
+    """decode_steps_per_dispatch > 1 on the PAGED pool: K in-scan
+    paged_forward steps per dispatch (pages pre-grown for the whole
+    window) must match K=1 token-for-token."""
+
+    def _run(self, model, k, gen, prompts):
+        cfg, params, _ = load_model(model.path, param_dtype=jnp.float32)
+        tok = load_tokenizer(model.path)
+        s = ContinuousBatchingScheduler(
+            cfg, params, tok, ECFG, num_slots=2, paged=True,
+            num_pages=24, page_size=8, decode_steps_per_dispatch=k)
+        try:
+            outs = []
+            for p in prompts:
+                req = s.submit(p, gen)
+                toks = []
+                while True:
+                    t, _, done, _ = req.out.get(timeout=120)
+                    if t is not None:
+                        toks.append(t)
+                    if done:
+                        break
+                outs.append(toks)
+            return outs
+        finally:
+            s.shutdown()
+
+    def test_greedy_parity(self, mini_gguf_f32):
+        gen = GenerationConfig(max_new_tokens=10, greedy=True)
+        prompts = [[1, 7, 20, 3], [3, 5, 8]]
+        assert self._run(mini_gguf_f32, 4, gen, prompts) == \
+            self._run(mini_gguf_f32, 1, gen, prompts)
+
+    def test_sampled_parity(self, mini_gguf_f32):
+        gen = GenerationConfig(max_new_tokens=9, temperature=0.8,
+                               top_k=5, repetition_penalty=1.2, seed=7)
+        prompts = [[2, 9, 4]]
+        assert self._run(mini_gguf_f32, 3, gen, prompts) == \
+            self._run(mini_gguf_f32, 1, gen, prompts)
+
+    def test_window_crosses_page_boundary(self, mini_gguf_f32):
+        """K window straddling a page boundary: pages for the whole
+        window are pre-allocated, so tokens match K=1 exactly."""
+        gen = GenerationConfig(max_new_tokens=14, greedy=True)
+        prompts = [[1, 7, 20, 3, 9, 11]]   # prompt 6 + 14 tokens, page 8
+        assert self._run(mini_gguf_f32, 5, gen, prompts) == \
+            self._run(mini_gguf_f32, 1, gen, prompts)
