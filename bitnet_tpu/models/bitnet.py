@@ -208,18 +208,25 @@ def _scale_vec(lin: TernaryLinear) -> jnp.ndarray:
     return s
 
 
-def _stacked_weights_ok(cfg: ModelConfig, b) -> bool:
+def _stacked_weights_ok(cfg: ModelConfig, b,
+                        kinds: tuple[str, ...] = ("qk256",)) -> bool:
     """Weight-side eligibility shared by the stacked decode loop and the
-    stacked prefill: fused projections, stacked qk256 packs with scales,
-    K == Kp, norm widths matching."""
+    stacked prefill: fused projections, stacked packs with scales of a
+    UNIFORM supported kind, norm widths matching."""
     if b.wqkv is None or b.w_gateup is None or cfg.hidden_act != "silu":
         return False
-    for lin in (b.wqkv, b.wo, b.w_gateup, b.w_down):
-        if lin.kind != "qk256" or lin.packed.ndim != 3:
+    lins = (b.wqkv, b.wo, b.w_gateup, b.w_down)
+    if len({lin.kind for lin in lins}) != 1:
+        return False
+    for lin in lins:
+        if lin.kind not in kinds or lin.packed is None:
             return False
-        if lin.scales is None:                  # _scale_vec needs scales
+        if lin.packed.ndim != 3:
             return False
-        if lin.packed.shape[1] * 16 != lin.k:   # K must equal Kp
+        if lin.scales is None:    # _scale_vec / TL corr need scales
+            return False
+        if (lin.kind == "qk256"
+                and lin.packed.shape[1] * 16 != lin.k):   # K must equal Kp
             return False
     if (b.attn_sub_norm is not None
             and b.attn_sub_norm.shape[-1] != b.wo.k):
@@ -241,7 +248,10 @@ def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
         return False
     if write_slots is not None:
         return False
-    return _stacked_weights_ok(cfg, params.blocks)
+    # TL/bitnet32 ride the stacked loop with the bf16 per-K-block-scale
+    # kernel (ternary_matmul_stacked_tl); qk256 uses the W2A8 family
+    return _stacked_weights_ok(cfg, params.blocks,
+                               kinds=("qk256", "tl", "bitnet32"))
 
 
 def _stacked_prefill_ok(cfg: ModelConfig, params: BitNetParams, T: int,
@@ -290,15 +300,36 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     L, S = k_cache.shape[0], k_cache.shape[2]
     eps = cfg.rms_norm_eps
     interp = jax.default_backend() != "tpu"
-    sv = {n: _scale_vec(getattr(b, n))
-          for n in ("wqkv", "wo", "w_gateup", "w_down")}
+    kind = b.wqkv.kind
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    def mm(l, h, name, gamma, **kw):
-        lin = getattr(b, name)
-        return ternary_matmul_stacked(
-            l, h, lin.packed, sv[name], gamma, k_dim=lin.k, n_dim=lin.n,
-            eps=eps, interpret=interp, **kw)
+    if kind == "qk256":
+        sv = {n: _scale_vec(getattr(b, n))
+              for n in ("wqkv", "wo", "w_gateup", "w_down")}
+
+        def mm(l, h, name, gamma, **kw):
+            lin = getattr(b, name)
+            return ternary_matmul_stacked(
+                l, h, lin.packed, sv[name], gamma, k_dim=lin.k,
+                n_dim=lin.n, eps=eps, interpret=interp, **kw)
+    else:
+        # TL/bitnet32: bf16 kernel with per-K-block scales; norm, SwiGLU
+        # and the residual stay in XLA (TL is a compat format — launch
+        # overhead is acceptable; the weight-copy elimination is not)
+        from ..ops.ternary_matmul import ternary_matmul_stacked_tl
+
+        def mm(l, h, name, gamma, glu=False, resid=None):
+            lin = getattr(b, name)
+            x2 = h
+            if glu:
+                K2 = x2.shape[1] // 2
+                x2 = jax.nn.silu(x2[:, :K2]) * x2[:, K2:]
+            if gamma is not None:
+                x2 = rms_norm(x2, jnp.take(gamma, l, axis=0), eps)
+            y = ternary_matmul_stacked_tl(
+                l, x2, lin.packed, lin.scales, k_dim=lin.k, n_dim=lin.n,
+                lut_bias=kind == "bitnet32", interpret=interp)
+            return y if resid is None else y + resid
 
     # NOTE the caches ride the scan as READ-ONLY xs (per-layer 2.6 MB
     # slice semantics): carrying the FULL [L, ...] stacks and mixing an

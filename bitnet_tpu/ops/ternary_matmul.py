@@ -458,6 +458,96 @@ def ternary_matmul_stacked_prefill(
     return out[:M, :n_dim]
 
 
+def _bitnet32_stacked_kernel(l_ref, x_ref, w_ref, s_ref, corr_ref, out_ref,
+                             acc_ref, *, n_k: int, bkt: int,
+                             interpret: bool, lut_bias: bool):
+    """Stacked-layer variant of the bitnet32/TL kernel: weights AND
+    per-block scales arrive as full ``[L, ...]`` stacks with the layer
+    index in scalar prefetch (same motivation as the qk256 stacked
+    kernels: scan weight slices feeding pallas operands are materialized
+    copies).  The bias correction stays in XLA — it reads ``scales[l]``
+    with ordinary dynamic-slice fusion, which XLA fuses for free."""
+    del l_ref  # consumed by the BlockSpec index maps
+    _bitnet32_kernel(x_ref, w_ref.at[0], s_ref.at[0], corr_ref, out_ref,
+                     acc_ref, n_k=n_k, bkt=bkt, interpret=interpret,
+                     lut_bias=lut_bias)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_dim", "n_dim", "lut_bias", "interpret", "blocks"),
+)
+def ternary_matmul_stacked_tl(
+    l: jnp.ndarray,            # [] / [1] int32 layer index (traced)
+    x: jnp.ndarray,            # [M, K] float (already normed/activated)
+    packed: jnp.ndarray,       # [L, Kp/16, Np] stacked int32 words
+    scales: jnp.ndarray,       # [L, Ks/32, Ns] f32 per-K-block scales
+    k_dim: int,
+    n_dim: int,
+    lut_bias: bool = False,    # True: bitnet32 LUT {-2,-1,1,2}; False: TL
+    interpret: bool = False,
+    blocks: tuple[int, int, int] | None = None,
+) -> jnp.ndarray:
+    """Decode-shaped bitnet32/TL matmul over one layer of stacked weight
+    + scale arrays (bf16 activations — TL has no W2A8 recipe; the
+    zero-point-2 identity shares the 2·sum32 correction with bitnet32,
+    computed here in XLA from ``scales[l]``)."""
+    M, K = x.shape
+    Kp = packed.shape[1] * 16
+    Np = packed.shape[2]
+    bm, bn, bkt = blocks or _pick_blocks(M, Kp, Np, "pallas")
+    bk = bkt * KT
+    if K != Kp:
+        x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, Kp - K)))
+    Mp = -(-M // bm) * bm
+    n_m, n_n, n_k = Mp // bm, Np // bn, Kp // bk
+
+    s = jnp.asarray(scales, jnp.float32)
+    if s.shape[1] * 32 != Kp or s.shape[2] != Np:
+        s = jnp.pad(s, ((0, 0), (0, Kp // 32 - s.shape[1]),
+                        (0, Np - s.shape[2])))
+    xb = x.astype(jnp.bfloat16)
+    x_in = _pad_to(xb, 0, bm)
+    # bias correction 2·(sum32 @ scales[l]): reads the layer's scale
+    # plane via ordinary XLA dynamic-slice fusion (no pallas copy rule)
+    sum32 = jnp.sum(
+        x_in.astype(jnp.float32).reshape(Mp, Kp // 32, 32), axis=-1)
+    s_l = jnp.take(s, jnp.asarray(l, jnp.int32).reshape(()), axis=0)
+    corr = 2.0 * jnp.matmul(sum32, s_l,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_m, n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k, lr: (m, k)),
+            pl.BlockSpec((1, bk // 16, bn),
+                         lambda m, n, k, lr: (lr[0], k, n)),
+            pl.BlockSpec((1, bk // 32, bn),
+                         lambda m, n, k, lr: (lr[0], k, n)),
+            pl.BlockSpec((bm, bn), lambda m, n, k, lr: (m, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, lr: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _bitnet32_stacked_kernel, n_k=n_k, bkt=bkt,
+            interpret=interpret, lut_bias=lut_bias),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        grid_spec=gs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Kp * Np,
+            bytes_accessed=Mp * Kp * 2 + (Kp // 4) * Np + Mp * Np * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), x_in, packed, s, corr)
+    return out[:M, :n_dim]
+
+
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     size = x.shape[axis]
     target = -(-size // mult) * mult

@@ -145,3 +145,80 @@ class TestTLEngine:
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
         # ternary values {-1,0,1} are exactly representable in TL levels
         assert cos > 0.995, cos
+
+
+class TestTLStackedDecode:
+    """TL/bitnet32 kinds ride the stacked decode loop via
+    ternary_matmul_stacked_tl (scalar-prefetch weight+scale stacks; the
+    2·sum32 correction reads scales[l] through XLA dynamic-slice fusion)."""
+
+    def test_stacked_tl_kernel_matches_2d(self):
+        from bitnet_tpu.ops.ternary_matmul import (
+            _ternary_matmul_2d,
+            ternary_matmul_stacked_tl,
+        )
+
+        rng = np.random.default_rng(5)
+        L, M, K, N = 3, 4, 256, 256
+        packs, scs = [], []
+        from bitnet_tpu.ops.linear import _repack, fold_packed_words
+
+        for _ in range(L):
+            codes = rng.integers(0, 4, (K, N)).astype(np.uint8)
+            packs.append(fold_packed_words(_repack(codes)))
+            scs.append(rng.uniform(0.5, 1.5, (K // 32, N)).astype(
+                np.float32))
+        packed = jnp.stack([jnp.asarray(p) for p in packs])
+        scales = jnp.stack([jnp.asarray(s) for s in scs])
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+        for li in range(L):
+            ref = _ternary_matmul_2d(
+                x, packed[li], scales[li], kind="tl", variant="pallas",
+                k_dim=K, n_dim=N, bm=16, bn=128, bkt=1, interpret=True,
+                out_dtype=jnp.float32)
+            got = ternary_matmul_stacked_tl(
+                jnp.int32(li), x, packed, scales, k_dim=K, n_dim=N,
+                lut_bias=False, interpret=True, blocks=(16, 128, 1))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-2, atol=2e-2)
+
+    def test_tl_w2a8_engine_matches_xla(self, mini_gguf_qk256):
+        """TL decode through the stacked loop (kernel_path w2a8) must
+        agree with the XLA TL path on logits cosine and a greedy prefix."""
+        tl_fast = InferenceEngine.from_gguf(
+            mini_gguf_qk256.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32",
+                         weight_quant="tl2", kernel_path="w2a8"))
+        tl_ref = InferenceEngine.from_gguf(
+            mini_gguf_qk256.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32",
+                         weight_quant="tl2", kernel_path="xla"))
+        a = tl_ref.eval_ids([1, 7, 20, 3]).reshape(-1)
+        b = tl_fast.eval_ids([1, 7, 20, 3]).reshape(-1)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 0.99, cos
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        fast = tl_fast.generate([1, 5, 9], gen).token_ids
+        ref = tl_ref.generate([1, 5, 9], gen).token_ids
+        agree = sum(1 for x2, y2 in zip(fast, ref) if x2 == y2)
+        assert agree >= 4, (fast, ref)
+
+    def test_bitnet32_w2a8_engine_stacked(self, mini_gguf_bitnet32):
+        """A bitnet32-flavor GGUF decodes through the stacked loop too."""
+        fast = InferenceEngine.from_gguf(
+            mini_gguf_bitnet32.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32",
+                         kernel_path="w2a8"))
+        ref = InferenceEngine.from_gguf(
+            mini_gguf_bitnet32.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32",
+                         kernel_path="xla"))
+        a = ref.eval_ids([1, 7, 20, 3]).reshape(-1)
+        b = fast.eval_ids([1, 7, 20, 3]).reshape(-1)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 0.99, cos
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        ft = fast.generate([1, 5, 9], gen).token_ids
+        rt = ref.generate([1, 5, 9], gen).token_ids
+        agree = sum(1 for x2, y2 in zip(ft, rt) if x2 == y2)
+        assert agree >= 4, (ft, rt)
