@@ -686,10 +686,12 @@ def _prefill_stacked(cfg: ModelConfig, params: BitNetParams,
             vc = vc.at[b_idx, q_positions].set(vq, mode="drop")
             ks = ks.at[b_idx, q_positions].set(ksr, mode="drop")
             vs = vs.at[b_idx, q_positions].set(vsr, mode="drop")
-            k_read = (kc.astype(jnp.float32) * ks[..., None]).astype(
-                x.dtype)
-            v_read = (vc.astype(jnp.float32) * vs[..., None]).astype(
-                x.dtype)
+            # f32 reads, NOT .astype(x.dtype): block_forward's generic
+            # path keeps the dequantized cache f32 — bit-parity with the
+            # flag-off prefill requires the same here (the decode loop's
+            # bf16 cast is a different, decode-only trade)
+            k_read = kc.astype(jnp.float32) * ks[..., None]
+            v_read = vc.astype(jnp.float32) * vs[..., None]
         else:
             kc = kc.at[b_idx, q_positions].set(
                 kn.astype(kc.dtype), mode="drop")

@@ -38,6 +38,40 @@ NEG_INF = -1e30
 DEFAULT_CHUNK = 1024
 
 
+
+def _gqa_helpers(n_kv: int, G: int, D: int, chunk: int | None = None):
+    """GQA block-diagonal helper trio shared by every decode kernel.
+
+    Row i of the [H, ·] layout belongs to kv-head ``i // G``; masks stay
+    [H, 1] row vectors (a full [H, KV*D] i1 mask trips a Mosaic relayout
+    bug).  Must be called INSIDE the kernel body (traced iota).
+    """
+    HH = n_kv * G
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
+
+    def rowmask(h, dtype):
+        return (row_head == h).astype(dtype)              # [H, 1]
+
+    def head_bcast(s2d):
+        """[KV, chunk] per-slot scales → [H, chunk] rows by head."""
+        acc = None
+        for h in range(n_kv):
+            seg = (jnp.broadcast_to(s2d[h:h + 1, :], (HH, chunk))
+                   * rowmask(h, s2d.dtype))
+            acc = seg if acc is None else acc + seg
+        return acc
+
+    def select_rows(wide):
+        """[H, KV*D] → [H, D]: each row keeps its own head's lane-block."""
+        acc = None
+        for h in range(n_kv):
+            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
+            acc = seg if acc is None else acc + seg
+        return acc
+
+    return rowmask, head_bcast, select_rows
+
+
 def _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
                         out_ref, m_scr, d_scr, ctx_scr,
                         *, scale: float, n_kv: int, G: int, D: int,
@@ -53,18 +87,7 @@ def _decode_attn_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
     # overhead and dominated this kernel (~29 µs/layer measured).  Masks
     # stay [H, 1] row vectors (a full [H, KV*D] i1 mask trips a Mosaic
     # relayout bug).
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
-
-    def rowmask(h, dtype):
-        return (row_head == h).astype(dtype)              # [H, 1]
-
-    def select_rows(wide):
-        """[H, KV*D] → [H, D]: each row keeps its own head's lane-block."""
-        acc = None
-        for h in range(n_kv):
-            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
-            acc = seg if acc is None else acc + seg
-        return acc
+    rowmask, head_bcast, select_rows = _gqa_helpers(n_kv, G, D, chunk)
 
     qf = q_ref[0].reshape(HH, D)                          # [H, D]
     q_wide = jnp.concatenate(
@@ -349,17 +372,7 @@ def _decode_attn_qkv_kernel(pos_ref, qkv_ref, sin_ref, cos_ref, k_ref,
     HH = n_kv * G
     half = D // 2
 
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
-
-    def rowmask(h, dtype):
-        return (row_head == h).astype(dtype)              # [H, 1]
-
-    def select_rows(wide):
-        acc = None
-        for h in range(n_kv):
-            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
-            acc = seg if acc is None else acc + seg
-        return acc
+    rowmask, head_bcast, select_rows = _gqa_helpers(n_kv, G, D, chunk)
 
     @pl.when(c == 0)
     def _():
@@ -533,26 +546,7 @@ def _decode_attn_quant_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
     pos = pos_ref[b, 0]
     HH = n_kv * G
 
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
-
-    def rowmask(h, dtype):
-        return (row_head == h).astype(dtype)              # [H, 1]
-
-    def head_bcast(s2d):
-        """[KV, chunk] per-slot scales → [H, chunk] rows by head."""
-        acc = None
-        for h in range(n_kv):
-            seg = (jnp.broadcast_to(s2d[h:h + 1, :], (HH, chunk))
-                   * rowmask(h, s2d.dtype))
-            acc = seg if acc is None else acc + seg
-        return acc
-
-    def select_rows(wide):
-        acc = None
-        for h in range(n_kv):
-            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
-            acc = seg if acc is None else acc + seg
-        return acc
+    rowmask, head_bcast, select_rows = _gqa_helpers(n_kv, G, D, chunk)
 
     qf = q_ref[0].reshape(HH, D)                          # [H, D] bf16
     q_wide = jnp.concatenate(
@@ -713,25 +707,7 @@ def _decode_attn_qkv_quant_kernel(pos_ref, qkv_ref, sin_ref, cos_ref,
     HH = n_kv * G
     half = D // 2
 
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
-
-    def rowmask(h, dtype):
-        return (row_head == h).astype(dtype)              # [H, 1]
-
-    def head_bcast(s2d):
-        acc = None
-        for h in range(n_kv):
-            seg = (jnp.broadcast_to(s2d[h:h + 1, :], (HH, chunk))
-                   * rowmask(h, s2d.dtype))
-            acc = seg if acc is None else acc + seg
-        return acc
-
-    def select_rows(wide):
-        acc = None
-        for h in range(n_kv):
-            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
-            acc = seg if acc is None else acc + seg
-        return acc
+    rowmask, head_bcast, select_rows = _gqa_helpers(n_kv, G, D, chunk)
 
     @pl.when(c == 0)
     def _():
@@ -1016,17 +992,7 @@ def _decode_attn_batched_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref,
     c = pl.program_id(0)
     HH = n_kv * G
 
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
-
-    def rowmask(h, dtype):
-        return (row_head == h).astype(dtype)              # [H, 1]
-
-    def select_rows(wide):
-        acc = None
-        for h in range(n_kv):
-            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
-            acc = seg if acc is None else acc + seg
-        return acc
+    rowmask, head_bcast, select_rows = _gqa_helpers(n_kv, G, D, chunk)
 
     base = c * chunk
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (HH, chunk), 1)
@@ -1112,8 +1078,11 @@ def decode_attention_batched(
 
     if chunk is None:
         # VMEM budget: 2 caches x 2 double-buffers x B x chunk x KV*D
-        # bytes — cap B*chunk at 2048 rows (~10.5 MB at KV*D=640 bf16)
-        chunk = max(128, 2048 // B)
+        # bytes — cap B*chunk at ~2048 rows (~10.5 MB at KV*D=640 bf16),
+        # rounded DOWN to a power of two so the divisibility halving
+        # below terminates at a useful width for any B (a 682-row seed
+        # at B=3 would collapse to chunk=2 against S=1024)
+        chunk = max(128, 1 << ((2048 // B).bit_length() - 1))
     chunk = min(chunk, S, DEFAULT_CHUNK)
     while S % chunk:
         chunk //= 2
@@ -1171,25 +1140,7 @@ def _decode_attn_quant_batched_kernel(pos_ref, q_ref, kn_ref, vn_ref,
     c = pl.program_id(0)
     HH = n_kv * G
 
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (HH, 1), 0) // G
-
-    def rowmask(h, dtype):
-        return (row_head == h).astype(dtype)              # [H, 1]
-
-    def head_bcast(s2d):
-        acc = None
-        for h in range(n_kv):
-            seg = (jnp.broadcast_to(s2d[h:h + 1, :], (HH, chunk))
-                   * rowmask(h, s2d.dtype))
-            acc = seg if acc is None else acc + seg
-        return acc
-
-    def select_rows(wide):
-        acc = None
-        for h in range(n_kv):
-            seg = wide[:, h * D:(h + 1) * D] * rowmask(h, wide.dtype)
-            acc = seg if acc is None else acc + seg
-        return acc
+    rowmask, head_bcast, select_rows = _gqa_helpers(n_kv, G, D, chunk)
 
     base = c * chunk
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (HH, chunk), 1)
@@ -1277,8 +1228,9 @@ def decode_attention_quant_batched(
     pos2 = pos.reshape(B, 1).astype(jnp.int32)
 
     if chunk is None:
-        # int8 cache blocks are half the bytes of bf16 — same row budget
-        chunk = max(128, 2048 // B)
+        # int8 cache blocks are half the bytes of bf16 — same row budget,
+        # power-of-two for the same divisibility reason as the bf16 twin
+        chunk = max(128, 1 << ((2048 // B).bit_length() - 1))
     chunk = min(chunk, S, DEFAULT_CHUNK)
     while S % chunk:
         chunk //= 2

@@ -1011,8 +1011,15 @@ class ContinuousBatchingScheduler:
         nb = self.cache.tables.shape[1]
         for i in survivors:
             slot = self.slots[i]
-            need = min(pc.pages_needed(slot.pos + steps, self.page_size),
-                       nb)
+            # demand only what THIS slot can still emit: a slot one token
+            # from max_new_tokens must not be evicted for window pages it
+            # will never write (K=1 semantics under pool pressure)
+            will_emit = steps
+            if slot.req is not None:
+                will_emit = max(1, min(
+                    steps, slot.req.gen.max_new_tokens - slot.generated))
+            need = min(pc.pages_needed(slot.pos + will_emit,
+                                       self.page_size), nb)
             grow = need - len(slot.pages)
             if grow <= 0:
                 kept.append(i)

@@ -82,6 +82,12 @@ def main():
          {"BITNET_STACKED_PREFILL": "1"}, "pre", dict(T=512)),
     ]
     only = os.environ.get("ONLY")
+    if not only and os.environ.get("ALLOW_MIXED") != "1":
+        raise SystemExit(
+            "refusing to run multiple configs in one process (trace-time "
+            "env flags + XLA's global layout choices make later rows a "
+            "stale mix — the docstring's whole point).  Set ONLY=<letter> "
+            "per process, or ALLOW_MIXED=1 to override knowingly.")
     for name, env, kind, kw in runs:
         if only and name[0] not in only:
             continue
