@@ -374,3 +374,78 @@ class TestBatchedKernel:
         got = run("1")
         agree = sum(a == b for a, b in zip(base, got))
         assert agree >= 3, (base, got)
+
+
+class TestKernelGeometries:
+    """Parity across GQA geometries (KV, G, D, S, chunk) — guards the
+    shared _gqa_helpers factory all kernels now use."""
+
+    @pytest.mark.parametrize("KV,G,D,S,chunk", [
+        (1, 4, 64, 64, 16),    # MQA
+        (2, 1, 64, 96, 32),    # MHA-ish (G=1), S not a chunk power
+        (5, 4, 128, 128, 64),  # 2B-4T geometry (scaled S)
+        (3, 2, 64, 80, 16),    # odd KV
+    ])
+    def test_batched_vs_per_b_all_geometries(self, KV, G, D, S, chunk):
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention,
+            decode_attention_batched,
+        )
+
+        H = KV * G
+        B = 3
+        rng = np.random.default_rng(KV * 100 + G)
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        ref = decode_attention(q, kn, vn, kc, vc, pos, interpret=True,
+                               chunk=chunk)
+        got = decode_attention_batched(q, kn, vn, kc, vc, pos,
+                                       interpret=True, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    @pytest.mark.parametrize("KV,G", [(1, 4), (2, 2), (5, 4)])
+    def test_rope_fused_quant_geometries(self, KV, G):
+        """Rope-fused int8 kernel across head geometries vs the unfused
+        quant reference (same recipe as the main parity test)."""
+        from bitnet_tpu.models.bitnet import _quantize_kv
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention_quant,
+            decode_attention_qkv_quant,
+        )
+        from bitnet_tpu.ops.rope import apply_rope, build_rope_tables
+
+        H = KV * G
+        B, D, S = 1, 64, 32
+        QR = H + 2 * KV
+        rng = np.random.default_rng(KV * 10 + G)
+        qkv = jnp.asarray(rng.standard_normal((B, QR * D)), jnp.float32)
+        kf = rng.standard_normal((B, S, KV, D)).astype(np.float32)
+        vf = rng.standard_normal((B, S, KV, D)).astype(np.float32)
+        kc, ks = _quantize_kv(jnp.asarray(kf), jnp.int8)
+        vc, vs = _quantize_kv(jnp.asarray(vf), jnp.int8)
+        pos = jnp.asarray([11] * B, jnp.int32)
+        sin, cos = build_rope_tables(D, S, 10000.0)
+        sin, cos = jnp.asarray(sin), jnp.asarray(cos)
+
+        rows = qkv.reshape(B, QR, D)
+        posq = pos[:, None]
+        q = apply_rope(rows[:, 0:H][:, None], sin, cos, posq)[:, 0]
+        kn = apply_rope(rows[:, H:H + KV][:, None], sin, cos, posq)[:, 0]
+        vn = rows[:, H + KV:]
+        kq_ref, ksr = _quantize_kv(kn[:, None], jnp.int8)
+        vq_ref, vsr = _quantize_kv(vn[:, None], jnp.int8)
+        kn_rt = kq_ref[:, 0].astype(jnp.float32) * ksr[:, 0][..., None]
+        vn_rt = vq_ref[:, 0].astype(jnp.float32) * vsr[:, 0][..., None]
+        ref = decode_attention_quant(q, kn_rt, vn_rt, kc, vc, ks, vs,
+                                     pos, interpret=True)
+        got, kq, vq, _, _ = decode_attention_qkv_quant(
+            qkv, sin[pos], cos[pos], kc, vc, ks, vs, pos, n_heads=H,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=4e-3, atol=4e-3)
+        np.testing.assert_array_equal(np.asarray(kq),
+                                      np.asarray(kq_ref[:, 0]))
