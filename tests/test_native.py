@@ -99,6 +99,11 @@ class TestCABI:
             if r.returncode != 0:
                 pytest.skip(f"c_smoke build failed: {r.stderr[-500:]}")
         env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # the axon sitecustomize registers the TPU plugin whenever
+        # PALLAS_AXON_POOL_IPS is set, REGARDLESS of JAX_PLATFORMS — and
+        # hangs the embedded interpreter at import when the relay is
+        # down.  The smoke is a CPU test; drop the latch entirely.
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         r = subprocess.run(
             [smoke, REPO, mini_gguf_f32.path],
             capture_output=True, text=True, timeout=600, env=env)
