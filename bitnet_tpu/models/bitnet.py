@@ -242,7 +242,9 @@ def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
                        B: int, k_scale, kv_positions, window, write_slots,
                        kernel_path: str) -> bool:
     """Trace-time eligibility for the stacked decode loop."""
-    if not (T == 1 and B <= 16 and kernel_path == "w2a8"):
+    # B cap = the normed kernel's one-M-block limit (M ≤ 32); pools of
+    # 17-32 slots previously fell to the generic per-layer path
+    if not (T == 1 and B <= 32 and kernel_path == "w2a8"):
         return False
     if kv_positions is not None or window is not None:
         return False
@@ -367,11 +369,29 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     def quant_dt_ok(dt):
         return dt == jnp.int8 or (fp8_kernel and dt == jnp.float8_e4m3fn)
 
+    batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "0") == "1"
+
     def body_rows(h, xs):
         """Rows mode: xs caches are PRE-write read-only slices; returns
         the new (quantized) k/v rows + scales as ys for the post-scan
         scatter."""
         l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
+        if (rope_fused and batched_env and B > 2 and not quantized):
+            # whole-batch rope-fused kernel: B>2 pools get the full
+            # fusion win (no q/k/v slicing, no XLA rope pair, pre-write
+            # cache read) with the batch amortizing the program count
+            from ..ops.decode_attention import decode_attention_qkv_batched
+
+            qkv = mm(l, h, "wqkv", b.attn_norm)
+            attn1, k_row, v_row = decode_attention_qkv_batched(
+                qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
+                kc, vc, pre_len, n_heads=nh, interpret=interp)
+            zs = jnp.zeros((B, 1, 1), jnp.float32)
+            h = mm(l, attn1.reshape(B, nh * D), "wo", b.attn_sub_norm,
+                   resid=h)
+            gu = mm(l, h, "w_gateup", b.ffn_norm)
+            h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
+            return h, (k_row[:, None], v_row[:, None], zs, zs)
         if (rope_fused and B <= 2
                 and (not quantized or quant_dt_ok(kc.dtype))):
             # ONE kernel applies RoPE to the raw q|k|v row, runs

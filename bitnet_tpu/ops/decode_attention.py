@@ -1278,3 +1278,169 @@ def decode_attention_quant_batched(
         interpret=interpret,
     )(pos2, qg, kn, vn, kcv, vcv, kst, vst)
     return out.reshape(B, H, D)
+
+
+def _decode_attn_qkv_batched_kernel(pos_ref, qkv_ref, sin_ref, cos_ref,
+                                    k_ref, v_ref, out_ref, kr_ref, vr_ref,
+                                    *scr, scale: float, n_kv: int, G: int,
+                                    D: int, B: int, chunk: int,
+                                    n_chunks: int):
+    """Rope-fused flash-decode with the WHOLE batch per grid step: the
+    per-b preamble (split-layout RoPE on the raw q|k|v row + accumulator
+    init from the new token) runs unrolled at c==0, and every chunk step
+    advances all B online-softmax states.  Extends the B≤2 rope-fused
+    path's full fusion win (no q/k/v slicing, no XLA rope pair, no
+    post-write cache copy) to batched pools."""
+    c = pl.program_id(0)
+    HH = n_kv * G
+    half = D // 2
+
+    rowmask, head_bcast, select_rows = _gqa_helpers(n_kv, G, D, chunk)
+
+    base = c * chunk
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (HH, chunk), 1)
+
+    for b in range(B):
+        m_scr, d_scr, ctx_scr, q_scr = (
+            scr[4 * b], scr[4 * b + 1], scr[4 * b + 2], scr[4 * b + 3])
+        pos = pos_ref[b, 0]
+
+        @pl.when(c == 0)
+        def _(b=b, m_scr=m_scr, d_scr=d_scr, ctx_scr=ctx_scr, q_scr=q_scr):
+            rows = qkv_ref[b].astype(jnp.float32)
+            cs = jnp.concatenate(
+                [cos_ref[b:b + 1], cos_ref[b:b + 1]], axis=1)   # [1, D]
+            sn = jnp.concatenate(
+                [sin_ref[b:b + 1], sin_ref[b:b + 1]], axis=1)
+            qk = rows[0:HH + n_kv]
+            rot = jnp.concatenate([-qk[:, half:], qk[:, :half]], axis=1)
+            qk = qk * cs + rot * sn                       # split-layout RoPE
+            qf = qk[0:HH]                                 # [H, D] roped q
+            k_row = qk[HH:HH + n_kv]                      # [KV, D] roped k
+            v_row = rows[HH + n_kv:]
+            q_scr[:] = qf
+            kr_ref[b] = k_row.astype(kr_ref.dtype)
+            vr_ref[b] = v_row.astype(vr_ref.dtype)
+            kn_sel = None
+            vn_sel = None
+            for h in range(n_kv):
+                rm = rowmask(h, jnp.float32)
+                kh = jnp.broadcast_to(k_row[h:h + 1, :], (HH, D)) * rm
+                vh = jnp.broadcast_to(v_row[h:h + 1, :], (HH, D)) * rm
+                kn_sel = kh if kn_sel is None else kn_sel + kh
+                vn_sel = vh if vn_sel is None else vn_sel + vh
+            s_new = jnp.sum(qf * kn_sel, axis=1, keepdims=True) * scale
+            m_scr[:] = s_new
+            d_scr[:] = jnp.ones((HH, 1), jnp.float32)
+            ctx_scr[:] = vn_sel
+
+        kc = k_ref[b]                                     # [chunk, KV*D]
+        vc = v_ref[b]
+        qf = q_scr[:].astype(kc.dtype)
+        q_wide = jnp.concatenate(
+            [qf * rowmask(h, qf.dtype) for h in range(n_kv)], axis=1)
+        s = jax.lax.dot_general(
+            q_wide, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [H, chunk]
+        s = jnp.where(idx < pos, s, NEG_INF)
+
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        e = jnp.exp(s - m_new)                            # [H, chunk]
+        m_scr[:] = m_new
+        d_scr[:] = d_scr[:] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        r = jax.lax.dot_general(
+            e.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [H, KV*D]
+        ctx_scr[:] = ctx_scr[:] * alpha + select_rows(r)
+
+        @pl.when(c == n_chunks - 1)
+        def _(b=b, d_scr=d_scr, ctx_scr=ctx_scr):
+            out_ref[b] = (ctx_scr[:] / d_scr[:]).reshape(
+                n_kv, G, D).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "interpret", "chunk"))
+def decode_attention_qkv_batched(
+    qkv: jnp.ndarray,       # [B, H+2*KV, D] RAW fused projection (no rope)
+    sin_row: jnp.ndarray,   # [B, D//2] rope row at the query position
+    cos_row: jnp.ndarray,   # [B, D//2]
+    k_cache: jnp.ndarray,   # [B, S, KV, D] (PRE-write)
+    v_cache: jnp.ndarray,   # [B, S, KV, D]
+    pos: jnp.ndarray,       # [B] int32
+    n_heads: int,
+    interpret: bool = False,
+    chunk: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`decode_attention_qkv` semantics (rope in-kernel, returns
+    the roped k/v rows for the post-scan scatter) with ALL batch rows per
+    grid step — the rope-fused path for batched pools."""
+    B = qkv.shape[0]
+    S, KV, D = k_cache.shape[1], k_cache.shape[2], k_cache.shape[3]
+    H = n_heads
+    G = H // KV
+    dt = k_cache.dtype
+    qkv = qkv.reshape(B, H + 2 * KV, D)
+    kcv = k_cache.reshape(B, S, KV * D)
+    vcv = v_cache.reshape(B, S, KV * D)
+    pos2 = pos.reshape(B, 1).astype(jnp.int32)
+    half = D // 2
+
+    if chunk is None:
+        chunk = max(128, 1 << ((2048 // B).bit_length() - 1))
+    chunk = min(chunk, S, DEFAULT_CHUNK)
+    while S % chunk:
+        chunk //= 2
+    n_chunks = S // chunk
+
+    out, kr, vr = pl.pallas_call(
+        functools.partial(_decode_attn_qkv_batched_kernel,
+                          scale=float(D) ** -0.5, n_kv=KV, G=G, D=D,
+                          B=B, chunk=chunk, n_chunks=n_chunks),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, KV, G, D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, KV, D), dt),
+            jax.ShapeDtypeStruct((B, KV, D), dt),
+        ),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, H + 2 * KV, D), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, half), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, half), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, KV, G, D), lambda c: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, D), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, D), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            s for _ in range(B)
+            for s in (pltpu.VMEM((KV * G, 1), jnp.float32),
+                      pltpu.VMEM((KV * G, 1), jnp.float32),
+                      pltpu.VMEM((KV * G, D), jnp.float32),
+                      pltpu.VMEM((KV * G, D), jnp.float32))
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=2 * B * S * KV * D * dt.itemsize,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(pos2, qkv, sin_row, cos_row, kcv, vcv)
+    return out.reshape(B, H, D), kr, vr

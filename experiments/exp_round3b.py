@@ -6,14 +6,15 @@ flag flips measure stale mixes — see memory/tpu-environment-quirks).
   R  rows + rope-fused bf16 B=1        (shipped default — baseline)
   Q  rows + rope-fused int8 B=1        (decode_attention_qkv_quant)
   E  B=8 einsum attention              (shipped default at B>2)
-  H  B=8 batched kernel bf16           (decode_attention_batched)
+  H  B=8 batched rope-fused kernel     (decode_attention_qkv_batched)
+  J  B=8 batched plain kernel          (decode_attention_batched)
   I  B=8 batched kernel int8           (decode_attention_quant_batched)
   L  S=4096 long-context bf16 B=1      (rope-fused)
   M  S=4096 long-context int8 B=1      (rope-fused quant)
   P  prefill T=512 default
   X  prefill T=512 stacked             (ternary_matmul_stacked_prefill)
 
-Usage:  for c in R Q E H I L M P X; do
+Usage:  for c in R Q E H J I L M P X; do
           ONLY=$c timeout 1800 python experiments/exp_round3b.py
         done
 """
@@ -70,8 +71,11 @@ def main():
         ("R rows+rope-fused bf16 B=1 (default)", {}, "dec", dict(B=1)),
         ("Q rows+rope-fused int8 B=1", {}, "decq", dict(B=1)),
         ("E B=8 einsum attn (default)", {}, "dec", dict(B=8)),
-        ("H B=8 batched kernel bf16",
+        ("H B=8 batched rope-fused kernel bf16",
          {"BITNET_BATCHED_ATTN": "1"}, "dec", dict(B=8)),
+        ("J B=8 batched plain kernel bf16 (rope in XLA)",
+         {"BITNET_BATCHED_ATTN": "1", "BITNET_ROPE_FUSED": "0"},
+         "dec", dict(B=8)),
         ("I B=8 batched kernel int8",
          {"BITNET_BATCHED_ATTN": "1"}, "decq", dict(B=8)),
         ("L S=4096 bf16 B=1", {}, "dec", dict(B=1, S=4096, n_hi=24, n_lo=6)),

@@ -99,3 +99,25 @@ class TestBatchW2A8:
         results = mk(4).generate_batch(prompts, gen)
         for i, (r, g) in enumerate(zip(results, golden)):
             assert r.token_ids == g, f"slot {i}: {r.token_ids} != {g}"
+
+    def test_w2a8_batch20_matches_single(self, mini_gguf_qk256):
+        """B=20 (17-32 range newly eligible for the stacked loop) must
+        equal B=1 decode token-for-token."""
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[(3 * i + 2) % 40 + 1, (7 * i) % 50 + 1]
+                   for i in range(20)]
+
+        def mk(batch):
+            return InferenceEngine(
+                cfg, params,
+                EngineConfig(max_seq_len=64, max_batch_size=batch,
+                             kv_cache_dtype="f32", compute_dtype="f32",
+                             kernel_path="w2a8"))
+
+        single = mk(1)
+        golden = [single.generate(p, gen).token_ids for p in prompts]
+        results = mk(20).generate_batch(prompts, gen)
+        for i, (r, g) in enumerate(zip(results, golden)):
+            assert r.token_ids == g, f"slot {i}: {r.token_ids} != {g}"

@@ -449,3 +449,61 @@ class TestKernelGeometries:
                                    rtol=4e-3, atol=4e-3)
         np.testing.assert_array_equal(np.asarray(kq),
                                       np.asarray(kq_ref[:, 0]))
+
+
+class TestBatchedRopeFused:
+    def test_qkv_batched_matches_per_b(self):
+        """decode_attention_qkv_batched vs decode_attention_qkv at the
+        same chunking: exact (same math, same order)."""
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention_qkv,
+            decode_attention_qkv_batched,
+        )
+        from bitnet_tpu.ops.rope import build_rope_tables
+
+        rng = np.random.default_rng(17)
+        B, H, KV, D, S = 6, 4, 2, 64, 64
+        QR = H + 2 * KV
+        qkv = jnp.asarray(rng.standard_normal((B, QR * D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        sin, cos = build_rope_tables(D, S, 10000.0)
+        sin, cos = jnp.asarray(sin)[pos], jnp.asarray(cos)[pos]
+        ref_a, ref_k, ref_v = decode_attention_qkv(
+            qkv, sin, cos, kc, vc, pos, n_heads=H, interpret=True,
+            chunk=32)
+        got_a, got_k, got_v = decode_attention_qkv_batched(
+            qkv, sin, cos, kc, vc, pos, n_heads=H, interpret=True,
+            chunk=32)
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(ref_a))
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+    def test_batched_rope_fused_engine_tokens(self, mini_gguf_qk256,
+                                              monkeypatch):
+        """B=4 + BITNET_BATCHED_ATTN=1 routes the rope-fused batched
+        kernel; tokens must match the default einsum path."""
+        import jax.numpy as jnp
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.models.loader import load_model
+
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[2, 7, 11], [3, 5, 8, 12, 30], [40, 41], [9]]
+
+        def run(flag):
+            monkeypatch.setenv("BITNET_BATCHED_ATTN", flag)
+            eng = InferenceEngine(
+                cfg, params,
+                EngineConfig(max_seq_len=64, max_batch_size=4,
+                             kv_cache_dtype="f32", compute_dtype="f32",
+                             kernel_path="w2a8"))
+            return [r.token_ids for r in eng.generate_batch(prompts, gen)]
+
+        base = run("0")
+        got = run("1")
+        agree = sum(a == b for a, b in zip(base, got))
+        assert agree >= 3, (base, got)
