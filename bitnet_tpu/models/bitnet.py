@@ -376,22 +376,41 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         the new (quantized) k/v rows + scales as ys for the post-scan
         scatter."""
         l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
-        if (rope_fused and batched_env and B > 2 and not quantized):
-            # whole-batch rope-fused kernel: B>2 pools get the full
+        if (rope_fused and batched_env and B > 2
+                and (not quantized or quant_dt_ok(kc.dtype))):
+            # whole-batch rope-fused kernels: B>2 pools get the full
             # fusion win (no q/k/v slicing, no XLA rope pair, pre-write
-            # cache read) with the batch amortizing the program count
-            from ..ops.decode_attention import decode_attention_qkv_batched
-
+            # cache read) with the batch amortizing the program count;
+            # quantized caches also quantize the new rows in-VMEM and
+            # stream at half the bytes
             qkv = mm(l, h, "wqkv", b.attn_norm)
-            attn1, k_row, v_row = decode_attention_qkv_batched(
-                qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
-                kc, vc, pre_len, n_heads=nh, interpret=interp)
-            zs = jnp.zeros((B, 1, 1), jnp.float32)
+            if quantized:
+                from ..ops.decode_attention import (
+                    decode_attention_qkv_quant_batched,
+                )
+
+                attn1, k_row, v_row, ks_row, vs_row = (
+                    decode_attention_qkv_quant_batched(
+                        qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
+                        kc, vc, ks, vs, pre_len, n_heads=nh,
+                        interpret=interp))
+                ys = (k_row[:, None], v_row[:, None],
+                      ks_row[:, None], vs_row[:, None])
+            else:
+                from ..ops.decode_attention import (
+                    decode_attention_qkv_batched,
+                )
+
+                attn1, k_row, v_row = decode_attention_qkv_batched(
+                    qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
+                    kc, vc, pre_len, n_heads=nh, interpret=interp)
+                zs = jnp.zeros((B, 1, 1), jnp.float32)
+                ys = (k_row[:, None], v_row[:, None], zs, zs)
             h = mm(l, attn1.reshape(B, nh * D), "wo", b.attn_sub_norm,
                    resid=h)
             gu = mm(l, h, "w_gateup", b.ffn_norm)
             h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
-            return h, (k_row[:, None], v_row[:, None], zs, zs)
+            return h, ys
         if (rope_fused and B <= 2
                 and (not quantized or quant_dt_ok(kc.dtype))):
             # ONE kernel applies RoPE to the raw q|k|v row, runs

@@ -1444,3 +1444,203 @@ def decode_attention_qkv_batched(
         interpret=interpret,
     )(pos2, qkv, sin_row, cos_row, kcv, vcv)
     return out.reshape(B, H, D), kr, vr
+
+
+def _decode_attn_qkv_quant_batched_kernel(
+        pos_ref, qkv_ref, sin_ref, cos_ref, k_ref, v_ref, ks_ref, vs_ref,
+        out_ref, kq_ref, vq_ref, kso_ref, vso_ref, *scr, scale: float,
+        n_kv: int, G: int, D: int, B: int, chunk: int, n_chunks: int,
+        qmax: float, is_int: bool):
+    """Whole-batch rope-fused flash-decode over a quantized KV cache —
+    the batched twin of _decode_attn_qkv_quant_kernel: per-b RoPE + row
+    quantization at c==0, int8/fp8 cache stream with in-VMEM scale
+    dequant every chunk, one program per chunk for the whole pool."""
+    c = pl.program_id(0)
+    HH = n_kv * G
+    half = D // 2
+
+    rowmask, head_bcast, select_rows = _gqa_helpers(n_kv, G, D, chunk)
+
+    base = c * chunk
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (HH, chunk), 1)
+
+    for b in range(B):
+        m_scr, d_scr, ctx_scr, q_scr = (
+            scr[4 * b], scr[4 * b + 1], scr[4 * b + 2], scr[4 * b + 3])
+        pos = pos_ref[b, 0]
+
+        @pl.when(c == 0)
+        def _(b=b, m_scr=m_scr, d_scr=d_scr, ctx_scr=ctx_scr, q_scr=q_scr):
+            rows = qkv_ref[b].astype(jnp.float32)
+            cs = jnp.concatenate(
+                [cos_ref[b:b + 1], cos_ref[b:b + 1]], axis=1)
+            sn = jnp.concatenate(
+                [sin_ref[b:b + 1], sin_ref[b:b + 1]], axis=1)
+            qk = rows[0:HH + n_kv]
+            rot = jnp.concatenate([-qk[:, half:], qk[:, :half]], axis=1)
+            qk = qk * cs + rot * sn
+            qf = qk[0:HH]
+            k_row = qk[HH:HH + n_kv]
+            v_row = rows[HH + n_kv:]
+            q_scr[:] = qf
+
+            def quantize(row):
+                am = jnp.max(jnp.abs(row), axis=1, keepdims=True)
+                s = jnp.maximum(am, 1e-8) / qmax
+                qv = row / s
+                if is_int:
+                    qv = jnp.clip(jnp.round(qv), -qmax, qmax)
+                return qv, s
+
+            kq, k_s = quantize(k_row)
+            vq, v_s = quantize(v_row)
+            kq8 = kq.astype(kq_ref.dtype)
+            vq8 = vq.astype(vq_ref.dtype)
+            kq_ref[b] = kq8
+            vq_ref[b] = vq8
+            kso_ref[b] = k_s
+            vso_ref[b] = v_s
+            k_rt = kq8.astype(jnp.float32) * k_s
+            v_rt = vq8.astype(jnp.float32) * v_s
+            kn_sel = None
+            vn_sel = None
+            for h in range(n_kv):
+                rm = rowmask(h, jnp.float32)
+                kh = jnp.broadcast_to(k_rt[h:h + 1, :], (HH, D)) * rm
+                vh = jnp.broadcast_to(v_rt[h:h + 1, :], (HH, D)) * rm
+                kn_sel = kh if kn_sel is None else kn_sel + kh
+                vn_sel = vh if vn_sel is None else vn_sel + vh
+            s_new = jnp.sum(qf * kn_sel, axis=1, keepdims=True) * scale
+            m_scr[:] = s_new
+            d_scr[:] = jnp.ones((HH, 1), jnp.float32)
+            ctx_scr[:] = vn_sel
+
+        kc = k_ref[b].astype(jnp.bfloat16)
+        vc = v_ref[b].astype(jnp.bfloat16)
+        qf = q_scr[:].astype(jnp.bfloat16)
+        q_wide = jnp.concatenate(
+            [qf * rowmask(h, qf.dtype) for h in range(n_kv)], axis=1)
+        s = jax.lax.dot_general(
+            q_wide, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s * head_bcast(ks_ref[b])
+        s = jnp.where(idx < pos, s, NEG_INF)
+
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        e = jnp.exp(s - m_new)
+        m_scr[:] = m_new
+        d_scr[:] = d_scr[:] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        ev = (e * head_bcast(vs_ref[b])).astype(vc.dtype)
+        r = jax.lax.dot_general(
+            ev, vc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ctx_scr[:] = ctx_scr[:] * alpha + select_rows(r)
+
+        @pl.when(c == n_chunks - 1)
+        def _(b=b, d_scr=d_scr, ctx_scr=ctx_scr):
+            out_ref[b] = (ctx_scr[:] / d_scr[:]).reshape(
+                n_kv, G, D).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "interpret", "chunk"))
+def decode_attention_qkv_quant_batched(
+    qkv: jnp.ndarray,       # [B, H+2*KV, D] RAW fused projection (no rope)
+    sin_row: jnp.ndarray,   # [B, D//2]
+    cos_row: jnp.ndarray,   # [B, D//2]
+    k_cache: jnp.ndarray,   # [B, S, KV, D] int8/fp8 (PRE-write)
+    v_cache: jnp.ndarray,
+    k_scale: jnp.ndarray,   # [B, S, KV] f32
+    v_scale: jnp.ndarray,
+    pos: jnp.ndarray,       # [B] int32
+    n_heads: int,
+    interpret: bool = False,
+    chunk: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`decode_attention_qkv_quant` semantics with ALL batch rows
+    per grid step — rope fusion + in-VMEM row quantization + quantized
+    cache stream for batched pools."""
+    B = qkv.shape[0]
+    S, KV, D = k_cache.shape[1], k_cache.shape[2], k_cache.shape[3]
+    H = n_heads
+    G = H // KV
+    dt = k_cache.dtype
+    qkv = qkv.reshape(B, H + 2 * KV, D)
+    kcv = k_cache.reshape(B, S, KV * D)
+    vcv = v_cache.reshape(B, S, KV * D)
+    kst = jnp.swapaxes(k_scale.astype(jnp.float32), 1, 2)
+    vst = jnp.swapaxes(v_scale.astype(jnp.float32), 1, 2)
+    pos2 = pos.reshape(B, 1).astype(jnp.int32)
+    half = D // 2
+
+    if chunk is None:
+        chunk = max(128, 1 << ((2048 // B).bit_length() - 1))
+    chunk = min(chunk, S, DEFAULT_CHUNK)
+    while S % chunk:
+        chunk //= 2
+    n_chunks = S // chunk
+
+    is_int = dt == jnp.int8
+    out, kq, vq, ks_o, vs_o = pl.pallas_call(
+        functools.partial(_decode_attn_qkv_quant_batched_kernel,
+                          scale=float(D) ** -0.5, n_kv=KV, G=G, D=D,
+                          B=B, chunk=chunk, n_chunks=n_chunks,
+                          qmax=127.0 if is_int else 448.0, is_int=is_int),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, KV, G, D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, KV, D), dt),
+            jax.ShapeDtypeStruct((B, KV, D), dt),
+            jax.ShapeDtypeStruct((B, KV, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV, 1), jnp.float32),
+        ),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, H + 2 * KV, D), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, half), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, half), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, chunk), lambda c: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, chunk), lambda c: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, KV, G, D), lambda c: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, D), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, D), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, 1), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, 1), lambda c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            s for _ in range(B)
+            for s in (pltpu.VMEM((KV * G, 1), jnp.float32),
+                      pltpu.VMEM((KV * G, 1), jnp.float32),
+                      pltpu.VMEM((KV * G, D), jnp.float32),
+                      pltpu.VMEM((KV * G, D), jnp.float32))
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=2 * B * S * KV * D + 8 * B * S * KV,
+            transcendentals=B * H * S),
+        interpret=interpret,
+    )(pos2, qkv, sin_row, cos_row, kcv, vcv, kst, vst)
+    return (out.reshape(B, H, D), kq, vq,
+            ks_o.reshape(B, KV), vs_o.reshape(B, KV))

@@ -507,3 +507,61 @@ class TestBatchedRopeFused:
         got = run("1")
         agree = sum(a == b for a, b in zip(base, got))
         assert agree >= 3, (base, got)
+
+    def test_qkv_quant_batched_matches_per_b(self):
+        """decode_attention_qkv_quant_batched vs the B<=2 rope-fused
+        quant kernel: exact at the same chunking."""
+        from bitnet_tpu.models.bitnet import _quantize_kv
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention_qkv_quant,
+            decode_attention_qkv_quant_batched,
+        )
+        from bitnet_tpu.ops.rope import build_rope_tables
+
+        rng = np.random.default_rng(19)
+        B, H, KV, D, S = 5, 4, 2, 64, 64
+        QR = H + 2 * KV
+        qkv = jnp.asarray(rng.standard_normal((B, QR * D)), jnp.float32)
+        kf = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        vf = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        kc, ks = _quantize_kv(kf, jnp.int8)
+        vc, vs = _quantize_kv(vf, jnp.int8)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        sin, cos = build_rope_tables(D, S, 10000.0)
+        sin, cos = jnp.asarray(sin)[pos], jnp.asarray(cos)[pos]
+        ref = decode_attention_qkv_quant(
+            qkv, sin, cos, kc, vc, ks, vs, pos, n_heads=H,
+            interpret=True, chunk=32)
+        got = decode_attention_qkv_quant_batched(
+            qkv, sin, cos, kc, vc, ks, vs, pos, n_heads=H,
+            interpret=True, chunk=32)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+    def test_batched_rope_fused_quant_engine_tokens(self, mini_gguf_qk256,
+                                                    monkeypatch):
+        """B=4 + int8 KV + BITNET_BATCHED_ATTN=1 routes the rope-fused
+        quant batched kernel; tokens must agree with the default path."""
+        import jax.numpy as jnp
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.models.loader import load_model
+
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[2, 7, 11], [3, 5, 8, 12, 30], [40, 41], [9]]
+
+        def run(flag):
+            monkeypatch.setenv("BITNET_BATCHED_ATTN", flag)
+            eng = InferenceEngine(
+                cfg, params,
+                EngineConfig(max_seq_len=64, max_batch_size=4,
+                             kv_cache_dtype="int8", compute_dtype="f32",
+                             kernel_path="w2a8"))
+            return [r.token_ids for r in eng.generate_batch(prompts, gen)]
+
+        base = run("0")
+        got = run("1")
+        agree = sum(a == b for a, b in zip(base, got))
+        assert agree >= 3, (base, got)
