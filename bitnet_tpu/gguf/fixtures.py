@@ -30,7 +30,7 @@ class MiniModelSpec:
     max_seq_len: int = 128
     rope_base: float = 10000.0
     rms_norm_eps: float = 1e-5
-    quant: str = "f32"  # 'f32' | 'bitnet32' | 'qk256'
+    quant: str = "f32"  # 'f32' | 'bitnet32' | 'qk256' | 'q8_0'
     # store quantized linears orientation-FLIPPED ([in, out] instead of
     # [out, in]) — exercises the loader's transposed-I2_S repack path
     # (reference re-derives orientation, formats/gguf/loader.rs:1427-1480)
@@ -123,7 +123,7 @@ def generate_mini_gguf(path: str, spec: MiniModelSpec | None = None) -> MiniMode
     # and make f32-vs-f64 parity flaky.  Shrink the norm gains so activations
     # stay in a numerically tame range; real checkpoints are trained with
     # this balance built in.
-    norm_gain = 1.0 if spec.quant == "f32" else 0.05
+    norm_gain = 1.0 if spec.quant in ("f32", "q8_0") else 0.05
 
     def add_float(name: str, arr: np.ndarray) -> None:
         weights[name] = arr.astype(np.float32)
@@ -155,6 +155,18 @@ def generate_mini_gguf(path: str, spec: MiniModelSpec | None = None) -> MiniMode
             deq = dequantize_qk256(payload, shape[0], shape[1])
             weights[name] = deq.T if flip else deq
             w.add_quantized_tensor(name, shape, GGMLType.I2_S, payload)
+            return
+        if spec.quant == "q8_0":
+            # classic GGML 8-bit blocks: the generic llama-family path
+            # (reference FP16/quantized fallback class) — loads through
+            # quant/ggml_classic dequant into dense linears
+            from ..quant.ggml_classic import dequantize_q8_0, quantize_q8_0
+            payload = quantize_q8_0(stored)
+            deq = np.asarray(
+                dequantize_q8_0(np.frombuffer(payload, np.uint8),
+                                raw.size)).reshape(shape)
+            weights[name] = deq.T if flip else deq
+            w.add_quantized_tensor(name, shape, GGMLType.Q8_0, payload)
             return
         raise ValueError(f"unknown quant {spec.quant!r}")
 

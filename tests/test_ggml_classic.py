@@ -183,3 +183,49 @@ class TestKQuants:
     def test_k_quant_bad_size(self):
         with pytest.raises(QuantizationError):
             gc.dequantize_q6_k(bytes(210), 100)
+
+
+class TestLlamaFamilyQ8:
+    """Generic llama-architecture GGUF with classic Q8_0 quantization —
+    the reference's FP16/quantized fallback class (BASELINE.md
+    'Larger-model GPU (FP16 fallback-class)'; arch_registry generic
+    llama spec).  Loads through quant/ggml_classic into dense linears."""
+
+    @pytest.fixture(scope="class")
+    def llama_q8(self, tmp_path_factory):
+        from bitnet_tpu.gguf.fixtures import MiniModelSpec, generate_mini_gguf
+
+        path = str(tmp_path_factory.mktemp("llama_q8") / "mini_llama_q8.gguf")
+        return generate_mini_gguf(path, MiniModelSpec(
+            quant="q8_0", architecture="llama", seed=3))
+
+    def test_loads_dense_and_generates(self, llama_q8):
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+
+        eng = InferenceEngine.from_gguf(
+            llama_q8.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32"))
+        assert eng.cfg.architecture == "llama"
+        b = eng.params.blocks
+        lin = b.wqkv if b.wqkv is not None else b.wq
+        assert lin.kind == "dense"
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        a = eng.generate([1, 9, 17], gen).token_ids
+        b2 = eng.generate([1, 9, 17], gen).token_ids
+        assert a == b2 and len(a) >= 1
+
+    def test_crossval_vs_numpy_golden(self, llama_q8):
+        """Engine vs the independent numpy golden model over the
+        fixture's dequantized reference weights — the same >0.99 cosine
+        gate every other flavor passes, now for the classic-quant
+        llama-family path."""
+        from bitnet_tpu.config import EngineConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.verify.crossval import crossval_golden
+
+        eng = InferenceEngine.from_gguf(
+            llama_q8.path,
+            EngineConfig(max_seq_len=64, compute_dtype="f32"))
+        res = crossval_golden(eng, llama_q8, [1, 9, 17, 4])
+        assert res.passed, (res.min_cosine, res.worst_token)
