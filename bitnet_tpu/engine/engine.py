@@ -540,7 +540,20 @@ class InferenceEngine:
                         break
                 pos += pos_delta
         metrics.decode_s = time.perf_counter() - t_dec
-        self.kernel_recorder.append(f"decode_{self._kernel_path}_x{generated}")
+        # record WHICH attention kernel the stacked loop selected (one
+        # source of truth: models.bitnet.decode_attn_plan) so receipts
+        # state the real compute path, not just the matmul family
+        if self._kernel_path == "w2a8":
+            from ..models.bitnet import decode_attn_plan
+
+            plan = decode_attn_plan(
+                B, self.cache.k.dtype if self.cache.k_scale is not None
+                else None)
+            self.kernel_recorder.append(
+                f"decode_{self._kernel_path}_attn_{plan}_x{generated}")
+        else:
+            self.kernel_recorder.append(
+                f"decode_{self._kernel_path}_x{generated}")
 
     def generate(
         self,

@@ -273,6 +273,50 @@ def _stacked_prefill_ok(cfg: ModelConfig, params: BitNetParams, T: int,
     return _stacked_weights_ok(cfg, params.blocks)
 
 
+def decode_attn_plan(B: int, kv_dtype=None) -> str:
+    """Trace-time decode-attention kernel selection for the rows-mode
+    stacked loop — the ONE source of truth shared by ``_decode_stacked``
+    and honest-compute receipts (the engine records the plan name so a
+    receipt states which kernel actually ran).
+
+    ``kv_dtype``: the quantized cache dtype (jnp.int8 / float8_e4m3fn)
+    or None for dense bf16/f32 caches.  Returns one of:
+      qkv_batched / qkv_quant_batched   rope-fused whole-batch kernels
+      qkv / qkv_quant                   rope-fused per-b kernels (B≤2)
+      flash / flash_quant               plain flash-decode (B≤ max_b)
+      batched / quant_batched           whole-batch, rope in XLA
+      einsum                            XLA einsum attention fallback
+
+    Gating (v5e measurements in README / docs/perf):
+    - rope fusion defaults ON in rows mode (1.29 vs 1.46 ms/token B=1);
+    - the per-b kernel grid loses to einsum above max_b (default 2);
+    - whole-batch kernels (BITNET_BATCHED_ATTN=1) amortize the per-b
+      fixed cost for B>2 pools;
+    - quantized caches ride the quant kernels when the dtype is int8
+      (fp8 behind BITNET_FP8_KERNEL until Mosaic-cast-verified).
+    """
+    import os as _os
+
+    quantized = kv_dtype is not None
+    rows_mode = _os.environ.get("BITNET_CACHE_YS", "0") != "1"
+    rope_fused = _os.environ.get(
+        "BITNET_ROPE_FUSED", "1" if rows_mode else "0") == "1"
+    fp8_kernel = _os.environ.get("BITNET_FP8_KERNEL", "0") == "1"
+    batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "0") == "1"
+    attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
+    dt_ok = (not quantized or kv_dtype == jnp.int8
+             or (fp8_kernel and kv_dtype == jnp.float8_e4m3fn))
+    if rope_fused and batched_env and B > 2 and dt_ok:
+        return "qkv_quant_batched" if quantized else "qkv_batched"
+    if rope_fused and B <= 2 and dt_ok:
+        return "qkv_quant" if quantized else "qkv"
+    if B <= attn_max_b and dt_ok:
+        return "flash_quant" if quantized else "flash"
+    if batched_env and dt_ok:
+        return "quant_batched" if quantized else "batched"
+    return "einsum"
+
+
 def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
                     x: jnp.ndarray,              # [B, 1, H] embedded
                     q_positions: jnp.ndarray,    # [B, 1]
@@ -352,32 +396,14 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     quantized = k_scale is not None
     import os as _os
     rows_mode = _os.environ.get("BITNET_CACHE_YS", "0") != "1"
-
-    # Rows mode defaults the rope-fused attention kernel ON: round 2's
-    # objection (XLA layout-flip copies on the per-layer cache restack)
-    # does not apply once the caches are read-only xs — clean per-process
-    # v5e runs measured 1.29 ms/token fused vs 1.46 unfused at B=1.
-    # BITNET_ROPE_FUSED=0 opts out (and =1 opts the generic path in).
-    rope_fused = _os.environ.get(
-        "BITNET_ROPE_FUSED", "1" if rows_mode else "0") == "1"
-
-    # fp8 caches may ride the same fused/batched quant kernels as int8
-    # (the kernels parameterize qmax and cast the stream in-VMEM) —
-    # opt-in until the fp8<->f32 Mosaic casts are hardware-verified
-    fp8_kernel = _os.environ.get("BITNET_FP8_KERNEL", "0") == "1"
-
-    def quant_dt_ok(dt):
-        return dt == jnp.int8 or (fp8_kernel and dt == jnp.float8_e4m3fn)
-
-    batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "0") == "1"
+    plan = decode_attn_plan(B, k_cache.dtype if quantized else None)
 
     def body_rows(h, xs):
         """Rows mode: xs caches are PRE-write read-only slices; returns
         the new (quantized) k/v rows + scales as ys for the post-scan
         scatter."""
         l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
-        if (rope_fused and batched_env and B > 2
-                and (not quantized or quant_dt_ok(kc.dtype))):
+        if plan in ("qkv_batched", "qkv_quant_batched"):
             # whole-batch rope-fused kernels: B>2 pools get the full
             # fusion win (no q/k/v slicing, no XLA rope pair, pre-write
             # cache read) with the batch amortizing the program count;
@@ -411,8 +437,7 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
             gu = mm(l, h, "w_gateup", b.ffn_norm)
             h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
             return h, ys
-        if (rope_fused and B <= 2
-                and (not quantized or quant_dt_ok(kc.dtype))):
+        if plan in ("qkv", "qkv_quant"):
             # ONE kernel applies RoPE to the raw q|k|v row, runs
             # flash-decode, and emits the roped k/v rows — exactly the ys
             # rows mode wants (round-2's layout-flip objection was about
@@ -463,16 +488,12 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
             kq, vq = kn.astype(kc.dtype), vn.astype(vc.dtype)
             ksr = vsr = jnp.zeros((B, 1, 1), jnp.float32)
             kn_in, vn_in = kn, vn
-        # flash-decode kernel gate: its grid steps scale with B while XLA
-        # einsum attention batches rows — v5e rows-mode measurements:
-        # B=1 pallas 1.51 ms vs einsum n/a; B=8 pallas 5.48 ms vs einsum
-        # 2.99 ms.  Keep the kernel for tiny B only.
-        attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
-        quant_kernel = quantized and quant_dt_ok(kc.dtype)
-        batched_attn = (_os.environ.get("BITNET_BATCHED_ATTN", "0") == "1"
-                        and (not quantized or quant_dt_ok(kc.dtype)))
-        if B <= attn_max_b and (not quantized or quant_kernel):
-            if quant_kernel:
+        # flash-decode kernel gate (see decode_attn_plan): its grid steps
+        # scale with B while XLA einsum attention batches rows — v5e
+        # rows-mode measurements: B=1 pallas 1.51 ms vs einsum n/a; B=8
+        # pallas 5.48 ms vs einsum 2.99 ms.  Keep the kernel for tiny B.
+        if plan in ("flash", "flash_quant"):
+            if plan == "flash_quant":
                 # int8 cache + per-vector scales dequantize IN-KERNEL —
                 # the cache stream stays int8 all the way into VMEM
                 # (half the HBM read of the bf16 cache)
@@ -483,7 +504,7 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
                 attn = decode_attention(
                     q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc, pre_len,
                     interpret=interp)
-        elif batched_attn:
+        elif plan in ("batched", "quant_batched"):
             # whole-batch-per-grid-step kernels: amortize the fixed cost
             # the per-b grid paid B times (which made pallas lose to XLA
             # einsum at B=8) and read the PRE-write cache, skipping the
