@@ -384,9 +384,19 @@ def cmd_st_merge(args) -> int:
 
 def cmd_benchmark_kernels(args) -> int:
     """Per-kernel microbenchmarks (bitnet-wgpu-bench role)."""
-    from .tools.kernel_bench import bench_decode_shapes, bench_ternary_kernel
+    from .tools.kernel_bench import (
+        ATTN_VARIANTS,
+        bench_decode_attention,
+        bench_decode_shapes,
+        bench_ternary_kernel,
+    )
 
-    if args.shape:
+    if args.attention:
+        variants = (ATTN_VARIANTS if args.attention == "all"
+                    else args.attention.split(","))
+        results = [bench_decode_attention(v, B=args.m, S=args.seq_len)
+                   for v in variants]
+    elif args.shape:
         k, n = (int(x) for x in args.shape.split("x"))
         results = [bench_ternary_kernel(k, n, m=args.m)]
     else:
@@ -676,10 +686,16 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_preflight)
 
     p = sub.add_parser("benchmark-kernels",
-                       help="per-kernel ternary matmul microbenchmarks")
+                       help="per-kernel ternary matmul / decode-attention "
+                            "microbenchmarks")
     p.add_argument("--shape", default=None, metavar="KxN",
                    help="one shape, e.g. 2560x6912 (default: 2B decode set)")
     p.add_argument("--m", type=int, default=1, help="batch rows")
+    p.add_argument("--attention", default=None, metavar="V1,V2|all",
+                   help="bench decode-attention kernels instead "
+                        "(decode_attn_plan variant names, or 'all')")
+    p.add_argument("--seq-len", type=int, default=1024,
+                   help="cache length for --attention")
     p.set_defaults(fn=cmd_benchmark_kernels)
 
     p = sub.add_parser("download-model",
