@@ -565,3 +565,39 @@ class TestBatchedRopeFused:
         got = run("1")
         agree = sum(a == b for a, b in zip(base, got))
         assert agree >= 3, (base, got)
+
+
+class TestDecodeAttnPlan:
+    """decode_attn_plan is the single source of truth for rows-mode
+    kernel selection — pin its gating table."""
+
+    @pytest.mark.parametrize("B,dt,env,want", [
+        (1, None, {}, "qkv"),
+        (2, "int8", {}, "qkv_quant"),
+        (1, "fp8", {}, "einsum"),                      # fp8 gated off
+        (1, "fp8", {"BITNET_FP8_KERNEL": "1"}, "qkv_quant"),
+        (8, None, {}, "einsum"),
+        (8, None, {"BITNET_BATCHED_ATTN": "1"}, "qkv_batched"),
+        (8, "int8", {"BITNET_BATCHED_ATTN": "1"}, "qkv_quant_batched"),
+        (8, None, {"BITNET_BATCHED_ATTN": "1", "BITNET_ROPE_FUSED": "0"},
+         "batched"),
+        (8, "int8", {"BITNET_BATCHED_ATTN": "1", "BITNET_ROPE_FUSED": "0"},
+         "quant_batched"),
+        (1, None, {"BITNET_ROPE_FUSED": "0"}, "flash"),
+        (1, "int8", {"BITNET_ROPE_FUSED": "0"}, "flash_quant"),
+        (8, None, {"BITNET_DECODE_ATTN_MAX_B": "16",
+                   "BITNET_ROPE_FUSED": "0"}, "flash"),
+        (8, "int8", {}, "einsum"),
+    ])
+    def test_plan_table(self, B, dt, env, want, monkeypatch):
+        from bitnet_tpu.models.bitnet import decode_attn_plan
+
+        for k in ("BITNET_BATCHED_ATTN", "BITNET_ROPE_FUSED",
+                  "BITNET_FP8_KERNEL", "BITNET_DECODE_ATTN_MAX_B",
+                  "BITNET_CACHE_YS"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        dtype = {None: None, "int8": jnp.int8,
+                 "fp8": jnp.float8_e4m3fn}[dt]
+        assert decode_attn_plan(B, dtype) == want
