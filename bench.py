@@ -166,6 +166,28 @@ def bench_prefill(cfg, params, kernel_path: str, T: int = 512,
 
 
 def main() -> None:
+    # backend-init watchdog: PJRT client creation blocks FOREVER when the
+    # axon relay is down (observed 2026-08-17: make_c_api_client hang) —
+    # emit a machine-readable failure line instead of dying silently.
+    # Disarmed as soon as the backend answers.
+    import threading
+
+    watchdog_s = float(os.environ.get("BITNET_BENCH_WATCHDOG_S", "900"))
+    armed = threading.Event()
+    armed.set()
+
+    def _watchdog():
+        time.sleep(watchdog_s)
+        if armed.is_set():
+            print(json.dumps({
+                "metric": "bitnet-2B decode tokens/s/chip",
+                "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+                "error": f"backend init timed out after {watchdog_s:.0f}s "
+                         "(TPU relay unreachable)"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     # persistent compile cache: repeat driver runs skip the slow remote
@@ -178,6 +200,7 @@ def main() -> None:
         pass
 
     backend = jax.default_backend()
+    armed.clear()   # backend answered — disarm the watchdog
     kernel_path = "w2a8" if backend == "tpu" else "xla"
     t0 = time.time()
     cfg, params = build_synthetic_2b(fuse=True)
