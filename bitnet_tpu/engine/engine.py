@@ -542,10 +542,19 @@ class InferenceEngine:
         metrics.decode_s = time.perf_counter() - t_dec
         # record WHICH attention kernel the stacked loop selected (one
         # source of truth: models.bitnet.decode_attn_plan) so receipts
-        # state the real compute path, not just the matmul family
-        if self._kernel_path == "w2a8":
-            from ..models.bitnet import decode_attn_plan
+        # state the real compute path — ONLY when the stacked rows-mode
+        # loop actually runs (dense/non-stackable weights, B>32, or
+        # ys-mode take the generic path and must not claim a plan)
+        import os as _os
 
+        from ..models.bitnet import _stacked_decode_ok, decode_attn_plan
+
+        stacked = (self._kernel_path == "w2a8"
+                   and _os.environ.get("BITNET_CACHE_YS", "0") != "1"
+                   and _stacked_decode_ok(
+                       self.cfg, self.params, 1, B, self.cache.k_scale,
+                       None, None, None, self._kernel_path))
+        if stacked:
             plan = decode_attn_plan(
                 B, self.cache.k.dtype if self.cache.k_scale is not None
                 else None)
