@@ -275,15 +275,58 @@ class TestRopeFusedModelParity:
                                                 monkeypatch):
         def run(flag):
             monkeypatch.setenv("BITNET_ROPE_FUSED", flag)
+            # fuse_projections=True so the STACKED loop (the only
+            # consumer of BITNET_ROPE_FUSED) actually dispatches
             eng = InferenceEngine.from_gguf(
                 mini_gguf_qk256.path,
                 EngineConfig(kernel_path="w2a8", max_seq_len=64,
-                             compute_dtype="f32"))
+                             compute_dtype="f32", fuse_projections=True))
             out = eng.generate([1, 5, 9, 14], GenerationConfig(
                 max_new_tokens=8, greedy=True))
-            return out.token_ids
+            plans = [k for k in eng.kernel_recorder
+                     if k.startswith("decode_w2a8_attn_")]
+            return out.token_ids, plans
 
-        fused = run("1")      # rows-mode default
-        unfused = run("0")
+        fused, fused_plans = run("1")      # rows-mode default
+        unfused, unfused_plans = run("0")
         assert len(fused) >= 1
         assert fused == unfused
+        # the receipt names the kernel each config actually selected
+        assert any("_attn_qkv_" in p for p in fused_plans), fused_plans
+        assert any("_attn_flash_" in p for p in unfused_plans), unfused_plans
+
+
+class TestReceiptPlanGating:
+    """The decode_w2a8_attn_<plan> receipt line may only appear when the
+    stacked rows-mode loop actually runs (engine.py plan recording gated
+    on models.bitnet._stacked_decode_ok)."""
+
+    def _run(self, path, **cfg_kw):
+        eng = InferenceEngine.from_gguf(
+            path, EngineConfig(max_seq_len=64, compute_dtype="f32",
+                               **cfg_kw))
+        eng.generate([1, 5, 9], GenerationConfig(max_new_tokens=4,
+                                                 greedy=True))
+        return [k for k in eng.kernel_recorder if k.startswith("decode_")]
+
+    def test_fused_w2a8_records_plan(self, mini_gguf_qk256):
+        rows = self._run(mini_gguf_qk256.path, kernel_path="w2a8",
+                         fuse_projections=True)
+        assert any("_attn_" in k for k in rows), rows
+
+    def test_unfused_w2a8_claims_no_plan(self, mini_gguf_qk256):
+        # generic per-layer path: no stacked attention kernel ran
+        rows = self._run(mini_gguf_qk256.path, kernel_path="w2a8")
+        assert rows and not any("_attn_" in k for k in rows), rows
+
+    def test_ys_mode_claims_no_plan(self, mini_gguf_qk256, monkeypatch):
+        # ys-mode stacked bodies pick attention by attn_max_b, not the
+        # plan table — the receipt must not name a plan kernel
+        monkeypatch.setenv("BITNET_CACHE_YS", "1")
+        rows = self._run(mini_gguf_qk256.path, kernel_path="w2a8",
+                         fuse_projections=True)
+        assert rows and not any("_attn_" in k for k in rows), rows
+
+    def test_xla_path_claims_no_plan(self, mini_gguf_qk256):
+        rows = self._run(mini_gguf_qk256.path, kernel_path="xla")
+        assert rows and not any("_attn_" in k for k in rows), rows
