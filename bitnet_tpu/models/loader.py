@@ -36,6 +36,7 @@ from ..ops.linear import (
     bitnet32_linear_from_codes,
     dense_linear,
     qk256_linear_from_codes,
+    qk256_linear_from_payload,
 )
 from ..ops.rope import build_rope_tables
 from .bitnet import BitNetParams, BlockParams
@@ -193,6 +194,15 @@ def _load_linear(
         flavor = detect_i2s_flavor(info.nelems, info.nbytes, name=name,
                                    cols=int(info.shape[0]) if info.shape else None)
         report.flavors[name] = flavor.value
+        if (flavor == I2SFlavor.GGML_QK256_NO_SCALE
+                and shape == (out_dim, in_dim)):
+            # fused native path: payload → transpose → interleave →
+            # int32 words in ONE pass, no [K, N] codes temporary (the
+            # numpy route cost ~170 s on a 2B checkpoint); tensor_bytes
+            # is a zero-copy mmap view the native pass reads directly
+            report.kinds[role] = "qk256"
+            return qk256_linear_from_payload(
+                reader.tensor_bytes(info.name), out_dim, in_dim)
         codes, scales = _i2s_codes_and_scales(reader, info, flavor)
         # orientation-flipped storage ([in, out]): the code matrix is
         # already [K=in, N=out] — REPACK, never dequantize (a dense

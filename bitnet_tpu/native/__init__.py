@@ -59,7 +59,7 @@ def get_lib():
             warnings.warn(f"native codec load failed ({e})",
                           RuntimeWarning, stacklevel=2)
             return None
-        if lib.bn_abi_version() != 1:
+        if lib.bn_abi_version() != 2:
             warnings.warn("native codec ABI mismatch; rebuilding",
                           RuntimeWarning, stacklevel=2)
             os.unlink(_LIB_PATH)
@@ -81,6 +81,9 @@ def _configure(lib) -> None:
     lib.bn_repack_codes_tpu.argtypes = [u8p, i64, i64, u8p]
     lib.bn_qk256_payload_to_tpu.argtypes = [u8p, i64, i64, u8p, i64]
     lib.bn_bitnet32_extract.argtypes = [u8p, i64, u8p, f32p]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.bn_repack_codes_tpu_words.argtypes = [u8p, i64, i64, u32p]
+    lib.bn_qk256_payload_to_tpu_words.argtypes = [u8p, i64, i64, u32p, i64]
 
 
 def available() -> bool:
@@ -190,6 +193,47 @@ def qk256_payload_to_tpu(payload: np.ndarray, n_rows: int, k_cols: int,
             [packed, np.zeros((packed.shape[0], out_cols - packed.shape[1]),
                               np.uint8)], axis=1)
     return packed
+
+
+def _u32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def repack_codes_tpu_words(codes_kn: np.ndarray) -> np.ndarray:
+    """[K, N] codes → device int32 words [Kp/16, N] (repack + fold fused;
+    the 2B-load hotspot — the numpy route is ~100 s of strided passes)."""
+    lib = get_lib()
+    codes_kn = np.ascontiguousarray(codes_kn, np.uint8)
+    K, N = codes_kn.shape
+    Kp = (-(-K // 256)) * 256
+    if lib is not None:
+        out = np.empty((Kp // 16, N), np.uint32)
+        lib.bn_repack_codes_tpu_words(_u8(codes_kn), K, N, _u32(out))
+        return out.view(np.int32)
+    from ..ops.linear import fold_packed_words
+
+    return fold_packed_words(repack_codes_tpu(codes_kn))
+
+
+def qk256_payload_to_tpu_words(payload: np.ndarray, n_rows: int,
+                               k_cols: int,
+                               out_cols: int | None = None) -> np.ndarray:
+    """Fused QK256 payload ([N, K] output-major as stored in GGUF) →
+    transpose → TPU interleave → int32 words [Kp/16, out_cols]."""
+    lib = get_lib()
+    if out_cols is None:
+        out_cols = (-(-n_rows // 128)) * 128
+    Kp = (-(-k_cols // 256)) * 256
+    payload = np.ascontiguousarray(payload, np.uint8)
+    if lib is not None:
+        out = np.empty((Kp // 16, out_cols), np.uint32)
+        lib.bn_qk256_payload_to_tpu_words(_u8(payload), n_rows, k_cols,
+                                          _u32(out), out_cols)
+        return out.view(np.int32)
+    from ..ops.linear import fold_packed_words
+
+    packed = qk256_payload_to_tpu(payload, n_rows, k_cols, out_cols)
+    return fold_packed_words(packed)
 
 
 def bitnet32_extract(payload: np.ndarray,

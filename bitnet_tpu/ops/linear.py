@@ -85,9 +85,18 @@ def fold_packed_words(packed_bytes: np.ndarray) -> np.ndarray:
     """[Kp/4, N] uint8 bytes -> [Kp/16, N] int32 words (device storage).
 
     Word ``s`` = byte rows ``4s..4s+3`` little-endian; bit-identical view
-    of the same interleave (see module docstring).
+    of the same interleave (see module docstring).  On little-endian
+    hosts one transposed copy + a dtype view beats the shift/or route
+    (which widens the whole array to uint32 and walks strided slices —
+    ~6 passes over 4x the bytes).
     """
+    import sys
+
     Kp4, N = packed_bytes.shape
+    if sys.byteorder == "little":
+        b = np.ascontiguousarray(
+            packed_bytes.reshape(Kp4 // 4, 4, N).transpose(0, 2, 1))
+        return b.view(np.uint32).reshape(Kp4 // 4, N).view(np.int32)
     b = packed_bytes.reshape(Kp4 // 4, 4, N).astype(np.uint32)
     words = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
     return words.view(np.int32)
@@ -316,21 +325,45 @@ def _pad_cols(a: np.ndarray, mult: int = LANE) -> np.ndarray:
     )
 
 
-def _repack(codes_kn: np.ndarray) -> np.ndarray:
-    """Tile repack via the native codec when available (load-time hotspot;
-    see native/bitnet_host.cpp), numpy otherwise."""
-    from ..native import repack_codes_tpu
+def _repack_words(codes_kn: np.ndarray) -> np.ndarray:
+    """Tile repack straight to device int32 words via the native codec
+    when available (load-time hotspot; see native/bitnet_host.cpp),
+    numpy otherwise."""
+    from ..native import repack_codes_tpu_words
 
-    return repack_codes_tpu(codes_kn)
+    return repack_codes_tpu_words(codes_kn)
 
 
 def qk256_linear_from_codes(
     codes_kn: np.ndarray, scale: float | np.ndarray = 1.0
 ) -> TernaryLinear:
     k, n = codes_kn.shape
-    packed = jnp.asarray(_pad_cols(fold_packed_words(_repack(codes_kn))))
+    packed = jnp.asarray(_pad_cols(_repack_words(codes_kn)))
     return TernaryLinear(
         kind="qk256", k=k, n=n, packed=packed,
+        scales=jnp.asarray(np.float32(scale)),
+    )
+
+
+def qk256_linear_from_payload(
+    payload: np.ndarray, out_dim: int, in_dim: int,
+    scale: float | np.ndarray = 1.0,
+) -> TernaryLinear:
+    """QK256 GGUF payload (stored [out, in] output-major) → TernaryLinear,
+    fused transpose+interleave+fold in one native pass — no [K, N] codes
+    temporary (the 2B-model load went ~170 s → seconds with this path)."""
+    from ..native import qk256_payload_to_tpu_words
+
+    stride = -(-in_dim // 256) * 64
+    if payload.size < out_dim * stride:
+        raise QuantizationError(
+            f"QK256 payload too small: {payload.size} < "
+            f"{out_dim * stride} bytes for [{out_dim}, {in_dim}]")
+    out_cols = -(-out_dim // LANE) * LANE
+    packed = jnp.asarray(
+        qk256_payload_to_tpu_words(payload, out_dim, in_dim, out_cols))
+    return TernaryLinear(
+        kind="qk256", k=in_dim, n=out_dim, packed=packed,
         scales=jnp.asarray(np.float32(scale)),
     )
 
@@ -342,7 +375,7 @@ def bitnet32_linear_from_codes(
     k, n = codes_kn.shape
     if k % 32 != 0:
         raise QuantizationError(f"bitnet32 needs K % 32 == 0, got {k}")
-    packed = jnp.asarray(_pad_cols(fold_packed_words(_repack(codes_kn))))
+    packed = jnp.asarray(_pad_cols(_repack_words(codes_kn)))
     scales = _pad_cols(np.asarray(scales_blocks_kn, dtype=np.float32))
     return TernaryLinear(
         kind="bitnet32", k=k, n=n, packed=packed,
@@ -362,7 +395,7 @@ def tl_linear_from_codes(
     k, n = codes_kn.shape
     if k % block != 0:
         raise QuantizationError(f"TL needs K % {block} == 0, got {k}")
-    packed = jnp.asarray(_pad_cols(fold_packed_words(_repack(codes_kn))))
+    packed = jnp.asarray(_pad_cols(_repack_words(codes_kn)))
     s32 = np.repeat(np.asarray(scales_blocks_kn, np.float32),
                     block // 32, axis=0)
     return TernaryLinear(

@@ -26,7 +26,7 @@
 
 static const int KT = 256;  // K-tile rows (ops/linear.py KT_PACK)
 
-BN_EXPORT int bn_abi_version() { return 1; }
+BN_EXPORT int bn_abi_version() { return 2; }
 
 // ---------------------------------------------------------------------------
 // QK256: payload <-> codes <-> floats
@@ -143,6 +143,59 @@ BN_EXPORT void bn_qk256_payload_to_tpu(const uint8_t* payload, int64_t n_rows,
       const int64_t j = r / q;
       const int64_t i = r % q;
       out[(t * q + i) * out_cols + n] |= (uint8_t)(code << (2 * j));
+    }
+  }
+}
+
+// Word-layout variants: emit the DEVICE storage [Kp/16, N] int32 words
+// directly (word s packs byte rows 4s..4s+3 little-endian, see
+// ops/linear.py fold_packed_words) so the numpy fold stage — the 2B-model
+// load hotspot, ~100 s of strided astype/or passes — collapses into the
+// single repack pass.
+BN_EXPORT void bn_repack_codes_tpu_words(const uint8_t* codes_kn, int64_t K,
+                                         int64_t N, uint32_t* out) {
+  const int64_t ntiles = (K + KT - 1) / KT;
+  const int64_t q = KT / 4;        // 64 byte-rows per tile
+  const int64_t w = KT / 16;       // 16 word-rows per tile
+  std::memset(out, 0, (size_t)(ntiles * w * N) * 4);
+  for (int64_t t = 0; t < ntiles; ++t) {
+    for (int j = 0; j < 4; ++j) {
+      for (int64_t i = 0; i < q; ++i) {
+        const int64_t krow = t * KT + (int64_t)j * q + i;
+        if (krow >= K) continue;
+        // byte row t*q + i -> word row t*w + i/4, byte slot i%4
+        const int shift = 2 * j + 8 * (int)(i & 3);
+        const uint8_t* src = codes_kn + krow * N;
+        uint32_t* dst = out + (t * w + (i >> 2)) * N;
+        for (int64_t n = 0; n < N; ++n)
+          dst[n] |= ((uint32_t)src[n]) << shift;
+      }
+    }
+  }
+}
+
+// Fused QK256 payload ([N, K] output-major, GGUF storage) -> transposed
+// -> TPU interleave -> int32 words, one pass, no [K, N] codes temporary.
+BN_EXPORT void bn_qk256_payload_to_tpu_words(const uint8_t* payload,
+                                             int64_t n_rows, int64_t k_cols,
+                                             uint32_t* out,
+                                             int64_t out_cols) {
+  const int64_t ntiles = (k_cols + KT - 1) / KT;
+  const int64_t w = KT / 16;
+  const int64_t blocks_per_row = (k_cols + 255) / 256;
+  const int64_t stride = blocks_per_row * 64;
+  std::memset(out, 0, (size_t)(ntiles * w * out_cols) * 4);
+  for (int64_t n = 0; n < n_rows; ++n) {
+    const uint8_t* rp = payload + n * stride;
+    for (int64_t c = 0; c < k_cols; ++c) {
+      const uint8_t byte = rp[(c >> 8) * 64 + ((c & 255) >> 2)];
+      const uint32_t code = (byte >> (2 * (c & 3))) & 3;
+      const int64_t t = c / KT;
+      const int64_t r = c % KT;
+      const int64_t j = r / 64;    // bit plane
+      const int64_t i = r % 64;    // byte row within tile
+      out[(t * w + (i >> 2)) * out_cols + n] |=
+          code << (2 * j + 8 * (i & 3));
     }
   }
 }

@@ -50,6 +50,38 @@ def test_transposed_qk256_logits_match_straight(transposed_qk256,
     np.testing.assert_allclose(lg_t, lg_s, rtol=2e-2, atol=2e-2)
 
 
+def test_fused_payload_route_matches_codes_route(tmp_path_factory):
+    """The loader's fused payload→words native path (straight qk256
+    tensors) produces bit-identical packed words to the generic
+    codes→repack route (which transposed tensors still take)."""
+    import jax
+
+    from bitnet_tpu.gguf.reader import GGUFReader
+    from bitnet_tpu.native import qk256_extract_codes
+    from bitnet_tpu.ops.linear import qk256_linear_from_codes
+
+    path = tmp_path_factory.mktemp("models") / "mini_qk256_p.gguf"
+    spec = MiniModelSpec(hidden_size=256, intermediate_size=512,
+                         num_heads=4, num_kv_heads=2, quant="qk256")
+    m = generate_mini_gguf(str(path), spec)
+    cfg, params, report = load_model(m.path)
+    assert set(report.kinds.values()) == {"qk256"}
+
+    r = GGUFReader(m.path)
+    try:
+        name = "blk.0.attn_k.weight"
+        info = r.tensors[name]
+        out_dim, in_dim = info.logical_shape
+        codes = qk256_extract_codes(
+            np.asarray(r.tensor_bytes(name)), out_dim, in_dim)
+        want = qk256_linear_from_codes(codes.T.copy())
+    finally:
+        r.close()
+    got = params.blocks.wk.packed[0]   # [L, Kp/16, Np] stacked, layer 0
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(want.packed))
+
+
 def test_transposed_bitnet32_uniform_scale_stays_packed(tmp_path_factory):
     path = tmp_path_factory.mktemp("models") / "mini_b32_t.gguf"
     spec = MiniModelSpec(hidden_size=256, intermediate_size=512,

@@ -74,6 +74,39 @@ class TestCodecParity:
             [want, np.zeros((want.shape[0], 128 - N), np.uint8)], axis=1)
         np.testing.assert_array_equal(got, want)
 
+    def test_repack_words(self, rng):
+        """Fused repack+fold == byte repack → numpy fold."""
+        from bitnet_tpu.ops.linear import fold_packed_words
+
+        codes = rng.integers(0, 4, size=(300, 64)).astype(np.uint8)
+        got = native.repack_codes_tpu_words(codes)
+        want = fold_packed_words(repack_codes_for_tpu(codes))
+        np.testing.assert_array_equal(got, want)
+
+    def test_fused_payload_to_tpu_words(self, rng):
+        """payload[N,K] → transpose → interleave → int32 words, one pass
+        (the 2B-model load path, models/loader.py qk256 branch)."""
+        from bitnet_tpu.ops.linear import fold_packed_words
+
+        N, K = 48, 512
+        w = rng.normal(size=(N, K)).astype(np.float32)
+        raw = np.frombuffer(quantize_qk256(w), np.uint8)
+        got = native.qk256_payload_to_tpu_words(raw, N, K, out_cols=128)
+        want = fold_packed_words(
+            native.qk256_payload_to_tpu(raw, N, K, out_cols=128))
+        np.testing.assert_array_equal(got, want)
+
+    def test_fold_fast_path_matches_shift_route(self, rng):
+        """The little-endian transpose+view fold == the shift/or fold."""
+        from bitnet_tpu.ops.linear import fold_packed_words
+
+        pb = rng.integers(0, 256, size=(128, 96)).astype(np.uint8)
+        got = fold_packed_words(pb)
+        b = pb.reshape(32, 4, 96).astype(np.uint32)
+        want = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                | (b[:, 3] << 24)).view(np.int32)
+        np.testing.assert_array_equal(got, want)
+
     def test_bitnet32_extract(self, rng):
         x = rng.normal(size=(4, 64)).astype(np.float32)
         raw = np.frombuffer(quantize_bitnet32(x), np.uint8)
@@ -117,6 +150,18 @@ class TestFallback:
         """With the lib force-disabled, wrappers fall back identically."""
         codes = rng.integers(0, 4, size=(256, 32)).astype(np.uint8)
         want = native.repack_codes_tpu(codes)
+        want_w = native.repack_codes_tpu_words(codes)
         monkeypatch.setattr(native, "get_lib", lambda: None)
         got = native.repack_codes_tpu(codes)
+        got_w = native.repack_codes_tpu_words(codes)
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got_w, want_w)
+
+    def test_payload_words_fallback_matches(self, monkeypatch, rng):
+        N, K = 20, 256
+        w = rng.normal(size=(N, K)).astype(np.float32)
+        raw = np.frombuffer(quantize_qk256(w), np.uint8)
+        want = native.qk256_payload_to_tpu_words(raw, N, K, out_cols=128)
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        got = native.qk256_payload_to_tpu_words(raw, N, K, out_cols=128)
         np.testing.assert_array_equal(got, want)

@@ -161,11 +161,11 @@ class TestTLStackedDecode:
         rng = np.random.default_rng(5)
         L, M, K, N = 3, 4, 256, 256
         packs, scs = [], []
-        from bitnet_tpu.ops.linear import _repack, fold_packed_words
+        from bitnet_tpu.ops.linear import _repack_words
 
         for _ in range(L):
             codes = rng.integers(0, 4, (K, N)).astype(np.uint8)
-            packs.append(fold_packed_words(_repack(codes)))
+            packs.append(_repack_words(codes))
             scs.append(rng.uniform(0.5, 1.5, (K // 32, N)).astype(
                 np.float32))
         packed = jnp.stack([jnp.asarray(p) for p in packs])

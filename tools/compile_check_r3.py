@@ -85,12 +85,12 @@ def main():
                                          ksq8, vsq8, pos8))
 
     # stacked prefill matmul at wqkv geometry (M=512, K=2560, N=2560+)
-    from bitnet_tpu.ops.linear import _repack, fold_packed_words
+    from bitnet_tpu.ops.linear import _repack_words
     from bitnet_tpu.ops import ternary_matmul as tm
 
     K2, N2, L = 2560, 2560, 2
     codes = rng.integers(0, 4, (K2, N2)).astype(np.uint8)
-    pk = jnp.asarray(fold_packed_words(_repack(codes)))
+    pk = jnp.asarray(_repack_words(codes))
     packed = jnp.stack([pk, pk])
     scale_vec = jnp.ones((L, pk.shape[1]), jnp.float32)
     x512 = jnp.asarray(rng.standard_normal((512, K2)), jnp.float32)
