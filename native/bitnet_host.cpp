@@ -176,25 +176,49 @@ BN_EXPORT void bn_repack_codes_tpu_words(const uint8_t* codes_kn, int64_t K,
 
 // Fused QK256 payload ([N, K] output-major, GGUF storage) -> transposed
 // -> TPU interleave -> int32 words, one pass, no [K, N] codes temporary.
+//
+// A payload byte holds 4 consecutive codes c0..c0+3 (c0 % 4 == 0); they
+// share one bit plane (j = (c0%256)/64) and land in ONE output word at
+// byte slots 0..3 — so a 256-entry "spread" LUT turns the per-code loop
+// (~6 ops/code) into ~3 ops/BYTE: out_word |= SPREAD[byte] << 2j.
+static uint32_t bn_spread_lut(uint8_t b) {
+  return (uint32_t)(b & 3) | ((uint32_t)((b >> 2) & 3) << 8) |
+         ((uint32_t)((b >> 4) & 3) << 16) | ((uint32_t)((b >> 6) & 3) << 24);
+}
+
 BN_EXPORT void bn_qk256_payload_to_tpu_words(const uint8_t* payload,
                                              int64_t n_rows, int64_t k_cols,
                                              uint32_t* out,
                                              int64_t out_cols) {
-  const int64_t ntiles = (k_cols + KT - 1) / KT;
+  static uint32_t SPREAD[256];
+  static bool init = false;
+  if (!init) {
+    for (int b = 0; b < 256; ++b) SPREAD[b] = bn_spread_lut((uint8_t)b);
+    init = true;
+  }
+  const int64_t ntiles = (k_cols + KT - 1) / KT;  // 1 tile == 1 QK256 block
   const int64_t w = KT / 16;
-  const int64_t blocks_per_row = (k_cols + 255) / 256;
-  const int64_t stride = blocks_per_row * 64;
+  const int64_t full_tiles = k_cols / KT;
+  const int64_t stride = ntiles * 64;
   std::memset(out, 0, (size_t)(ntiles * w * out_cols) * 4);
   for (int64_t n = 0; n < n_rows; ++n) {
     const uint8_t* rp = payload + n * stride;
-    for (int64_t c = 0; c < k_cols; ++c) {
+    for (int64_t t = 0; t < full_tiles; ++t) {
+      const uint8_t* bp = rp + t * 64;
+      uint32_t* op = out + t * w * out_cols + n;
+      // byte bi covers codes 4bi..4bi+3: plane j = bi/16, word row bi%16
+      for (int bi = 0; bi < 64; ++bi)
+        op[(bi & 15) * out_cols] |= SPREAD[bp[bi]] << (2 * (bi >> 4));
+    }
+    // tail block (k_cols % 256 != 0): per-code, masking pad codes so
+    // padded K rows keep code 0 exactly like the codes route
+    for (int64_t c = full_tiles * KT; c < k_cols; ++c) {
       const uint8_t byte = rp[(c >> 8) * 64 + ((c & 255) >> 2)];
       const uint32_t code = (byte >> (2 * (c & 3))) & 3;
-      const int64_t t = c / KT;
       const int64_t r = c % KT;
       const int64_t j = r / 64;    // bit plane
       const int64_t i = r % 64;    // byte row within tile
-      out[(t * w + (i >> 2)) * out_cols + n] |=
+      out[((c / KT) * w + (i >> 2)) * out_cols + n] |=
           code << (2 * j + 8 * (i & 3));
     }
   }

@@ -7,6 +7,7 @@ implementations, and the C ABI must drive real inference from plain C.
 import os
 import subprocess
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -119,6 +120,41 @@ class TestCodecParity:
         np.testing.assert_array_equal(codes, want_codes)
         np.testing.assert_allclose(scales, want_scales.astype(np.float32),
                                    rtol=1e-3)
+
+
+class TestBF16Cast:
+    def test_rne_bit_twiddle_matches_ml_dtypes_exhaustive(self):
+        """loader._as_param's vectorized f32→bf16 == ml_dtypes' cast for
+        every high halfword × boundary low halfwords (covers all
+        exponents, signs, NaN/inf payloads, subnormals, and every RNE
+        rounding case: below/at/above the tie, both parities)."""
+        import ml_dtypes
+
+        from bitnet_tpu.models.loader import _as_param
+
+        hi = np.arange(65536, dtype=np.uint32) << 16
+        for lo in (0x0000, 0x0001, 0x7FFF, 0x8000, 0x8001, 0xFFFF):
+            u = (hi | lo).view(np.float32)
+            want = u.astype(ml_dtypes.bfloat16)
+            got = np.asarray(_as_param(u, jnp.bfloat16))
+            # compare bit patterns; NaNs only need to stay NaNs
+            wb = want.view(np.uint16)
+            gb = got.view(np.uint16)
+            nan = np.isnan(u)
+            np.testing.assert_array_equal(wb[~nan], gb[~nan],
+                                          err_msg=f"lo=0x{lo:04x}")
+            assert np.isnan(got[nan].astype(np.float32)).all()
+
+    def test_non_f32_passthrough(self):
+        from bitnet_tpu.models.loader import _as_param
+
+        a = np.arange(6, dtype=np.float16).reshape(2, 3)
+        got = _as_param(a, jnp.bfloat16)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      a.astype(np.float32))
+        b = np.arange(4, dtype=np.float32)
+        assert _as_param(b, jnp.float32).dtype == jnp.float32
 
 
 class TestCABI:
