@@ -242,10 +242,10 @@ def _load_linear(
             report.kinds[role] = "qk256"
             return qk256_linear_from_codes(
                 np.ascontiguousarray(codes) if transposed
-                else codes.T.copy())
+                else codes.T)   # view: native repack transposes in-kernel
         if scales is not None and not transposed:
             report.kinds[role] = "bitnet32"
-            return bitnet32_linear_from_codes(codes.T.copy(), scales.T.copy())
+            return bitnet32_linear_from_codes(codes.T, scales.T.copy())
         if scales is not None and transposed:
             # per-block scales follow the STORED row direction, so a
             # transposed tensor's blocks run along N, not K.  A uniform

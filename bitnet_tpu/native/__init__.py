@@ -83,6 +83,7 @@ def _configure(lib) -> None:
     lib.bn_bitnet32_extract.argtypes = [u8p, i64, u8p, f32p]
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.bn_repack_codes_tpu_words.argtypes = [u8p, i64, i64, u32p]
+    lib.bn_repack_codes_tpu_words_t.argtypes = [u8p, i64, i64, u32p]
     lib.bn_qk256_payload_to_tpu_words.argtypes = [u8p, i64, i64, u32p, i64]
 
 
@@ -201,18 +202,30 @@ def _u32(a: np.ndarray):
 
 def repack_codes_tpu_words(codes_kn: np.ndarray) -> np.ndarray:
     """[K, N] codes → device int32 words [Kp/16, N] (repack + fold fused;
-    the 2B-load hotspot — the numpy route is ~100 s of strided passes)."""
+    the 2B-load hotspot — the numpy route is ~100 s of strided passes).
+
+    Accepts a transposed VIEW (``codes_nk.T``) without copying: the
+    native pass has a transposed-input kernel, so loaders can hand over
+    GGUF's output-major codes directly (saves a ~10 s strided
+    ``.T.copy()`` per 2B model on a 1-core host)."""
     lib = get_lib()
-    codes_kn = np.ascontiguousarray(codes_kn, np.uint8)
+    codes_kn = np.asarray(codes_kn, np.uint8)
     K, N = codes_kn.shape
     Kp = (-(-K // 256)) * 256
     if lib is not None:
         out = np.empty((Kp // 16, N), np.uint32)
-        lib.bn_repack_codes_tpu_words(_u8(codes_kn), K, N, _u32(out))
+        if (not codes_kn.flags.c_contiguous
+                and codes_kn.T.flags.c_contiguous):
+            # [N, K] base buffer viewed as [K, N]: transpose in-kernel
+            lib.bn_repack_codes_tpu_words_t(
+                _u8(codes_kn.T), K, N, _u32(out))
+        else:
+            codes_kn = np.ascontiguousarray(codes_kn)
+            lib.bn_repack_codes_tpu_words(_u8(codes_kn), K, N, _u32(out))
         return out.view(np.int32)
     from ..ops.linear import fold_packed_words
 
-    return fold_packed_words(repack_codes_tpu(codes_kn))
+    return fold_packed_words(repack_codes_tpu(np.ascontiguousarray(codes_kn)))
 
 
 def qk256_payload_to_tpu_words(payload: np.ndarray, n_rows: int,

@@ -64,10 +64,13 @@ def unpack_codes_lsb_first(packed: np.ndarray, n: int | None = None) -> np.ndarr
     """
     packed = np.ascontiguousarray(packed, dtype=np.uint8)
     out = np.empty(packed.size * 4, dtype=np.uint8)
-    out[0::4] = packed & 0x3
-    out[1::4] = (packed >> 2) & 0x3
-    out[2::4] = (packed >> 4) & 0x3
-    out[3::4] = (packed >> 6) & 0x3
+    # typed shift constants: numpy 2's weak promotion makes
+    # `uint8 >> python_int` ~80x slower than `uint8 >> np.uint8(...)`
+    m3 = np.uint8(0x3)
+    out[0::4] = packed & m3
+    out[1::4] = (packed >> np.uint8(2)) & m3
+    out[2::4] = (packed >> np.uint8(4)) & m3
+    out[3::4] = (packed >> np.uint8(6)) & m3
     if n is not None:
         out = out[:n]
     return out

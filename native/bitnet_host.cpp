@@ -174,6 +174,37 @@ BN_EXPORT void bn_repack_codes_tpu_words(const uint8_t* codes_kn, int64_t K,
   }
 }
 
+// Transposed-input variant: codes arrive [N, K] row-major (GGUF's
+// output-major order) and the transpose happens inside the pass — the
+// numpy `.T.copy()` a 2B bitnet32/TL load otherwise pays (~10 s strided
+// copy on one core) disappears.  Four K-consecutive codes (k0 % 4 == 0)
+// share plane j and word row, at byte slots 0..3: one 4-byte load
+// & 0x03030303 builds the word contribution directly.
+BN_EXPORT void bn_repack_codes_tpu_words_t(const uint8_t* codes_nk,
+                                           int64_t K, int64_t N,
+                                           uint32_t* out) {
+  const int64_t ntiles = (K + KT - 1) / KT;
+  const int64_t w = KT / 16;
+  std::memset(out, 0, (size_t)(ntiles * w * N) * 4);
+  const int64_t k4 = K & ~(int64_t)3;
+  for (int64_t n = 0; n < N; ++n) {
+    const uint8_t* row = codes_nk + n * K;
+    for (int64_t k0 = 0; k0 < k4; k0 += 4) {
+      uint32_t quad;
+      std::memcpy(&quad, row + k0, 4);
+      const int64_t t = k0 / KT, r = k0 % KT;
+      const int64_t j = r / 64, i = r % 64;
+      out[(t * w + (i >> 2)) * N + n] |= (quad & 0x03030303u) << (2 * j);
+    }
+    for (int64_t k = k4; k < K; ++k) {          // K % 4 tail
+      const int64_t t = k / KT, r = k % KT;
+      const int64_t j = r / 64, i = r % 64;
+      out[(t * w + (i >> 2)) * N + n] |=
+          ((uint32_t)(row[k] & 3)) << (2 * j + 8 * (i & 3));
+    }
+  }
+}
+
 // Fused QK256 payload ([N, K] output-major, GGUF storage) -> transposed
 // -> TPU interleave -> int32 words, one pass, no [K, N] codes temporary.
 //

@@ -84,6 +84,16 @@ class TestCodecParity:
         want = fold_packed_words(repack_codes_for_tpu(codes))
         np.testing.assert_array_equal(got, want)
 
+    def test_repack_words_transposed_view(self, rng):
+        """A `.T` view (F-order [K, N]) rides the in-kernel transpose —
+        bit-identical to the contiguous route, no host copy."""
+        codes_nk = rng.integers(0, 4, size=(96, 300)).astype(np.uint8)
+        view = codes_nk.T                      # [K=300, N=96], F-order
+        assert not view.flags.c_contiguous
+        got = native.repack_codes_tpu_words(view)
+        want = native.repack_codes_tpu_words(view.copy())  # C-contiguous
+        np.testing.assert_array_equal(got, want)
+
     def test_fused_payload_to_tpu_words(self, rng):
         """payload[N,K] → transpose → interleave → int32 words, one pass
         (the 2B-model load path, models/loader.py qk256 branch)."""
