@@ -165,7 +165,53 @@ def bench_prefill(cfg, params, kernel_path: str, T: int = 512,
     return chain_timer(step, mk, 6, 2, pairs=3, const_arg=params)
 
 
+def _fail_json(msg: str) -> None:
+    print(json.dumps({
+        "metric": "bitnet-2B decode tokens/s/chip",
+        "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+        "error": msg}), flush=True)
+
+
+def _wait_for_relay() -> bool:
+    """Ride out axon relay flaps (observed multi-hour outages
+    2026-08-17): probe the TPU in a SUBPROCESS (the plugin latches the
+    platform at import — a failed probe must not poison this process)
+    and retry for up to BITNET_BENCH_RELAY_WAIT_S before giving up.
+    Returns False when the relay stayed unreachable."""
+    import subprocess
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True          # no relay configured — CPU/other backend
+    max_wait = float(os.environ.get("BITNET_BENCH_RELAY_WAIT_S", "900"))
+    deadline = time.time() + max_wait
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "print('RELAY_OK', (x @ x).sum())")
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=150)
+            if r.returncode == 0 and "RELAY_OK" in r.stdout:
+                if attempt > 1:
+                    print(f"# relay back after {attempt} probes",
+                          file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"# relay probe {attempt} failed; retrying "
+              f"({deadline - time.time():.0f}s left)", file=sys.stderr)
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+
+
 def main() -> None:
+    if not _wait_for_relay():
+        _fail_json("TPU relay unreachable (probes failed for "
+                   f"{os.environ.get('BITNET_BENCH_RELAY_WAIT_S', '900')}s)")
+        sys.exit(3)
     # backend-init watchdog: PJRT client creation blocks FOREVER when the
     # axon relay is down (observed 2026-08-17: make_c_api_client hang) —
     # emit a machine-readable failure line instead of dying silently.
