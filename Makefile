@@ -6,9 +6,15 @@ PY ?= python
 test:
 	$(PY) -m pytest tests/ -q
 
-# inner loop (~3-5 min): everything not marked slow
+# inner loop: everything not marked slow (~8 min on a 1-core host;
+# use test-par on multi-core machines)
 test-fast:
 	$(PY) -m pytest tests/ -q -x -m "not slow"
+
+# parallel inner loop (pytest-xdist); each worker gets its own jax
+# process so the 8-virtual-device CPU configs don't fight over a mesh
+test-par:
+	$(PY) -m pytest tests/ -q -m "not slow" -n auto
 
 bench:
 	$(PY) bench.py
