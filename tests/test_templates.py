@@ -125,10 +125,15 @@ class TestExtendedTemplates:
         assert T.detect({}, "HuggingFaceH4/zephyr-7b") == \
             T.TemplateType.ZEPHYR
 
-    def test_qwen_maps_to_chatml(self):
+    def test_qwen_maps_to_chatml_family(self):
         from bitnet_tpu import templates as T
 
-        assert T.detect({}, "Qwen/Qwen2-7B") == T.TemplateType.CHATML
+        t = T.detect({}, "Qwen/Qwen2-7B")
+        assert t == T.TemplateType.QWEN_CHAT
+        # qwen renders through the chatml family — byte-identical markup
+        msgs = [T.Message("user", "x")]
+        assert T.render_chat(t, msgs) == \
+            T.render_chat(T.TemplateType.CHATML, msgs)
 
     def test_leak_markers(self):
         from bitnet_tpu import templates as T
@@ -142,3 +147,175 @@ class TestExtendedTemplates:
 
         for t in T.TemplateType:
             assert T.TemplateType.parse(t.value) is t
+
+
+class TestFullCatalog:
+    """Coverage of the full 59-type reference catalog (lib.rs:77-196)."""
+
+    def test_catalog_size_matches_reference(self):
+        from bitnet_tpu import templates as T
+
+        # reference enum has 59 variants; ours maps 1:1 except the
+        # generic CHATML (the reference folds "chatml" into Phi4Chat as
+        # a FromStr alias) and ALPACA (kept from round 1 alongside
+        # ALPACA_INSTRUCT), so ours is 59 + 1 = 60... but count what we
+        # actually ship and pin it.
+        assert len(T.TemplateType) >= 59
+        # every type has a spec row with stops/bos and a render family
+        for t in T.TemplateType:
+            T.spec_for(t)
+            T.render_chat(t, [T.Message("user", "hello")])
+
+    def test_every_type_renders_multiturn(self):
+        from bitnet_tpu import templates as T
+
+        msgs = [T.Message("system", "S"), T.Message("user", "U1"),
+                T.Message("assistant", "A1"), T.Message("user", "U2")]
+        for t in T.TemplateType:
+            out = T.render_chat(t, msgs)
+            assert isinstance(out, str) and "U2" in out, t
+
+    def test_llama2_sys_block(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(
+            T.TemplateType.LLAMA2_CHAT,
+            [T.Message("system", "BE NICE"), T.Message("user", "hi")])
+        assert out.startswith("[INST] <<SYS>>\nBE NICE\n<</SYS>>\n\nhi "
+                              "[/INST]")
+
+    def test_vicuna_prefix_system(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(T.TemplateType.VICUNA_CHAT,
+                            [T.Message("user", "q")])
+        # default system prompt is injected as a bare prefix paragraph
+        assert out.startswith("A chat between a curious user")
+        assert "USER: q" in out and out.endswith("ASSISTANT:")
+
+    def test_cohere_turn_tokens(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(T.TemplateType.COHERE_COMMAND,
+                            [T.Message("user", "q")])
+        assert out == ("<|START_OF_TURN_TOKEN|><|USER_TOKEN|>q"
+                       "<|END_OF_TURN_TOKEN|>"
+                       "<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>")
+
+    def test_granite_roles(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(T.TemplateType.GRANITE_CHAT,
+                            [T.Message("user", "q")])
+        assert "<|start_of_role|>system<|end_of_role|>" in out  # default
+        assert out.endswith("<|start_of_role|>assistant<|end_of_role|>")
+
+    def test_nemotron_extra_id(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(T.TemplateType.NEMOTRON_CHAT,
+                            [T.Message("user", "q")])
+        assert "<extra_id_1>User\nq\n" in out
+        assert out.endswith("<extra_id_1>Assistant\n")
+
+    def test_exaone(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(T.TemplateType.EXAONE_CHAT,
+                            [T.Message("user", "q")])
+        assert "[|user|]q" in out and out.endswith("[|assistant|]")
+
+    def test_openchat(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(
+            T.TemplateType.OPENCHAT,
+            [T.Message("system", "S"), T.Message("user", "q")])
+        assert out.startswith("GPT4 Correct User: S\n\nq<|end_of_turn|>")
+        assert out.endswith("GPT4 Correct Assistant:")
+
+    def test_fim(self):
+        from bitnet_tpu import templates as T
+
+        out = T.apply(T.TemplateType.FILL_IN_MIDDLE, "def f(:",
+                      system_prompt="    return 1")
+        assert out == ("<fim_prefix>def f(:<fim_suffix>    return 1"
+                       "<fim_middle>")
+
+    def test_chatglm(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(T.TemplateType.CHATGLM_CHAT,
+                            [T.Message("user", "q")])
+        assert out.startswith("[gMASK]<sop>")
+        assert out.endswith("<|assistant|>\n")
+
+    def test_mpt_hash_markers(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(T.TemplateType.MPT_INSTRUCT,
+                            [T.Message("user", "q")])
+        assert "### Instruction\nq\n\n" in out
+        assert out.endswith("### Response\n")
+
+    def test_rwkv_system_as_dialog(self):
+        from bitnet_tpu import templates as T
+
+        out = T.render_chat(
+            T.TemplateType.RWKV_WORLD,
+            [T.Message("system", "S"), T.Message("user", "q")])
+        # rwkv convention: system becomes a primed first exchange
+        assert out.startswith("User: S\n\nAssistant: OK\n\n")
+
+    def test_detection_specificity_ordering(self):
+        from bitnet_tpu import templates as T
+
+        cases = {
+            "meta-llama/Llama-3.1-8B": T.TemplateType.LLAMA31_CHAT,
+            "meta-llama/Llama-3.2-1B": T.TemplateType.LLAMA32_CHAT,
+            "meta-llama/Meta-Llama-3-8B": T.TemplateType.LLAMA3_CHAT,
+            "meta-llama/Llama-2-7b-chat": T.TemplateType.LLAMA2_CHAT,
+            "google/gemma-2-9b-it": T.TemplateType.GEMMA2_CHAT,
+            "google/gemma-2b-it": T.TemplateType.GEMMA,
+            "google/codegemma-7b": T.TemplateType.CODEGEMMA,
+            "mistralai/Mixtral-8x7B": T.TemplateType.MIXTRAL_INSTRUCT,
+            "mistralai/Mistral-7B-v0.1": T.TemplateType.MISTRAL_INSTRUCT,
+            "Qwen/Qwen2.5-7B": T.TemplateType.QWEN25_CHAT,
+            "deepseek-ai/DeepSeek-V3": T.TemplateType.DEEPSEEK_V3_CHAT,
+            "deepseek-ai/deepseek-llm-7b": T.TemplateType.DEEPSEEK_CHAT,
+            "codellama/CodeLlama-7b-Instruct":
+                T.TemplateType.CODELLAMA_INSTRUCT,
+            "tiiuae/falcon-7b-instruct": T.TemplateType.FALCON_CHAT,
+            "CohereForAI/c4ai-command-r-plus":
+                T.TemplateType.COMMAND_R_PLUS,
+            "ibm-granite/granite-3.0-8b": T.TemplateType.GRANITE_CHAT,
+            "microsoft/phi-2": T.TemplateType.PHI2_INSTRUCT,
+            "microsoft/Phi-3-mini-4k": T.TemplateType.PHI3,
+            "microsoft/phi-4": T.TemplateType.PHI4_CHAT,
+            "upstage/SOLAR-10.7B-Instruct": T.TemplateType.SOLAR_INSTRUCT,
+            "NousResearch/Hermes-2-Pro": T.TemplateType.NOUS_HERMES,
+            "openchat/openchat-3.5": T.TemplateType.OPENCHAT,
+            "bigcode/starcoder2-15b": T.TemplateType.STARCODER,
+            "TinyLlama/TinyLlama-1.1B-Chat": T.TemplateType.TINYLLAMA_CHAT,
+            "HuggingFaceTB/SmolLM-1.7B": T.TemplateType.SMOLLM_CHAT,
+        }
+        for name, want in cases.items():
+            assert T.detect({}, name) == want, name
+
+    def test_parse_reference_aliases(self):
+        from bitnet_tpu import templates as T
+
+        assert T.TemplateType.parse("qwen") == T.TemplateType.QWEN_CHAT
+        assert T.TemplateType.parse("llama3_chat") == \
+            T.TemplateType.LLAMA3_CHAT
+        assert T.TemplateType.parse("fim") == T.TemplateType.FILL_IN_MIDDLE
+        assert T.TemplateType.parse("command-r-plus") == \
+            T.TemplateType.COMMAND_R_PLUS
+
+    def test_stop_sequences_nonempty_for_chat_types(self):
+        from bitnet_tpu import templates as T
+
+        for t in T.TemplateType:
+            if t in (T.TemplateType.RAW, T.TemplateType.STARCODER):
+                continue
+            assert T.spec_for(t).stop_sequences, t
