@@ -26,6 +26,11 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--min-p", type=float, default=0.0)
     p.add_argument("--repetition-penalty", type=float, default=1.0)
+    p.add_argument("--frequency-penalty", type=float, default=0.0)
+    p.add_argument("--presence-penalty", type=float, default=0.0)
+    p.add_argument("--logit-bias", default=None,
+                   help="comma-separated token_id:bias pairs, e.g. "
+                        "'128001:-100,42:5' (<= -100 bans the token)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--deterministic", action="store_true")
@@ -88,6 +93,17 @@ def _build_engine(args):
     return InferenceEngine.from_gguf(args.model, ecfg, tokenizer=tokenizer)
 
 
+def _parse_logit_bias(spec: str | None) -> tuple:
+    """'128001:-100,42:5' → ((42, 5.0), (128001, -100.0))."""
+    if not spec:
+        return ()
+    pairs = {}
+    for part in spec.split(","):
+        tok, _, val = part.partition(":")
+        pairs[int(tok.strip())] = float(val.strip())
+    return tuple(sorted(pairs.items()))
+
+
 def _gen_config(args, extra_stops=()):
     from .config import GenerationConfig
 
@@ -98,6 +114,9 @@ def _gen_config(args, extra_stops=()):
         top_p=args.top_p,
         min_p=args.min_p,
         repetition_penalty=args.repetition_penalty,
+        frequency_penalty=args.frequency_penalty,
+        presence_penalty=args.presence_penalty,
+        logit_bias=_parse_logit_bias(args.logit_bias),
         seed=args.seed if not args.deterministic else (args.seed or 42),
         greedy=args.greedy or args.deterministic,
         stop_sequences=tuple(extra_stops),

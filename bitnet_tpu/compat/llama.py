@@ -1,0 +1,499 @@
+"""llama-cpp-python-compatible API over the TPU engine.
+
+Drop-in replacement for ``llama_cpp.Llama``: swap
+
+    from llama_cpp import Llama
+
+for
+
+    from bitnet_tpu.compat.llama import Llama
+
+and existing llama-cpp-python call sites work unchanged.  Capability
+parity with the reference's compat layer
+(``crates/bitnet-py/src/llama_compat.py:21-383``) plus what it stubs:
+here ``logit_bias`` / ``frequency_penalty`` / ``presence_penalty``
+actually reach the sampler (they are compiled into the on-device chain,
+``engine/sampling.py``), ``stream=True`` yields real OpenAI-style
+chunks, and ``create_chat_completion`` renders through the full
+prompt-template catalog (``templates/``).
+
+TPU-first notes: GPU/thread knobs (``n_gpu_layers``, ``n_threads``,
+``tensor_split``, ...) are accepted and ignored — placement is XLA's
+job.  ``n_ctx``/``n_batch`` map onto the engine's static KV-cache
+shape.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+import numpy as np
+
+from ..config import EngineConfig, GenerationConfig
+from ..errors import InferenceError
+
+
+def _bias_tuple(logit_bias) -> tuple:
+    if not logit_bias:
+        return ()
+    return tuple(sorted((int(k), float(v))
+                        for k, v in dict(logit_bias).items()))
+
+
+class Llama:
+    """Drop-in replacement for ``llama_cpp.Llama`` on TPU."""
+
+    def __init__(
+        self,
+        model_path: str,
+        n_ctx: int = 512,
+        n_batch: int = 512,
+        n_threads: Optional[int] = None,
+        n_gpu_layers: int = 0,
+        seed: int = -1,
+        logits_all: bool = False,
+        vocab_only: bool = False,
+        embedding: bool = False,
+        chat_format: Optional[str] = None,
+        verbose: bool = True,
+        **_ignored: Any,
+    ):
+        from ..engine.engine import InferenceEngine
+
+        self.model_path = model_path
+        self.verbose = verbose
+        self._seed = seed if seed >= 0 else None
+        self._n_ctx = n_ctx
+        self._chat_format = chat_format
+        self._logits_all = logits_all
+        self._embedding = embedding
+
+        eng_cfg = EngineConfig(max_seq_len=n_ctx)
+        self._engine = InferenceEngine.from_gguf(model_path, eng_cfg)
+        if self._engine.tokenizer is None:
+            raise InferenceError(
+                f"no tokenizer discoverable for {model_path}")
+        # detected chat template (GGUF metadata → name), overridable via
+        # chat_format= (llama-cpp chat_format strings map through parse)
+        from .. import templates
+
+        if chat_format:
+            self._template = templates.TemplateType.parse(chat_format)
+        else:
+            self._template = templates.detect(self.metadata, model_path)
+
+        # eval/sample state (the low-level llama.cpp-style API)
+        self._n_past = 0
+        self._last_logits: Optional[np.ndarray] = None
+        self._eval_tokens: List[int] = []
+
+    # ------------------------------------------------------------ tokens
+    def tokenize(self, text: Union[str, bytes], add_bos: bool = True,
+                 special: bool = True) -> List[int]:
+        if isinstance(text, bytes):
+            text = text.decode("utf-8")
+        return list(self._engine.tokenizer.encode(text, add_bos=add_bos))
+
+    def detokenize(self, tokens: List[int], *a, **_kw) -> bytes:
+        return self._engine.tokenizer.decode(list(tokens)).encode("utf-8")
+
+    # ------------------------------------------------- low-level eval API
+    def eval(self, tokens: List[int], **_kw) -> int:
+        """Evaluate tokens; stores last-position logits (llama_cpp.eval).
+
+        The whole accumulated sequence is (re)evaluated through the
+        engine's prefill — correct and simple; the engine's own
+        generate paths keep the KV cache incremental.
+        """
+        self._eval_tokens.extend(int(t) for t in tokens)
+        logits = self._engine.eval_ids(self._eval_tokens)
+        self._last_logits = logits[-1]
+        self._n_past = len(self._eval_tokens)
+        return 0
+
+    def sample(
+        self,
+        top_k: int = 40,
+        top_p: float = 0.95,
+        temperature: float = 0.8,
+        repeat_penalty: float = 1.1,
+        frequency_penalty: float = 0.0,
+        presence_penalty: float = 0.0,
+        mirostat_mode: int = 0,
+        mirostat_tau: float = 5.0,
+        mirostat_eta: float = 0.1,
+        logit_bias: Optional[Dict[int, float]] = None,
+        **_kw,
+    ) -> int:
+        if self._last_logits is None:
+            raise RuntimeError("No logits available. Call eval() first.")
+        import jax
+        import jax.numpy as jnp
+
+        from ..engine.sampling import MirostatState, SamplerChain
+
+        cfg = GenerationConfig(
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repeat_penalty,
+            frequency_penalty=frequency_penalty,
+            presence_penalty=presence_penalty,
+            logit_bias=_bias_tuple(logit_bias),
+            mirostat=mirostat_mode, mirostat_tau=mirostat_tau,
+            mirostat_eta=mirostat_eta,
+            greedy=temperature <= 0.0,
+        )
+        key = jax.random.PRNGKey(
+            self._seed if self._seed is not None else time.time_ns() % 2**31)
+        self._seed = (self._seed + 1) if self._seed is not None else None
+        W = cfg.repetition_window
+        hist = np.full((1, W), -1, np.int32)
+        tail = self._eval_tokens[-W:]
+        if tail:
+            hist[0, -len(tail):] = tail
+        row = jnp.asarray(self._last_logits)[None, :]
+        if mirostat_mode in (1, 2):
+            st = MirostatState.from_config(cfg)
+            return int(st.sample(row[0], key))
+        chain = SamplerChain(cfg)
+        return int(chain.sample(row, jnp.asarray(hist), key)[0])
+
+    def generate(self, tokens: List[int], reset: bool = True,
+                 **sample_kwargs) -> Iterator[int]:
+        """Token generator over the low-level eval/sample pair
+        (llama_cpp.generate). ``stopping_criteria`` supported."""
+        stopping = sample_kwargs.pop("stopping_criteria", None)
+        if reset:
+            self.reset()
+        self.eval(list(tokens))
+        while True:
+            tok = self.sample(**sample_kwargs)
+            if stopping is not None and stopping(
+                    self._eval_tokens, self._last_logits):
+                return
+            yield tok
+            self.eval([tok])
+
+    # ------------------------------------------------------- completions
+    def __call__(self, prompt: str, **kwargs) -> Union[Dict[str, Any],
+                                                       Iterator[Dict]]:
+        return self.create_completion(prompt, **kwargs)
+
+    def create_completion(
+        self,
+        prompt: Union[str, List[str], List[int]],
+        suffix: Optional[str] = None,
+        max_tokens: int = 128,
+        temperature: float = 0.8,
+        top_p: float = 0.95,
+        top_k: int = 40,
+        min_p: float = 0.0,
+        typical_p: float = 1.0,
+        repeat_penalty: float = 1.1,
+        frequency_penalty: float = 0.0,
+        presence_penalty: float = 0.0,
+        mirostat_mode: int = 0,
+        mirostat_tau: float = 5.0,
+        mirostat_eta: float = 0.1,
+        echo: bool = False,
+        stop: Optional[Union[str, List[str]]] = None,
+        stream: bool = False,
+        seed: Optional[int] = None,
+        logit_bias: Optional[Dict[int, float]] = None,
+        **_kw,
+    ):
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
+            # batch of prompts → one merged response (reference
+            # create_completion list behavior)
+            results = [self.create_completion(
+                p, max_tokens=max_tokens, temperature=temperature,
+                top_p=top_p, top_k=top_k, repeat_penalty=repeat_penalty,
+                echo=echo, stop=stop, seed=seed, logit_bias=logit_bias)
+                for p in prompt]
+            return {
+                "id": f"cmpl-{uuid.uuid4().hex[:24]}",
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": self.model_path,
+                "choices": [dict(r["choices"][0], index=i)
+                            for i, r in enumerate(results)],
+                "usage": {
+                    "prompt_tokens": sum(
+                        r["usage"]["prompt_tokens"] for r in results),
+                    "completion_tokens": sum(
+                        r["usage"]["completion_tokens"] for r in results),
+                    "total_tokens": sum(
+                        r["usage"]["total_tokens"] for r in results),
+                },
+            }
+
+        stop_list = ([stop] if isinstance(stop, str) else list(stop or []))
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_tokens,
+            temperature=max(temperature, 0.0),
+            top_k=top_k, top_p=top_p, min_p=min_p, typical_p=typical_p,
+            repetition_penalty=repeat_penalty,
+            frequency_penalty=frequency_penalty,
+            presence_penalty=presence_penalty,
+            logit_bias=_bias_tuple(logit_bias),
+            mirostat=mirostat_mode, mirostat_tau=mirostat_tau,
+            mirostat_eta=mirostat_eta,
+            seed=seed if seed is not None else self._seed,
+            greedy=temperature <= 0.0,
+            stop_sequences=tuple(stop_list),
+        )
+        if isinstance(prompt, list):            # token-id prompt
+            token_ids = [int(t) for t in prompt]
+            prompt_text = None
+        else:
+            token_ids = self.tokenize(prompt, add_bos=gen_cfg.add_bos)
+            prompt_text = prompt
+        cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+
+        if stream:
+            return self._stream_completion(cid, token_ids, gen_cfg,
+                                           object_type="text_completion")
+
+        res = self._engine_generate(token_ids, gen_cfg)
+        text = res["text"]
+        if echo and prompt_text is not None:
+            text = prompt_text + text
+        return {
+            "id": cid,
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": self.model_path,
+            "choices": [{
+                "text": text,
+                "index": 0,
+                "logprobs": None,
+                "finish_reason": res["finish_reason"],
+            }],
+            "usage": {
+                "prompt_tokens": len(token_ids),
+                "completion_tokens": res["completion_tokens"],
+                "total_tokens": len(token_ids) + res["completion_tokens"],
+            },
+        }
+
+    def create_chat_completion(
+        self,
+        messages: List[Dict[str, str]],
+        stream: bool = False,
+        stop: Optional[Union[str, List[str]]] = None,
+        max_tokens: int = 128,
+        **kwargs,
+    ):
+        """OpenAI-style chat completion through the prompt-template
+        catalog — absent from the reference's compat layer; exceeds it."""
+        from .. import templates
+
+        msgs = [templates.Message(m["role"], m["content"]) for m in messages]
+        prompt = templates.render_chat(self._template, msgs)
+        spec = templates.spec_for(self._template)
+        stop_list = ([stop] if isinstance(stop, str) else list(stop or []))
+        stop_list.extend(s for s in spec.stop_sequences
+                         if s not in stop_list)
+        token_ids = self.tokenize(prompt, add_bos=spec.add_bos)
+
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_tokens,
+            temperature=max(float(kwargs.get("temperature", 0.8)), 0.0),
+            top_k=int(kwargs.get("top_k", 40)),
+            top_p=float(kwargs.get("top_p", 0.95)),
+            min_p=float(kwargs.get("min_p", 0.0)),
+            repetition_penalty=float(kwargs.get("repeat_penalty", 1.1)),
+            frequency_penalty=float(kwargs.get("frequency_penalty", 0.0)),
+            presence_penalty=float(kwargs.get("presence_penalty", 0.0)),
+            logit_bias=_bias_tuple(kwargs.get("logit_bias")),
+            seed=kwargs.get("seed", self._seed),
+            greedy=float(kwargs.get("temperature", 0.8)) <= 0.0,
+            stop_sequences=tuple(stop_list),
+        )
+        cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        if stream:
+            return self._stream_completion(cid, token_ids, gen_cfg,
+                                           object_type="chat.completion.chunk")
+        res = self._engine_generate(token_ids, gen_cfg)
+        return {
+            "id": cid,
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": self.model_path,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": res["text"]},
+                "finish_reason": res["finish_reason"],
+            }],
+            "usage": {
+                "prompt_tokens": len(token_ids),
+                "completion_tokens": res["completion_tokens"],
+                "total_tokens": len(token_ids) + res["completion_tokens"],
+            },
+        }
+
+    # ------------------------------------------------------- embeddings
+    def create_embedding(self, input: Union[str, List[str]],
+                         model: Optional[str] = None) -> Dict[str, Any]:
+        if isinstance(input, str):
+            input = [input]
+        data = []
+        total = 0
+        for i, text in enumerate(input):
+            ids = self.tokenize(text)
+            total += len(ids)
+            h = self._engine.embed_ids(ids)       # [T, H]
+            data.append({
+                "object": "embedding",
+                "embedding": h.mean(axis=0).tolist(),   # mean pooling
+                "index": i,
+            })
+        return {
+            "object": "list",
+            "data": data,
+            "model": model or self.model_path,
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        }
+
+    def embed(self, input: Union[str, List[str]]) -> List:
+        out = self.create_embedding(input)["data"]
+        if len(out) == 1:
+            return out[0]["embedding"]
+        return [d["embedding"] for d in out]
+
+    # ----------------------------------------------------------- state
+    def reset(self) -> None:
+        self._n_past = 0
+        self._eval_tokens = []
+        self._last_logits = None
+
+    def save_state(self):
+        from ..engine.checkpoint import capture
+
+        return capture(self._engine, self._eval_tokens, [])
+
+    def load_state(self, state) -> None:
+        from ..engine.checkpoint import restore
+
+        restore(self._engine, state)
+        self._eval_tokens = list(state.all_ids)
+        self._n_past = len(self._eval_tokens)
+
+    def set_cache(self, cache: Any) -> None:
+        self._cache_obj = cache
+
+    def get_cache(self) -> Any:
+        return getattr(self, "_cache_obj", None)
+
+    # ------------------------------------------------------- properties
+    @property
+    def n_vocab(self) -> int:
+        return self._engine.tokenizer.vocab_size()
+
+    @property
+    def n_ctx(self) -> int:
+        return self._n_ctx
+
+    @property
+    def n_embd(self) -> int:
+        return self._engine.cfg.hidden_size
+
+    # llama-cpp-python exposes these as methods on some versions
+    def n_vocab_(self) -> int:
+        return self.n_vocab
+
+    @property
+    def metadata(self) -> dict:
+        if not hasattr(self, "_metadata"):
+            meta: dict = {}
+            if str(self.model_path).endswith(".gguf"):
+                try:
+                    from ..gguf.reader import GGUFReader
+
+                    r = GGUFReader(self.model_path)
+                    meta = dict(r.metadata)
+                    r.close()
+                except Exception:
+                    meta = {}
+            self._metadata = meta
+        return self._metadata
+
+    # ------------------------------------------------------- internals
+    def _engine_generate(self, token_ids: List[int],
+                         gen_cfg: GenerationConfig) -> Dict[str, Any]:
+        from ..engine.stop import StopReason
+
+        res = self._engine.generate(token_ids, gen_cfg)
+        reason = ("length" if res.stop_reason == StopReason.MAX_TOKENS
+                  else "stop")
+        return {
+            "text": res.text,
+            "completion_tokens": len(res.token_ids),
+            "finish_reason": reason,
+        }
+
+    def _stream_completion(self, cid: str, token_ids: List[int],
+                           gen_cfg: GenerationConfig,
+                           object_type: str) -> Iterator[Dict[str, Any]]:
+        from ..engine.stop import StopReason
+
+        created = int(time.time())
+        chat = object_type == "chat.completion.chunk"
+        n = 0
+        if chat:
+            yield {
+                "id": cid, "object": object_type, "created": created,
+                "model": self.model_path,
+                "choices": [{"index": 0,
+                             "delta": {"role": "assistant"},
+                             "finish_reason": None}],
+            }
+        for ev in self._engine.generate_stream(token_ids, gen_cfg):
+            n += 1
+            piece = ev.text
+            body = ({"delta": {"content": piece}} if chat
+                    else {"text": piece, "logprobs": None})
+            yield {
+                "id": cid, "object": object_type, "created": created,
+                "model": self.model_path,
+                "choices": [dict(body, index=0, finish_reason=None)],
+            }
+        reason = ("length"
+                  if self._engine._last_stop_reason == StopReason.MAX_TOKENS
+                  else "stop")
+        final = ({"delta": {}} if chat else {"text": "", "logprobs": None})
+        yield {
+            "id": cid, "object": object_type, "created": created,
+            "model": self.model_path,
+            "choices": [dict(final, index=0, finish_reason=reason)],
+        }
+
+
+# ---------------------------------------------------------------------------
+# Module-level llama.cpp compatibility helpers
+# ---------------------------------------------------------------------------
+def llama_backend_init(numa: bool = False) -> None:
+    """No-op (XLA owns device initialization)."""
+
+
+def llama_backend_free() -> None:
+    """No-op."""
+
+
+class LlamaCache:
+    """Pickle-compatible opaque cache object (reference
+    llama_compat.py:364-374)."""
+
+    def __init__(self, capacity: int = 512):
+        self.capacity = capacity
+        self.data: dict = {}
+
+    def __getstate__(self):
+        return self.data
+
+    def __setstate__(self, state):
+        self.data = state
+
+
+__all__ = ["Llama", "LlamaCache", "llama_backend_init", "llama_backend_free"]

@@ -143,6 +143,9 @@ class GenerationConfig:
     typical_p: float = 1.0         # 1.0 = disabled
     repetition_penalty: float = 1.0
     repetition_window: int = 64
+    frequency_penalty: float = 0.0  # OpenAI-style: -= count * penalty
+    presence_penalty: float = 0.0   # OpenAI-style: -= (count > 0) * penalty
+    logit_bias: tuple[tuple[int, float], ...] = ()  # (token_id, bias) pairs
     mirostat: int = 0              # 0 = off, 1 = v1, 2 = v2
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
@@ -165,6 +168,18 @@ class GenerationConfig:
             raise ConfigError("repetition_penalty must be > 0")
         if self.mirostat not in (0, 1, 2):
             raise ConfigError("mirostat must be 0, 1 or 2")
+        for p, name in ((self.frequency_penalty, "frequency_penalty"),
+                        (self.presence_penalty, "presence_penalty")):
+            if not (-2.0 <= p <= 2.0):
+                raise ConfigError(f"{name} must be in [-2, 2]")
+        if not isinstance(self.logit_bias, tuple):
+            # accept dict / list at the call site, store hashably
+            object.__setattr__(
+                self, "logit_bias",
+                tuple(sorted(dict(self.logit_bias).items())))
+        for tok, _b in self.logit_bias:
+            if not isinstance(tok, int) or tok < 0:
+                raise ConfigError("logit_bias keys must be token ids >= 0")
 
     @property
     def is_greedy(self) -> bool:

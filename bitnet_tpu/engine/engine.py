@@ -215,7 +215,8 @@ class InferenceEngine:
     def _get_sampler(self, gen_cfg: GenerationConfig) -> Callable:
         key = (gen_cfg.temperature, gen_cfg.top_k, gen_cfg.top_p,
                gen_cfg.min_p, gen_cfg.typical_p, gen_cfg.repetition_penalty,
-               gen_cfg.is_greedy)
+               gen_cfg.frequency_penalty, gen_cfg.presence_penalty,
+               gen_cfg.logit_bias, gen_cfg.is_greedy)
         if key not in self._sample_jit:
             chain = SamplerChain(gen_cfg)
             self._sample_jit[key] = jax.jit(chain.sample)
@@ -232,7 +233,9 @@ class InferenceEngine:
         sampler config + K."""
         key = ("seg", n_steps, gen_cfg.temperature, gen_cfg.top_k,
                gen_cfg.top_p, gen_cfg.min_p, gen_cfg.typical_p,
-               gen_cfg.repetition_penalty, gen_cfg.is_greedy)
+               gen_cfg.repetition_penalty, gen_cfg.frequency_penalty,
+               gen_cfg.presence_penalty, gen_cfg.logit_bias,
+               gen_cfg.is_greedy)
         if key not in self._sample_jit:
             from .loop import build_decode_segment
 
@@ -754,6 +757,27 @@ class InferenceEngine:
         self._decode_jit = None
         self._restore_jit = {}
         return self
+
+    def embed_ids(self, token_ids: list[int]) -> np.ndarray:
+        """Final-hidden-state embeddings for a sequence, [T, H] float32
+        (the llama-cpp ``embedding=True`` path; reference exposes it via
+        ``context.get_embeddings``, bitnet-py/src/llama_compat.py:275)."""
+        T = len(token_ids)
+        S = self.engine_cfg.max_seq_len
+        self.cache = reset_cache(self.cache)
+        B = self.engine_cfg.max_batch_size
+        Tp = self._bucket(T)
+        toks = np.zeros((B, Tp), np.int32)
+        toks[0, :T] = token_ids
+        pos = np.full((B, Tp), S, np.int32)
+        pos[0, :T] = np.arange(T)
+        fn = self._get_prefill(Tp)
+        _lg, h, self.cache = fn(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.cache,
+            jnp.asarray([T] + [0] * (B - 1), jnp.int32),
+            jnp.asarray([T - 1] + [0] * (B - 1), jnp.int32),
+        )
+        return np.asarray(h[0, :T], dtype=np.float32)
 
     # -- cross-validation ------------------------------------------------------
     def eval_ids(self, token_ids: list[int]) -> np.ndarray:

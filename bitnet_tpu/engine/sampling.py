@@ -116,6 +116,49 @@ def apply_repetition_penalty(
     return jnp.where(seen, penalized, logits)
 
 
+def apply_presence_frequency(
+    logits: jnp.ndarray,          # [B, V]
+    history: jnp.ndarray,         # [B, W] recent token ids (pad with -1)
+    frequency_penalty: float,
+    presence_penalty: float,
+) -> jnp.ndarray:
+    """OpenAI-style additive penalties over the recent-history window:
+    ``logits -= frequency_penalty * count + presence_penalty * (count > 0)``
+    (llama-cpp / OpenAI semantics; the reference accepts both knobs in its
+    llama-compat surface, bitnet-py/src/llama_compat.py:121-122)."""
+    if frequency_penalty == 0.0 and presence_penalty == 0.0:
+        return logits
+    B, V = logits.shape
+    hist = jnp.where(history < 0, V, history)  # OOB for padding → dropped
+    counts = jnp.zeros((B, V + 1), logits.dtype).at[
+        jnp.arange(B)[:, None], hist
+    ].add(1.0)[:, :V]
+    return (logits - frequency_penalty * counts
+            - presence_penalty * (counts > 0))
+
+
+def apply_logit_bias(
+    logits: jnp.ndarray,                        # [B, V]
+    bias: tuple[tuple[int, float], ...],
+) -> jnp.ndarray:
+    """Add per-token biases (OpenAI ``logit_bias``).  ``bias`` is a static
+    tuple of (token_id, value) pairs baked into the compiled sampler; a
+    value <= -100 is treated as a hard ban (-inf), >= 100 as forced-keep
+    scaling, matching the OpenAI API contract."""
+    if not bias:
+        return logits
+    V = logits.shape[-1]
+    ids = jnp.asarray([t for t, _ in bias if t < V], jnp.int32)
+    vals = jnp.asarray([v for t, v in bias if t < V], jnp.float32)
+    if ids.size == 0:
+        return logits
+    vec = jnp.zeros((V,), jnp.float32).at[ids].add(vals)
+    out = logits + vec
+    # hard ban for -100-and-below, per the OpenAI contract
+    ban = jnp.zeros((V,), bool).at[ids].set(vals <= -100.0)
+    return jnp.where(ban, NEG_INF, out)
+
+
 def softmax(logits: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(logits, axis=-1)
 
@@ -142,7 +185,10 @@ class SamplerChain:
                   ) -> jnp.ndarray:
         c = self.config
         logits = logits.astype(jnp.float32)
+        logits = apply_logit_bias(logits, c.logit_bias)
         logits = apply_repetition_penalty(logits, history, c.repetition_penalty)
+        logits = apply_presence_frequency(
+            logits, history, c.frequency_penalty, c.presence_penalty)
         if c.is_greedy:
             return logits
         logits = apply_temperature(logits, c.temperature)

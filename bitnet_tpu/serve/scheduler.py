@@ -216,6 +216,14 @@ class ContinuousBatchingScheduler:
         self.pending: "queue.PriorityQueue[tuple[int, float, int, Request]]" \
             = queue.PriorityQueue()
         self._tokens = np.zeros(self.B, np.int32)     # next input per slot
+        # per-slot logit-bias rows: device-resident [B, V] matrix,
+        # allocated lazily on the first biased request (bias-free serving
+        # never pays the [B, V] HBM or the per-step pass — use_bias is a
+        # static flag on the decode programs); _dummy_bias keeps the jit
+        # signature stable when bias is off
+        self._bias_rows = None
+        self._bias_live = np.zeros(self.B, bool)
+        self._dummy_bias = jnp.zeros((1, 1), jnp.float32)
         self._wake = threading.Event()
         self._stopping = False
         self._req_counter = 0
@@ -249,14 +257,25 @@ class ContinuousBatchingScheduler:
                 return x
 
         def pooled_sample(raw, temps, top_ks, top_ps, min_ps, typ_ps,
-                          rep_pens, history, keys, use_typical):
+                          rep_pens, freq_pens, pres_pens, bias_rows,
+                          history, keys, use_typical, use_bias):
             """Per-slot sampling replicating ``engine.sampling.SamplerChain``
-            exactly (repetition penalty → temperature → top-k → top-p →
-            min-p → [typical-p] → per-slot categorical), with every
-            parameter traced per slot and an independent PRNG stream per
-            slot — so a request produces the same tokens here as via
-            ``InferenceEngine.generate`` with the same seed."""
+            exactly (logit bias → repetition penalty → frequency/presence
+            penalties → temperature → top-k → top-p → min-p →
+            [typical-p] → per-slot categorical), with every parameter
+            traced per slot and an independent PRNG stream per slot — so
+            a request produces the same tokens here as via
+            ``InferenceEngine.generate`` with the same seed.
+
+            ``bias_rows`` is the device-resident per-slot [B, V] logit
+            bias matrix (maintained at admit time, NOT shipped per
+            dispatch); ``use_bias`` is a static flag so bias-free serving
+            compiles without the [B, V] pass.  A bias value <= -100 is a
+            hard ban (OpenAI contract; engine apply_logit_bias parity)."""
             B, V = raw.shape
+            if use_bias:
+                raw = jnp.where(bias_rows <= -100.0, NEG_INF,
+                                raw + bias_rows)
             # repetition penalty over the live per-slot history
             hist = jnp.where(history < 0, V, history)
             counts = jnp.zeros((B, V + 1), raw.dtype).at[
@@ -265,6 +284,10 @@ class ContinuousBatchingScheduler:
             pen = jnp.where(raw > 0, raw / rep_pens[:, None],
                             raw * rep_pens[:, None])
             lg = jnp.where(seen, pen, raw)
+            # OpenAI-style additive penalties (engine
+            # apply_presence_frequency parity; counts reused)
+            lg = (lg - freq_pens[:, None] * counts
+                  - pres_pens[:, None] * seen)
             greedy_tok = jnp.argmax(lg, -1).astype(jnp.int32)
 
             t = jnp.maximum(temps[:, None], 1e-6)
@@ -311,10 +334,11 @@ class ContinuousBatchingScheduler:
             return nxt, subs, new_keys
 
         @partial(jax.jit, donate_argnums=(3,),
-                 static_argnames=("use_typical", "rep_logits"))
+                 static_argnames=("use_typical", "use_bias", "rep_logits"))
         def decode_step(params, tokens, positions, cache: KVCache,
                         active, temps, top_ks, top_ps, min_ps, typ_ps,
-                        rep_pens, history, keys, use_typical=False,
+                        rep_pens, freq_pens, pres_pens, bias_rows,
+                        history, keys, use_typical=False, use_bias=False,
                         rep_logits=False):
             """One batched decode step + per-slot sampling.
 
@@ -335,7 +359,8 @@ class ContinuousBatchingScheduler:
             raw = model_logits(cfg, params, h, kp)[:, 0, :].astype(jnp.float32)
             nxt, subs, new_keys = pooled_sample(
                 raw, temps, top_ks, top_ps, min_ps, typ_ps, rep_pens,
-                history, keys, use_typical)
+                freq_pens, pres_pens, bias_rows, history, keys,
+                use_typical, use_bias)
             if rep_logits:
                 raw, subs = rep(raw), rep(subs)
             return rep(nxt), raw, subs, rep(new_keys), cache
@@ -343,10 +368,11 @@ class ContinuousBatchingScheduler:
         self._decode_step = decode_step
 
         @partial(jax.jit, donate_argnums=(3,),
-                 static_argnames=("use_typical", "n_steps"))
+                 static_argnames=("use_typical", "use_bias", "n_steps"))
         def decode_multi(params, tokens, positions, cache: KVCache,
                          active, temps, top_ks, top_ps, min_ps, typ_ps,
-                         rep_pens, history, keys, use_typical=False,
+                         rep_pens, freq_pens, pres_pens, bias_rows,
+                         history, keys, use_typical=False, use_bias=False,
                          n_steps=1):
             """``n_steps`` decode steps in ONE dispatch (lax.scan).
 
@@ -377,7 +403,8 @@ class ContinuousBatchingScheduler:
                     jnp.float32)
                 nxt, _, new_keys = pooled_sample(
                     raw, temps, top_ks, top_ps, min_ps, typ_ps, rep_pens,
-                    history, keys, use_typical)
+                    freq_pens, pres_pens, bias_rows, history, keys,
+                    use_typical, use_bias)
                 history = jnp.where(
                     active[:, None],
                     jnp.concatenate([history[:, 1:], nxt[:, None]], axis=1),
@@ -400,11 +427,14 @@ class ContinuousBatchingScheduler:
             S_view, page = self.S_view, self.page_size
 
             @partial(jax.jit, donate_argnums=(3,),
-                     static_argnames=("use_typical", "rep_logits"))
+                     static_argnames=("use_typical", "use_bias",
+                                      "rep_logits"))
             def decode_step_paged(params, tokens, positions, cache,
                                   active, temps, top_ks, top_ps, min_ps,
-                                  typ_ps, rep_pens, history, keys,
-                                  use_typical=False, rep_logits=False):
+                                  typ_ps, rep_pens, freq_pens, pres_pens,
+                                  bias_rows, history, keys,
+                                  use_typical=False, use_bias=False,
+                                  rep_logits=False):
                 pos_in = jnp.where(active, positions, S_view)
                 h, cache = paged_forward(
                     cfg, params, tokens[:, None], pos_in[:, None], cache,
@@ -414,17 +444,20 @@ class ContinuousBatchingScheduler:
                     jnp.float32)
                 nxt, subs, new_keys = pooled_sample(
                     raw, temps, top_ks, top_ps, min_ps, typ_ps, rep_pens,
-                    history, keys, use_typical)
+                    freq_pens, pres_pens, bias_rows, history, keys,
+                    use_typical, use_bias)
                 return nxt, raw, subs, new_keys, cache
 
             self._decode_step_paged = decode_step_paged
 
             @partial(jax.jit, donate_argnums=(3,),
-                     static_argnames=("use_typical", "n_steps"))
+                     static_argnames=("use_typical", "use_bias", "n_steps"))
             def decode_multi_paged(params, tokens, positions, cache,
                                    active, temps, top_ks, top_ps, min_ps,
-                                   typ_ps, rep_pens, history, keys,
-                                   use_typical=False, n_steps=1):
+                                   typ_ps, rep_pens, freq_pens, pres_pens,
+                                   bias_rows, history, keys,
+                                   use_typical=False, use_bias=False,
+                                   n_steps=1):
                 """``n_steps`` paged decode steps in ONE dispatch — the
                 paged twin of ``decode_multi``.  The host pre-allocates
                 the window's page-boundary pages (``_paged_grow(steps)``)
@@ -442,7 +475,8 @@ class ContinuousBatchingScheduler:
                         jnp.float32)
                     nxt, _, new_keys = pooled_sample(
                         raw, temps, top_ks, top_ps, min_ps, typ_ps,
-                        rep_pens, history, keys, use_typical)
+                        rep_pens, freq_pens, pres_pens, bias_rows,
+                        history, keys, use_typical, use_bias)
                     history = jnp.where(
                         active[:, None],
                         jnp.concatenate([history[:, 1:], nxt[:, None]],
@@ -616,33 +650,44 @@ class ContinuousBatchingScheduler:
                     self.cache, kc, vc, ks, vs,
                     slot_idx, jnp.asarray(T, jnp.int32))
                 last_prefill = None
+            elif op == "bias":
+                # mirror the frontend's admit-time bias row (never sent
+                # per dispatch — each process keeps its own [B, V] matrix)
+                _, slot_idx, bias = rec
+                self._set_slot_bias(slot_idx, bias)
             elif op == "decode_multi":
                 (_, tokens, positions, active, temps, top_ks, top_ps,
-                 min_ps, typ_ps, reps, hist, keys, use_typical,
-                 n_steps) = rec
+                 min_ps, typ_ps, reps, freqs, press, hist, keys,
+                 use_typical, use_bias, n_steps) = rec
+                bias_rows = (self._bias_rows if use_bias
+                             else self._dummy_bias)
                 out = self._decode_multi(
                     self.params, jnp.asarray(tokens),
                     jnp.asarray(positions), self.cache,
                     jnp.asarray(active), jnp.asarray(temps),
                     jnp.asarray(top_ks), jnp.asarray(top_ps),
                     jnp.asarray(min_ps), jnp.asarray(typ_ps),
-                    jnp.asarray(reps), jnp.asarray(hist),
+                    jnp.asarray(reps), jnp.asarray(freqs),
+                    jnp.asarray(press), bias_rows, jnp.asarray(hist),
                     jnp.asarray(keys), use_typical=use_typical,
-                    n_steps=n_steps)
+                    use_bias=use_bias, n_steps=n_steps)
                 self.cache = out[2]
             elif op == "decode":
                 (_, tokens, positions, active, temps, top_ks, top_ps,
-                 min_ps, typ_ps, reps, hist, keys, use_typical,
-                 rep_logits) = rec
+                 min_ps, typ_ps, reps, freqs, press, hist, keys,
+                 use_typical, use_bias, rep_logits) = rec
+                bias_rows = (self._bias_rows if use_bias
+                             else self._dummy_bias)
                 out = self._decode_step(
                     self.params, jnp.asarray(tokens),
                     jnp.asarray(positions), self.cache,
                     jnp.asarray(active), jnp.asarray(temps),
                     jnp.asarray(top_ks), jnp.asarray(top_ps),
                     jnp.asarray(min_ps), jnp.asarray(typ_ps),
-                    jnp.asarray(reps), jnp.asarray(hist),
+                    jnp.asarray(reps), jnp.asarray(freqs),
+                    jnp.asarray(press), bias_rows, jnp.asarray(hist),
                     jnp.asarray(keys), use_typical=use_typical,
-                    rep_logits=rep_logits)
+                    use_bias=use_bias, rep_logits=rep_logits)
                 self.cache = out[4]
             else:  # pragma: no cover - protocol guard
                 raise InferenceError(f"unknown control record {op!r}")
@@ -913,6 +958,11 @@ class ContinuousBatchingScheduler:
             slot.deadline = (req.submitted_at + req.timeout_s
                              if req.timeout_s is not None else None)
             slot.admitted_at = time.time()
+            if req.gen.logit_bias or self._bias_live[slot_idx]:
+                self._set_slot_bias(slot_idx, req.gen.logit_bias)
+                if self._channel is not None:
+                    self._channel.send(
+                        ("bias", slot_idx, req.gen.logit_bias))
             slot.active = True
             first = self._sample_first(slot, lg)
             self._emit(slot_idx, first)
@@ -1046,6 +1096,23 @@ class ContinuousBatchingScheduler:
         kept.sort()
         return kept
 
+    def _set_slot_bias(self, slot_idx: int,
+                       bias: tuple[tuple[int, float], ...]) -> None:
+        """Write one slot's logit-bias row into the device matrix
+        (admit-time only — never shipped per dispatch)."""
+        V = self.cfg.vocab_size
+        if self._bias_rows is None:
+            if not bias:
+                return
+            self._bias_rows = jnp.zeros((self.B, V), jnp.float32)
+        row = np.zeros((V,), np.float32)
+        for tok, val in bias:
+            if 0 <= tok < V:
+                row[tok] = val
+        self._bias_rows = self._bias_rows.at[slot_idx].set(
+            jnp.asarray(row))
+        self._bias_live[slot_idx] = bool(bias)
+
     def _sample_first(self, slot: _Slot, lg: jnp.ndarray) -> int:
         """Sample the prefill token with the slot's key stream + the
         prompt-tail history — exactly the engine's first decode-loop
@@ -1162,10 +1229,13 @@ class ContinuousBatchingScheduler:
             min_ps = np.zeros(self.B, np.float32)
             typ_ps = np.ones(self.B, np.float32)
             reps = np.ones(self.B, np.float32)
+            freqs = np.zeros(self.B, np.float32)
+            press = np.zeros(self.B, np.float32)
             positions = np.zeros(self.B, np.int32)
             hist = np.full((self.B, HISTORY_W), -1, np.int32)
             keys = zero_keys.copy()
             use_typical = False
+            use_bias = False
             for i in active_idx:
                 s = self.slots[i]
                 g = s.req.gen
@@ -1178,15 +1248,21 @@ class ContinuousBatchingScheduler:
                 if g.typical_p < 1.0 and not g.is_greedy:
                     use_typical = True
                 reps[i] = g.repetition_penalty
+                freqs[i] = g.frequency_penalty
+                press[i] = g.presence_penalty
+                if self._bias_live[i]:
+                    use_bias = True
                 positions[i] = s.pos
                 hist[i] = self._slot_history(s)
                 keys[i] = np.asarray(s.key, np.uint32)
+            bias_rows = (self._bias_rows if use_bias else self._dummy_bias)
             if k_eff > 1:
                 if self._channel is not None:
                     self._channel.send((
                         "decode_multi", self._tokens.copy(), positions,
                         active, temps, top_ks, top_ps, min_ps, typ_ps,
-                        reps, hist, keys, use_typical, k_eff))
+                        reps, freqs, press, hist, keys, use_typical,
+                        use_bias, k_eff))
                 multi_fn = (self._decode_multi_paged if self.paged
                             else self._decode_multi)
                 nxt_seq, new_keys, self.cache = multi_fn(
@@ -1195,9 +1271,10 @@ class ContinuousBatchingScheduler:
                     jnp.asarray(active), jnp.asarray(temps),
                     jnp.asarray(top_ks), jnp.asarray(top_ps),
                     jnp.asarray(min_ps), jnp.asarray(typ_ps),
-                    jnp.asarray(reps), jnp.asarray(hist),
+                    jnp.asarray(reps), jnp.asarray(freqs),
+                    jnp.asarray(press), bias_rows, jnp.asarray(hist),
                     jnp.asarray(keys), use_typical=use_typical,
-                    n_steps=k_eff)
+                    use_bias=use_bias, n_steps=k_eff)
                 nxt_np = np.asarray(nxt_seq)          # [k, B]
                 new_keys_np = np.asarray(new_keys)
                 self.stats["decode_steps"] += k_eff
@@ -1220,16 +1297,18 @@ class ContinuousBatchingScheduler:
             if self._channel is not None:
                 self._channel.send((
                     "decode", self._tokens.copy(), positions, active,
-                    temps, top_ks, top_ps, min_ps, typ_ps, reps, hist,
-                    keys, use_typical, rep_logits))
+                    temps, top_ks, top_ps, min_ps, typ_ps, reps, freqs,
+                    press, hist, keys, use_typical, use_bias, rep_logits))
             nxt, raw_lg, subs, new_keys, self.cache = step_fn(
                 self.params, jnp.asarray(self._tokens),
                 jnp.asarray(positions), self.cache,
                 jnp.asarray(active), jnp.asarray(temps),
                 jnp.asarray(top_ks), jnp.asarray(top_ps),
                 jnp.asarray(min_ps), jnp.asarray(typ_ps), jnp.asarray(reps),
+                jnp.asarray(freqs), jnp.asarray(press), bias_rows,
                 jnp.asarray(hist), jnp.asarray(keys),
-                use_typical=use_typical, rep_logits=rep_logits)
+                use_typical=use_typical, use_bias=use_bias,
+                rep_logits=rep_logits)
             nxt_np = np.asarray(nxt)
             new_keys_np = np.asarray(new_keys)
             if rep_logits:

@@ -80,6 +80,23 @@ def _validate_body(body: dict) -> str | None:
     if rp is not None and (not isinstance(rp, (int, float))
                            or float(rp) <= 0):
         return "repetition_penalty must be > 0"
+    for key in ("frequency_penalty", "presence_penalty"):
+        v = body.get(key)
+        if v is not None and (not isinstance(v, (int, float))
+                              or not (-2.0 <= float(v) <= 2.0)):
+            return f"{key} must be a number in [-2, 2]"
+    lb = body.get("logit_bias")
+    if lb is not None:
+        if not isinstance(lb, dict):
+            return "logit_bias must be an object of token_id -> bias"
+        for k, v in lb.items():
+            try:
+                tok = int(k)
+            except (TypeError, ValueError):
+                return "logit_bias keys must be integer token ids"
+            if tok < 0 or not isinstance(v, (int, float)):
+                return "logit_bias keys must be token ids >= 0 with " \
+                       "numeric values"
     return None
 
 
@@ -92,6 +109,11 @@ def _gen_config_from_body(body: dict) -> GenerationConfig:
         top_p=float(body.get("top_p", 1.0)),
         min_p=float(body.get("min_p", 0.0)),
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        logit_bias=tuple(sorted(
+            (int(k), float(v))
+            for k, v in (body.get("logit_bias") or {}).items())),
         seed=body.get("seed"),
         greedy=bool(body.get("greedy", False)),
         stop_sequences=tuple(body.get("stop", []) or []),

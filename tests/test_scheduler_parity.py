@@ -69,6 +69,21 @@ PARITY_CONFIGS = [
                                   typical_p=0.8, seed=13), id="typical-p"),
     pytest.param(GenerationConfig(max_new_tokens=6, mirostat=2, seed=5),
                  id="mirostat-v2"),
+    pytest.param(GenerationConfig(max_new_tokens=6, greedy=True,
+                                  frequency_penalty=0.8,
+                                  presence_penalty=0.4),
+                 id="freq-pres-greedy"),
+    pytest.param(GenerationConfig(max_new_tokens=6, temperature=0.8,
+                                  top_k=8, frequency_penalty=1.2,
+                                  presence_penalty=-0.5, seed=17),
+                 id="freq-pres-sampled"),
+    pytest.param(GenerationConfig(max_new_tokens=6, greedy=True,
+                                  logit_bias=((23, 6.5),)),
+                 id="logit-bias-greedy"),
+    pytest.param(GenerationConfig(max_new_tokens=6, temperature=0.9,
+                                  top_k=4, seed=3,
+                                  logit_bias=((5, -100.0), (9, 2.0))),
+                 id="logit-bias-ban-sampled"),
 ]
 
 
@@ -210,6 +225,15 @@ class TestMultiStepDispatch:
                                top_k=5, repetition_penalty=1.2, seed=7)
         prompts = [[2, 9, 4]]
         assert self._run(mini_gguf_f32, 3, gen, prompts) == \
+            self._run(mini_gguf_f32, 1, gen, prompts)
+
+    def test_bias_and_penalties_parity(self, mini_gguf_f32):
+        gen = GenerationConfig(max_new_tokens=8, temperature=0.8,
+                               top_k=6, frequency_penalty=0.6,
+                               presence_penalty=0.3, seed=19,
+                               logit_bias=((4, -100.0), (11, 3.0)))
+        prompts = [[2, 9, 4]]
+        assert self._run(mini_gguf_f32, 4, gen, prompts) == \
             self._run(mini_gguf_f32, 1, gen, prompts)
 
     def test_stop_token_mid_window(self, mini_gguf_f32):

@@ -157,6 +157,41 @@ class TestHTTPServer:
 
         asyncio.new_event_loop().run_until_complete(run())
 
+    def test_bias_and_penalty_fields(self, client):
+        server, aiohttp = client
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        async def run():
+            app = server.build_app()
+            async with TestClient(TestServer(app)) as c:
+                # OpenAI-style knobs accepted and effective: a huge bias
+                # forces that token under greedy decoding
+                r = await c.post("/v1/inference", json={
+                    "prompt": "ab", "max_new_tokens": 3, "greedy": True,
+                    "logit_bias": {"19": 10000.0},
+                    "frequency_penalty": 0.1, "presence_penalty": 0.1})
+                assert r.status == 200
+                body = await r.json()
+                assert body["tokens"] == [19, 19, 19]
+
+                # 422 validation on malformed values
+                r = await c.post("/v1/inference", json={
+                    "prompt": "x", "frequency_penalty": 9.0})
+                assert r.status == 422
+                r = await c.post("/v1/inference", json={
+                    "prompt": "x", "logit_bias": ["nope"]})
+                assert r.status == 422
+                r = await c.post("/v1/inference", json={
+                    "prompt": "x", "logit_bias": {"abc": 1.0}})
+                assert r.status == 422
+                r = await c.post("/v1/inference", json={
+                    "prompt": "x", "logit_bias": {"-3": 1.0}})
+                assert r.status == 422
+
+        asyncio.new_event_loop().run_until_complete(run())
+
 
 class TestPreemptionRecovery:
     def test_checkpoint_resume_matches_uninterrupted(self, mini_gguf_f32,
