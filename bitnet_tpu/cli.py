@@ -35,7 +35,9 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--prompt-template", default=None,
-                   help="raw|instruct|llama3-chat|chatml|mistral-instruct|alpaca")
+                   help="template type (list-templates shows the full "
+                        "59-type catalog), or 'embedded' to execute the "
+                        "GGUF's own jinja chat template (sandboxed)")
     p.add_argument("--system-prompt", default=None)
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--kv-cache-dtype", default="bf16",
@@ -124,10 +126,24 @@ def _gen_config(args, extra_stops=()):
 
 
 def _prepare_prompt(args, engine):
-    """Template detect/apply (engine.rs:880 prepare_prompt_for_model)."""
+    """Template detect/apply (engine.rs:880 prepare_prompt_for_model).
+
+    ``--prompt-template embedded`` EXECUTES the GGUF's own jinja
+    ``tokenizer.chat_template`` (sandboxed; templates/jinja.py) — beyond
+    the reference, which only pattern-matches embedded jinja."""
     from . import templates
     from .gguf.reader import GGUFReader
 
+    if args.prompt_template == "embedded":
+        with GGUFReader(args.model) as r:
+            md = dict(r.metadata)
+        msgs = []
+        if args.system_prompt:
+            msgs.append(templates.Message("system", args.system_prompt))
+        msgs.append(templates.Message("user", args.prompt))
+        text = templates.render_chat_embedded(md, msgs)
+        t = templates.detect(md)          # stop/BOS policy still by family
+        return text, templates.spec_for(t)
     if args.prompt_template:
         t = templates.TemplateType.parse(args.prompt_template)
     else:

@@ -290,12 +290,29 @@ class Llama:
         from .. import templates
 
         msgs = [templates.Message(m["role"], m["content"]) for m in messages]
-        prompt = templates.render_chat(self._template, msgs)
+        # llama-cpp-python parity: the model's own embedded jinja chat
+        # template wins when present (and no chat_format override); the
+        # family catalog is the fallback
+        prompt = None
+        if self._chat_format is None:
+            try:
+                prompt = templates.render_chat_embedded(
+                    self.metadata, msgs)
+            except templates.ChatTemplateError:
+                prompt = None
+        if prompt is None:
+            prompt = templates.render_chat(self._template, msgs)
         spec = templates.spec_for(self._template)
         stop_list = ([stop] if isinstance(stop, str) else list(stop or []))
         stop_list.extend(s for s in spec.stop_sequences
                          if s not in stop_list)
-        token_ids = self.tokenize(prompt, add_bos=spec.add_bos)
+        add_bos = spec.add_bos
+        from ..templates.jinja import special_token_strings
+
+        bos_str = special_token_strings(self.metadata).get("bos_token")
+        if bos_str and prompt.startswith(bos_str):
+            add_bos = False           # jinja already emitted BOS
+        token_ids = self.tokenize(prompt, add_bos=add_bos)
 
         gen_cfg = GenerationConfig(
             max_new_tokens=max_tokens,

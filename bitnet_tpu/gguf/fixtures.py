@@ -39,6 +39,9 @@ class MiniModelSpec:
     seed: int = 0
     architecture: str = "bitnet-25"   # reference arch string family
     tie_embeddings: bool = True
+    # extra metadata key/values written verbatim (e.g. an embedded
+    # tokenizer.chat_template for jinja-execution tests)
+    extra_metadata: dict | None = None
 
     @property
     def head_dim(self) -> int:
@@ -115,6 +118,8 @@ def generate_mini_gguf(path: str, spec: MiniModelSpec | None = None) -> MiniMode
     w.add_metadata("tokenizer.ggml.bos_token_id", 1)
     w.add_metadata("tokenizer.ggml.eos_token_id", 2)
     w.add_metadata("tokenizer.ggml.unknown_token_id", 0)
+    for k, v in (spec.extra_metadata or {}).items():
+        w.add_metadata(k, v)
 
     weights: dict[str, np.ndarray] = {}
 

@@ -884,6 +884,9 @@ def spec_for(template: TemplateType) -> TemplateSpec:
     return SPECS[template]
 
 
+from .jinja import (ChatTemplateError, render_chat_embedded,  # noqa: E402
+                    render_jinja)
+
 __all__ = [
     "TemplateType",
     "Message",
@@ -892,4 +895,7 @@ __all__ = [
     "render_chat",
     "apply",
     "spec_for",
+    "render_jinja",
+    "render_chat_embedded",
+    "ChatTemplateError",
 ]
