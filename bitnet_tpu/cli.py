@@ -3,8 +3,10 @@
 Command-surface parity with the reference CLI
 (``crates/bitnet-cli/src/main.rs:153-290``): run/generate, tokenize,
 inspect, chat REPL, score (perplexity), benchmark, serve, convert,
-compat-check, list-architectures, list-templates — one ``argparse`` tree
-instead of clap.
+compat-check, config, info, list-architectures, list-templates — plus
+the xtask surface (preflight, crossval, gate, bench-compare,
+verify-receipt, trace-diff, fingerprint, download-model) — one
+``argparse`` tree instead of clap.
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ import time
 
 def _add_gen_flags(p: argparse.ArgumentParser) -> None:
     """Generation flags (main.rs:178-260)."""
-    p.add_argument("--model", "-m", required=True, help="GGUF model path")
+    p.add_argument("--model", "-m", default=None, help="GGUF model path")
     p.add_argument("--tokenizer", help="tokenizer.json path (optional)")
     p.add_argument("--prompt", "-p", default="Hello")
     p.add_argument("--max-new-tokens", "-n", type=int, default=128)
@@ -465,6 +467,201 @@ def cmd_download_model(args) -> int:
     return 0
 
 
+def _config_path() -> str:
+    import os
+
+    return os.environ.get(
+        "BITNET_TPU_CONFIG",
+        os.path.join(os.path.expanduser("~"), ".config", "bitnet_tpu",
+                     "config.json"))
+
+
+def _load_cli_config() -> dict:
+    import os
+
+    p = _config_path()
+    if not os.path.exists(p):
+        return {}
+    try:
+        with open(p) as f:
+            d = json.load(f)
+        return d if isinstance(d, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def cmd_config(args) -> int:
+    """Persistent CLI defaults (reference ``Commands::Config``,
+    main.rs:577 handle_config_command): show/set/unset/path.  Keys are
+    free-form; ``model`` doubles as the default for every ``--model``
+    flag."""
+    import os
+
+    path = _config_path()
+    cfg = _load_cli_config()
+    if args.action == "path":
+        print(path)
+        return 0
+    if args.action == "show":
+        print(json.dumps(cfg, indent=2))
+        return 0
+    if args.action == "set":
+        if args.key is None or args.value is None:
+            print("usage: config set KEY VALUE", file=sys.stderr)
+            return 2
+        # keep numbers numeric so downstream consumers see real types
+        val: object = args.value
+        try:
+            val = json.loads(args.value)
+        except json.JSONDecodeError:
+            pass
+        cfg[args.key] = val
+    elif args.action == "unset":
+        if args.key is None:
+            print("usage: config unset KEY", file=sys.stderr)
+            return 2
+        cfg.pop(args.key, None)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(cfg, f, indent=2)
+    print(json.dumps(cfg, indent=2))
+    return 0
+
+
+def cmd_info(args) -> int:
+    """System/runtime report (reference ``Commands::Info``,
+    main.rs:578 show_system_info): versions, backend, devices.
+
+    The device probe runs under a bounded timeout: backend init can hang
+    indefinitely when the TPU relay is down, and ``info`` must never
+    hang (same watchdog rationale as bench.py)."""
+    import platform
+    import threading
+
+    import numpy as np
+
+    info = {
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+        "numpy": np.__version__,
+        "config_file": _config_path(),
+    }
+    try:
+        import jax
+
+        info["jax"] = jax.__version__
+        import jaxlib
+
+        info["jaxlib"] = jaxlib.__version__
+    except Exception:
+        pass
+
+    probe_out: dict = {}
+
+    def _probe():
+        import jax
+
+        from .device_probe import probe_device
+
+        p = probe_device()
+        probe_out.update(backend=jax.default_backend(),
+                         device=p.as_dict(),
+                         recommended_kernel_path=p.recommended_kernel_path)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=args.device_timeout)
+    if probe_out:
+        info.update(probe_out)
+    else:
+        info["device"] = ("unavailable (backend init exceeded "
+                          f"{args.device_timeout:.0f}s — relay down?)")
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def _bench_metrics(path: str) -> dict[str, float]:
+    """Numeric metrics from a bench artifact: raw ``bench.py`` output
+    (JSON line), a driver ``BENCH_r{N}.json`` ({parsed: {...}} or
+    {tail: "...{json}..."}), or a plain JSON object."""
+    with open(path) as f:
+        raw = f.read()
+    doc = None
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        pass
+    if doc is None:       # raw bench.py stdout: find the JSON line
+        for line in raw.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    doc = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+    if doc is None:
+        raise SystemExit(f"no JSON metrics found in {path}")
+    if isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
+    elif "tail" in doc and "value" not in doc:
+        for line in str(doc["tail"]).splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                try:
+                    doc = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+    return {k: float(v) for k, v in doc.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)}
+
+
+def cmd_bench_compare(args) -> int:
+    """Compare two bench artifacts and flag regressions (reference xtask
+    ``CompareMetrics`` / ``DetectBreaking`` / ``BenchCompare``).  Keys
+    containing ms/latency/seconds are lower-is-better; everything else
+    (tok/s, roofline pct) is higher-is-better.  Exit 1 on any regression
+    beyond ``--threshold``."""
+    base = _bench_metrics(args.baseline)
+    cand = _bench_metrics(args.candidate)
+    lower_better = ("ms", "latency", "_s", "seconds", "time")
+    rows = []
+    regressions = 0
+    for key in sorted(set(base) & set(cand)):
+        b, c = base[key], cand[key]
+        if b == 0:
+            continue
+        lb = any(t in key.lower() for t in lower_better)
+        change = (b - c) / abs(b) if lb else (c - b) / abs(b)
+        status = "ok"
+        if change < -args.threshold:
+            status = "REGRESSION"
+            regressions += 1
+        elif change > args.threshold:
+            status = "improved"
+        rows.append({"metric": key, "baseline": b, "candidate": c,
+                     "change_pct": round(100 * change, 2),
+                     "direction": "lower" if lb else "higher",
+                     "status": status})
+    only = {"baseline_only": sorted(set(base) - set(cand)),
+            "candidate_only": sorted(set(cand) - set(base))}
+    report = {"rows": rows, "regressions": regressions,
+              "threshold_pct": 100 * args.threshold, **only}
+    if args.json:
+        print(json.dumps(report, indent=2))
+    else:
+        for r in rows:
+            print(f"{r['status']:>10}  {r['metric']}: "
+                  f"{r['baseline']:g} -> {r['candidate']:g} "
+                  f"({r['change_pct']:+.1f}%)")
+        if only["baseline_only"] or only["candidate_only"]:
+            print(f"unmatched: {only}", file=sys.stderr)
+        print(f"{regressions} regression(s) at "
+              f"±{100 * args.threshold:.0f}%")
+    return 1 if regressions else 0
+
+
 def cmd_preflight(args) -> int:
     """Environment readiness check (xtask preflight parity): device probe,
     native codec, toolchain, C++ reference availability."""
@@ -647,13 +844,13 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("tokenize", help="tokenize a prompt")
-    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--model", "-m", default=None)
     p.add_argument("--prompt", "-p", required=True)
     p.add_argument("--no-bos", action="store_true")
     p.set_defaults(fn=cmd_tokenize)
 
     p = sub.add_parser("inspect", help="dump GGUF metadata")
-    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--model", "-m", default=None)
     p.add_argument("--tensors", action="store_true")
     p.set_defaults(fn=cmd_inspect)
 
@@ -674,7 +871,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shard", default=None, metavar="DP,TP",
                    help="shard the slot pool over a (data, model) mesh, "
                         "e.g. --shard 2,4 on an 8-chip host")
-    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--model", "-m", default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max-seq-len", type=int, default=2048)
@@ -700,7 +897,7 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("compat-check", help="diagnose GGUF compatibility")
-    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--model", "-m", default=None)
     p.add_argument("--fix-out", default=None,
                    help="write a repaired GGUF here (export_fixed)")
     p.set_defaults(fn=cmd_compat_check)
@@ -782,12 +979,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("fingerprint",
                        help="checkpoint fingerprint + metadata")
-    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--model", "-m", default=None)
     p.set_defaults(fn=cmd_fingerprint)
 
     p = sub.add_parser("ln-check",
                        help="LayerNorm RMS envelope validation")
-    p.add_argument("--model", "-m", required=True)
+    p.add_argument("--model", "-m", default=None)
     p.set_defaults(fn=cmd_ln_check)
 
     p = sub.add_parser("trace-diff",
@@ -803,7 +1000,35 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("list-architectures")
     p.set_defaults(fn=cmd_list_architectures)
 
+    p = sub.add_parser("info", help="system / runtime report")
+    p.add_argument("--device-timeout", type=float, default=20.0,
+                   help="seconds to wait for backend init before "
+                        "reporting the device as unavailable")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("config", help="persistent CLI defaults")
+    p.add_argument("action", choices=["show", "set", "unset", "path"])
+    p.add_argument("key", nargs="?", default=None)
+    p.add_argument("value", nargs="?", default=None)
+    p.set_defaults(fn=cmd_config)
+
+    p = sub.add_parser("bench-compare",
+                       help="compare two bench artifacts, flag "
+                            "regressions (exit 1 on regression)")
+    p.add_argument("baseline", help="bench.py output or BENCH_r{N}.json")
+    p.add_argument("candidate")
+    p.add_argument("--threshold", type=float, default=0.05,
+                   help="relative regression tolerance (default 5%%)")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_bench_compare)
+
     args = ap.parse_args(argv)
+    if getattr(args, "model", "absent") is None:
+        # --model accepted but not given: fall back to the config default
+        args.model = _load_cli_config().get("model")
+        if args.model is None:
+            ap.error("--model/-m is required (or set a default once: "
+                     "bitnet-tpu config set model /path/model.gguf)")
     return args.fn(args)
 
 

@@ -151,3 +151,85 @@ class TestChatAndConvert:
         assert cfg.hidden_size == H and cfg.num_layers == 2
         assert cfg.num_heads == NH and cfg.num_kv_heads == NKV
         assert cfg.head_dim == D
+
+
+class TestConfigInfoBenchCompare:
+    """config / info / bench-compare (reference Commands::Config / Info,
+    xtask CompareMetrics / DetectBreaking)."""
+
+    def test_config_roundtrip(self, tmp_path, monkeypatch, capsys):
+        import json as _json
+
+        cfg_file = tmp_path / "cfg.json"
+        monkeypatch.setenv("BITNET_TPU_CONFIG", str(cfg_file))
+        assert main(["config", "set", "model", "/x/y.gguf"]) == 0
+        assert main(["config", "show"]) == 0
+        out = capsys.readouterr().out
+        assert "/x/y.gguf" in out
+        assert main(["config", "path"]) == 0
+        assert str(cfg_file) in capsys.readouterr().out
+        # numbers stay numeric
+        assert main(["config", "set", "max_seq_len", "4096"]) == 0
+        assert _json.loads(cfg_file.read_text())["max_seq_len"] == 4096
+        assert main(["config", "unset", "model"]) == 0
+        assert "model" not in _json.loads(cfg_file.read_text())
+
+    def test_model_falls_back_to_config(self, mini_gguf_f32, tmp_path,
+                                        monkeypatch, capsys):
+        cfg_file = tmp_path / "cfg.json"
+        monkeypatch.setenv("BITNET_TPU_CONFIG", str(cfg_file))
+        assert main(["config", "set", "model", mini_gguf_f32.path]) == 0
+        capsys.readouterr()
+        rc = main(["tokenize", "--prompt", "ab"])
+        assert rc == 0
+        assert '"ids"' in capsys.readouterr().out
+
+    def test_model_missing_errors(self, tmp_path, monkeypatch, capsys):
+        import pytest as _pytest
+
+        monkeypatch.setenv("BITNET_TPU_CONFIG",
+                           str(tmp_path / "none.json"))
+        with _pytest.raises(SystemExit):
+            main(["tokenize", "--prompt", "ab"])
+
+    def test_info(self, capsys):
+        import json as _json
+
+        assert main(["info", "--device-timeout", "5"]) == 0
+        info = _json.loads(capsys.readouterr().out)
+        assert "jax" in info and "python" in info
+        assert "device" in info
+
+    def test_bench_compare(self, tmp_path, capsys):
+        import json as _json
+
+        a = tmp_path / "a.json"
+        b = tmp_path / "b.json"
+        a.write_text(_json.dumps({
+            "metric": "decode", "value": 100.0, "unit": "tok/s",
+            "decode_ms": 10.0}))
+        b.write_text(_json.dumps({
+            "metric": "decode", "value": 120.0, "unit": "tok/s",
+            "decode_ms": 8.0}))
+        assert main(["bench-compare", str(a), str(b)]) == 0
+        out = capsys.readouterr().out
+        assert "improved" in out
+        # reversed: tok/s drop AND ms growth are both regressions
+        assert main(["bench-compare", str(b), str(a)]) == 1
+        out = capsys.readouterr().out
+        assert "REGRESSION" in out
+
+    def test_bench_compare_driver_artifact(self, tmp_path, capsys):
+        import json as _json
+
+        a = tmp_path / "r.json"
+        a.write_text(_json.dumps({
+            "n": 1, "rc": 0,
+            "tail": 'noise\n{"metric": "d", "value": 50.0, '
+                    '"unit": "tok/s"}\n'}))
+        b = tmp_path / "raw.txt"
+        b.write_text('# comment\n{"metric": "d", "value": 55.0, '
+                     '"unit": "tok/s"}\n')
+        assert main(["bench-compare", str(a), str(b), "--json"]) == 0
+        rep = _json.loads(capsys.readouterr().out)
+        assert rep["rows"][0]["change_pct"] == 10.0
