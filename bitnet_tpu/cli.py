@@ -830,7 +830,8 @@ def cmd_serve(args) -> int:
           kernel_path=args.kernel_path,
           auth_token=args.auth_token, model_dirs=args.model_dir,
           paged=args.paged, num_pages=args.num_pages,
-          page_size=args.page_size)
+          page_size=args.page_size,
+          chunked_prefill=args.chunked_prefill)
     return 0
 
 
@@ -887,6 +888,11 @@ def main(argv: list[str] | None = None) -> int:
                         "(HBM sized by live tokens, prefix forking)")
     p.add_argument("--num-pages", type=int, default=None)
     p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--chunked-prefill", type=int, default=None,
+                   metavar="N",
+                   help="prefill long prompts N tokens per scheduler "
+                        "step, interleaved with decode (bounds "
+                        "inter-token latency of in-flight streams)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert", help="SafeTensors → GGUF")

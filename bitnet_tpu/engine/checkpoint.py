@@ -69,6 +69,39 @@ def capture(engine, prompt_ids: list[int], generated_ids: list[int],
     )
 
 
+# np.savez silently degrades ml_dtypes arrays (bf16/fp8) to raw void —
+# np.load then returns un-castable blobs.  Store them as same-width
+# integer VIEWS (bit-exact, digest-invariant: .tobytes() is unchanged)
+# and record the true dtype in the manifest for the load-side view-back.
+_PACK_VIEW = {"bfloat16": np.uint16,
+              "float8_e4m3fn": np.uint8, "float8_e5m2": np.uint8}
+
+
+def _pack_arrays(arrays: dict) -> tuple[dict, dict]:
+    packed, dtypes = {}, {}
+    for name, a in arrays.items():
+        dn = str(a.dtype)
+        if dn in _PACK_VIEW:
+            packed[name] = np.ascontiguousarray(a).view(_PACK_VIEW[dn])
+            dtypes[name] = dn
+        else:
+            packed[name] = a
+    return packed, dtypes
+
+
+def _unpack_arrays(arrays: dict, dtypes: dict) -> dict:
+    if dtypes:
+        import ml_dtypes
+
+        named = {"bfloat16": ml_dtypes.bfloat16,
+                 "float8_e4m3fn": ml_dtypes.float8_e4m3fn,
+                 "float8_e5m2": ml_dtypes.float8_e5m2}
+        for name, dn in dtypes.items():
+            if name in arrays:
+                arrays[name] = arrays[name].view(named[dn])
+    return arrays
+
+
 def _digest(arrays: dict[str, np.ndarray]) -> str:
     h = hashlib.sha256()
     for name in sorted(arrays):
@@ -93,6 +126,7 @@ def save(state: DecodeState, path: str) -> dict:
     if state.k_scale is not None:
         arrays["k_scale"] = state.k_scale
         arrays["v_scale"] = state.v_scale
+    arrays, packed_dtypes = _pack_arrays(arrays)
     np.savez(path + ".npz", **arrays)
     manifest = {
         "schema_version": SCHEMA_VERSION,
@@ -103,6 +137,7 @@ def save(state: DecodeState, path: str) -> dict:
         "sha256": _digest(arrays),
         "kv_shape": list(state.k.shape),
         "kv_dtype": str(state.k.dtype),
+        "packed_dtypes": packed_dtypes,
     }
     with open(path + ".json", "w") as f:
         json.dump(manifest, f, indent=2)
@@ -128,6 +163,7 @@ def load(path: str, verify: bool = True) -> DecodeState:
             if got != manifest.get("sha256"):
                 raise InferenceError(
                     "checkpoint integrity failure: sha256 mismatch")
+    arrays = _unpack_arrays(arrays, manifest.get("packed_dtypes", {}))
     return DecodeState(
         prompt_ids=[int(t) for t in arrays["prompt_ids"]],
         generated_ids=[int(t) for t in arrays["generated_ids"]],
@@ -190,10 +226,12 @@ def save_diff(prev: DecodeState, cur: DecodeState, path: str) -> dict:
     if cur.k_scale is not None:
         arrays["k_scale"] = cur.k_scale[:, prev.kv_len:]
         arrays["v_scale"] = cur.v_scale[:, prev.kv_len:]
+    arrays, packed_dtypes = _pack_arrays(arrays)
     np.savez(path + ".npz", **arrays)
     manifest = {"schema_version": SCHEMA_VERSION, "diff": True,
                 "base_len": prev.kv_len, "rows": int(arrays["k"].shape[1]),
-                "sha256": _digest(arrays)}
+                "sha256": _digest(arrays),
+                "packed_dtypes": packed_dtypes}
     with open(path + ".json", "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
@@ -202,6 +240,10 @@ def save_diff(prev: DecodeState, cur: DecodeState, path: str) -> dict:
 def apply_diff(base: DecodeState, path: str) -> DecodeState:
     with np.load(path + ".npz") as z:
         arrays = {k: z[k] for k in z.files}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            arrays = _unpack_arrays(arrays,
+                                    json.load(f).get("packed_dtypes", {}))
     base_len = int(arrays["base_len"][0])
     if base_len != base.kv_len:
         raise InferenceError(

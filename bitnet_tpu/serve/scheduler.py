@@ -26,6 +26,16 @@ the slot within one step, ``timeout_s`` bounds total latency, queued
 requests that outwait ``queue_timeout_s`` are rejected at admission, and
 ``max_admissions_per_step`` caps how many B=1 prefills may stall the
 decode loop between steps (head-of-line-blocking bound).
+
+Chunked prefill (``chunked_prefill=N``; exceeds the reference, which
+prefills whole prompts request-at-a-time): prompts longer than N are
+prefilled N tokens per scheduler step into a staging carry (dense mode)
+or directly into the slot's pre-reserved pages (paged mode), interleaved
+with decode dispatches — inter-token latency of in-flight streams is
+bounded by one chunk forward instead of one whole-prompt forward.
+Token output is bit-identical to whole-prompt prefill (the chunk
+continuation path is the same incremental ``forward`` the decode step
+uses, just T=chunk instead of T=1).
 """
 
 from __future__ import annotations
@@ -92,6 +102,15 @@ class _Slot:
     deadline: float | None = None
     pages: list = dataclasses.field(default_factory=list)  # paged mode
     admitted_at: float = 0.0
+    # chunked-prefill staging (active stays False until the last chunk)
+    prefilling: bool = False
+    pf_done: int = 0              # suffix tokens prefilled so far
+    pf_base: int = 0              # forked-prefix length (paged mode)
+    pf_carry: Any = None          # dense mode: (kc, vc, ks, vs) B=1 buffers
+
+    @property
+    def occupied(self) -> bool:
+        return self.active or self.prefilling
 
 
 def _request_seed(gen: GenerationConfig) -> int:
@@ -119,6 +138,7 @@ class ContinuousBatchingScheduler:
         channel=None,
         start_loop: bool = True,
         decode_steps_per_dispatch: int = 1,
+        chunked_prefill: int | None = None,
     ):
         """``mesh``: optional (data, model) jax Mesh — the slot pool's
         batch axis shards across ``data`` and attention heads / FFN
@@ -160,6 +180,15 @@ class ContinuousBatchingScheduler:
         # is otherwise one host round-trip per token.  Trade-offs: stop/
         # cancel/admission latency and overshoot are bounded by K.
         self.decode_steps_per_dispatch = max(1, decode_steps_per_dispatch)
+        # chunked prefill (vLLM-style; the reference prefills whole
+        # prompts request-at-a-time, batch_engine.rs:52): prompts longer
+        # than ``chunked_prefill`` are prefilled that many tokens per
+        # scheduler step, interleaved with decode steps of active slots,
+        # so a long admission never stalls in-flight streams for more
+        # than one chunk forward.  None = whole-prompt prefill.
+        self.chunked_prefill = chunked_prefill
+        if chunked_prefill is not None and chunked_prefill < 8:
+            raise InferenceError("chunked_prefill must be ≥ 8 tokens")
         self.paged = paged
         self.page_size = page_size
         self._kp = (
@@ -560,6 +589,24 @@ class ContinuousBatchingScheduler:
         self._prefill_cache: dict[int, Callable] = {}
         self._make_prefill = make_prefill
 
+        def make_prefill_chunk(T: int):
+            """Continuation chunk: same contract as ``make_prefill`` but
+            the B=1 staging cache is a donated carry and attention sees
+            the ``pre_len`` tokens already written by earlier chunks."""
+            @partial(jax.jit, donate_argnums=(1, 2))
+            def chunk(params, kc, vc, ks, vs, tokens, positions,
+                      pre_len, n_real, last_idx):
+                h, kc, vc, ks, vs = forward(
+                    cfg, params, tokens, positions, kc, vc,
+                    pre_len, n_real, kp, ks, vs)
+                h_last = h[jnp.arange(1), last_idx][:, None, :]
+                lg = model_logits(cfg, params, h_last, kp)[:, 0, :]
+                return rep(lg), kc, vc, ks, vs
+            return chunk
+
+        self._prefill_chunk_cache: dict[int, Callable] = {}
+        self._make_prefill_chunk = make_prefill_chunk
+
         @partial(jax.jit, donate_argnums=(0,))
         def splice(cache: KVCache, kc, vc, ks, vs, slot, length):
             """Insert a prefilled B=1 sequence into pool slot ``slot``."""
@@ -628,6 +675,7 @@ class ContinuousBatchingScheduler:
             raise InferenceError(
                 "follow() runs on non-primary processes with a channel")
         last_prefill = None
+        pf_carries: dict[int, tuple] = {}   # chunked-prefill staging
         while True:
             rec = ch.recv()
             op = rec[0]
@@ -643,13 +691,39 @@ class ContinuousBatchingScheduler:
                     self.params, jnp.asarray(toks), jnp.asarray(pos),
                     jnp.asarray([T], jnp.int32),
                     jnp.asarray([T - 1], jnp.int32))
+            elif op == "pfc0":
+                # chunk 0 of a staged prefill (slot-keyed carry)
+                _, slot_idx, Tp, toks, pos, Tc = rec
+                if Tp not in self._prefill_cache:
+                    self._prefill_cache[Tp] = self._make_prefill(Tp)
+                out = self._prefill_cache[Tp](
+                    self.params, jnp.asarray(toks), jnp.asarray(pos),
+                    jnp.asarray([Tc], jnp.int32),
+                    jnp.asarray([Tc - 1], jnp.int32))
+                pf_carries[slot_idx] = out[1:]
+            elif op == "pfc":
+                _, slot_idx, Tp, toks, pos, pre, Tc = rec
+                if Tp not in self._prefill_chunk_cache:
+                    self._prefill_chunk_cache[Tp] = \
+                        self._make_prefill_chunk(Tp)
+                kc, vc, ks, vs = pf_carries[slot_idx]
+                out = self._prefill_chunk_cache[Tp](
+                    self.params, kc, vc, ks, vs,
+                    jnp.asarray(toks), jnp.asarray(pos),
+                    jnp.asarray([pre], jnp.int32),
+                    jnp.asarray([Tc], jnp.int32),
+                    jnp.asarray([Tc - 1], jnp.int32))
+                pf_carries[slot_idx] = out[1:]
             elif op == "splice":
                 _, slot_idx, T = rec
-                lg, kc, vc, ks, vs = last_prefill
+                if slot_idx in pf_carries:
+                    kc, vc, ks, vs = pf_carries.pop(slot_idx)
+                else:
+                    lg, kc, vc, ks, vs = last_prefill
+                    last_prefill = None
                 self.cache = self._splice(
                     self.cache, kc, vc, ks, vs,
                     slot_idx, jnp.asarray(T, jnp.int32))
-                last_prefill = None
             elif op == "bias":
                 # mirror the frontend's admit-time bias row (never sent
                 # per dispatch — each process keeps its own [B, V] matrix)
@@ -763,6 +837,42 @@ class ContinuousBatchingScheduler:
                     },
                 }, f)
             written.append(path)
+        # requests with no decoded tokens yet (mid-chunked-prefill or
+        # still queued) restart from scratch on resume: persist prompt +
+        # sampling config only (no KV snapshot exists for them)
+        queued: list[Request] = []
+        for slot in self.slots:
+            if slot.prefilling and slot.req is not None:
+                queued.append(slot.req)
+        drained = []
+        while True:
+            try:
+                drained.append(self.pending.get_nowait())
+            except queue.Empty:
+                break
+        for item in drained:
+            self.pending.put(item)
+            queued.append(item[3])
+        for req in queued:
+            g = req.gen
+            path = _os.path.join(directory,
+                                 f"queued_req{req.id}.pending.json")
+            with open(path, "w") as f:
+                _json.dump({
+                    "request_id": req.id,
+                    "token_ids": list(req.token_ids),
+                    "priority": req.priority,
+                    "gen": {
+                        "max_new_tokens": g.max_new_tokens,
+                        "temperature": g.temperature,
+                        "top_k": g.top_k, "top_p": g.top_p,
+                        "min_p": g.min_p,
+                        "repetition_penalty": g.repetition_penalty,
+                        "seed": g.seed, "greedy": g.greedy,
+                        "stop_token_ids": list(g.stop_token_ids),
+                    },
+                }, f)
+            written.append(path)
         return written
 
     def resume_requests(self, directory: str) -> list[Request]:
@@ -785,7 +895,8 @@ class ContinuousBatchingScheduler:
                 meta = _json.load(f)
             state = ckpt.load(base)
             slot_idx = next(
-                (i for i, s in enumerate(self.slots) if not s.active), None)
+                (i for i, s in enumerate(self.slots) if not s.occupied),
+                None)
             if slot_idx is None:
                 raise InferenceError(
                     "no free slot to resume a checkpointed request")
@@ -872,6 +983,23 @@ class ContinuousBatchingScheduler:
             self._tokens[slot_idx] = state.generated_ids[-1]
             restored.append(req)
             self.stats["requests"] += 1
+        # prompts that never produced a token (queued / mid-prefill at
+        # checkpoint time) simply re-enter the queue
+        for meta_path in sorted(_glob.glob(f"{directory}/*.pending.json")):
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            g = meta["gen"]
+            gen = GenerationConfig(
+                max_new_tokens=int(g["max_new_tokens"]),
+                temperature=g["temperature"], top_k=g["top_k"],
+                top_p=g["top_p"], min_p=g["min_p"],
+                repetition_penalty=g["repetition_penalty"],
+                seed=g["seed"], greedy=g["greedy"],
+                stop_token_ids=tuple(g.get("stop_token_ids", ())),
+            )
+            restored.append(self.submit(
+                meta["token_ids"], gen,
+                priority=int(meta.get("priority", 0))))
         self._wake.set()
         return restored
 
@@ -885,7 +1013,7 @@ class ContinuousBatchingScheduler:
     def _admit(self) -> None:
         admitted = 0
         for slot_idx, slot in enumerate(self.slots):
-            if slot.active:
+            if slot.occupied:
                 continue
             if admitted >= self.max_admissions_per_step:
                 return  # bound prefill head-of-line blocking per step
@@ -910,14 +1038,26 @@ class ContinuousBatchingScheduler:
                 req.out.put((None, "", True, StopReason.CONTEXT_FULL))
                 self.stats["completed"] += 1
                 continue
+            staged = (self.chunked_prefill is not None
+                      and T > self.chunked_prefill)
+            pf_base = 0
+            lg = None
             if self.paged:
-                lg = self._paged_prefill_slot(slot_idx, req, T)
-                if lg is None:
-                    # pool exhausted: requeue and stop admitting this step
-                    self.pending.put(
-                        (req.priority, req.submitted_at, req.id, req))
-                    return
-            else:
+                if staged:
+                    m = self._paged_alloc_slot(slot_idx, req, T)
+                    if m is None:
+                        self.pending.put(
+                            (req.priority, req.submitted_at, req.id, req))
+                        return
+                    pf_base = m
+                else:
+                    lg = self._paged_prefill_slot(slot_idx, req, T)
+                    if lg is None:
+                        # pool exhausted: requeue, stop admitting this step
+                        self.pending.put(
+                            (req.priority, req.submitted_at, req.id, req))
+                        return
+            elif not staged:
                 Tp = self._bucket(T)
                 toks = np.zeros((1, Tp), np.int32)
                 toks[0, :T] = req.token_ids
@@ -963,9 +1103,119 @@ class ContinuousBatchingScheduler:
                 if self._channel is not None:
                     self._channel.send(
                         ("bias", slot_idx, req.gen.logit_bias))
+            if staged:
+                slot.prefilling = True
+                slot.pf_done = 0
+                slot.pf_base = pf_base
+                slot.pf_carry = None
+                slot.pos = 0
+                self.stats["chunked_admissions"] = (
+                    self.stats.get("chunked_admissions", 0) + 1)
+                continue
             slot.active = True
             first = self._sample_first(slot, lg)
             self._emit(slot_idx, first)
+
+    # ---------------------------------------------------- chunked prefill
+    def _advance_prefills(self) -> bool:
+        """Run ONE prompt chunk for up to ``max_admissions_per_step``
+        staging slots; activate slots whose last chunk completed.  Returns
+        True when any chunk work ran (the loop must not sleep)."""
+        C = self.chunked_prefill
+        worked = False
+        advanced = 0
+        for slot_idx, slot in enumerate(self.slots):
+            if not slot.prefilling:
+                continue
+            if advanced >= self.max_admissions_per_step:
+                return True      # more staging work remains next step
+            req = slot.req
+            if req is None or req.cancelled:
+                self._finish(slot_idx, StopReason.CANCELLED)
+                continue
+            if slot.deadline is not None and time.time() > slot.deadline:
+                self._finish(slot_idx, StopReason.TIMEOUT)
+                continue
+            worked = True
+            advanced += 1
+            total = len(req.token_ids) - slot.pf_base
+            start = slot.pf_base + slot.pf_done
+            Tc = min(C, len(req.token_ids) - start)
+            Tp = self._bucket(Tc)
+            toks = np.zeros((1, Tp), np.int32)
+            toks[0, :Tc] = req.token_ids[start: start + Tc]
+            if self.paged:
+                pos = np.full((1, Tp), self.S_view, np.int32)
+                pos[0, :Tc] = np.arange(start, start + Tc)
+                if Tp not in self._prefill_paged_cache:
+                    self._prefill_paged_cache[Tp] = \
+                        self._make_prefill_paged(Tp)
+                lg, new_k, new_v = self._prefill_paged_cache[Tp](
+                    self.params, self.cache.k, self.cache.v,
+                    self.cache.tables[slot_idx], jnp.asarray(toks),
+                    jnp.asarray(pos), jnp.asarray(start, jnp.int32),
+                    jnp.asarray([Tc], jnp.int32),
+                    jnp.asarray([Tc - 1], jnp.int32))
+                self.cache = dataclasses.replace(
+                    self.cache, k=new_k, v=new_v)
+            else:
+                pos = np.full((1, Tp), self.S, np.int32)
+                pos[0, :Tc] = np.arange(start, start + Tc)
+                if slot.pf_carry is None:
+                    # first chunk: the whole-prompt program doubles as the
+                    # chunk-0 program (fresh zero cache, pre_len == 0)
+                    if Tp not in self._prefill_cache:
+                        self._prefill_cache[Tp] = self._make_prefill(Tp)
+                    if self._channel is not None:
+                        self._channel.send(
+                            ("pfc0", slot_idx, Tp, toks, pos, Tc))
+                    lg, kc, vc, ks, vs = self._prefill_cache[Tp](
+                        self.params, jnp.asarray(toks), jnp.asarray(pos),
+                        jnp.asarray([Tc], jnp.int32),
+                        jnp.asarray([Tc - 1], jnp.int32))
+                else:
+                    if Tp not in self._prefill_chunk_cache:
+                        self._prefill_chunk_cache[Tp] = \
+                            self._make_prefill_chunk(Tp)
+                    if self._channel is not None:
+                        self._channel.send(
+                            ("pfc", slot_idx, Tp, toks, pos,
+                             slot.pf_done, Tc))
+                    kc, vc, ks, vs = slot.pf_carry
+                    lg, kc, vc, ks, vs = self._prefill_chunk_cache[Tp](
+                        self.params, kc, vc, ks, vs,
+                        jnp.asarray(toks), jnp.asarray(pos),
+                        jnp.asarray([slot.pf_done], jnp.int32),
+                        jnp.asarray([Tc], jnp.int32),
+                        jnp.asarray([Tc - 1], jnp.int32))
+                slot.pf_carry = (kc, vc, ks, vs)
+            slot.pf_done += Tc
+            self.stats["prefill_chunks"] = (
+                self.stats.get("prefill_chunks", 0) + 1)
+            if slot.pf_done < total:
+                continue
+
+            # last chunk done → install the KV rows and activate
+            T = len(req.token_ids)
+            if self.paged:
+                self.cache = dataclasses.replace(
+                    self.cache,
+                    lengths=self.cache.lengths.at[slot_idx].set(T))
+            else:
+                kc, vc, ks, vs = slot.pf_carry
+                if self._channel is not None:
+                    self._channel.send(("splice", slot_idx, T))
+                    lg = np.asarray(lg)
+                self.cache = self._splice(
+                    self.cache, kc, vc, ks, vs,
+                    slot_idx, jnp.asarray(T, jnp.int32))
+            slot.pf_carry = None
+            slot.prefilling = False
+            slot.pos = T
+            slot.active = True
+            first = self._sample_first(slot, lg)
+            self._emit(slot_idx, first)
+        return worked
 
     # ------------------------------------------------------------ paged ops
     def _find_fork_source(self, prompt: list[int], T: int
@@ -990,11 +1240,12 @@ class ContinuousBatchingScheduler:
                 best_m, best_j = m, j
         return best_m, best_j
 
-    def _paged_prefill_slot(self, slot_idx: int, req: Request, T: int):
-        """Admit one request into the page pool: fork shared-prefix pages,
-        allocate the rest, prefill the suffix straight into the pages.
-        Returns last-position logits, or None when the pool is exhausted.
-        """
+    def _paged_alloc_slot(self, slot_idx: int, req: Request,
+                          T: int) -> int | None:
+        """Reserve the slot's pages for a ``T``-token prompt: fork
+        shared-prefix pages, allocate the rest, write the block table.
+        Returns the forked-prefix length ``m`` (0 if none), or None when
+        the pool is exhausted."""
         from ..engine import paged_cache as pc
 
         page = self.page_size
@@ -1010,12 +1261,24 @@ class ContinuousBatchingScheduler:
             pages.extend(shared)
             self.stats["prefix_forked_pages"] = (
                 self.stats.get("prefix_forked_pages", 0) + len(shared))
+        else:
+            m = 0
         pages.extend(self.pool.alloc(need_new))
         slot.pages = pages
         self.cache = dataclasses.replace(
             self.cache,
             tables=self.cache.tables.at[slot_idx, : len(pages)].set(
                 jnp.asarray(pages, jnp.int32)))
+        return m
+
+    def _paged_prefill_slot(self, slot_idx: int, req: Request, T: int):
+        """Admit one request into the page pool: fork shared-prefix pages,
+        allocate the rest, prefill the suffix straight into the pages.
+        Returns last-position logits, or None when the pool is exhausted.
+        """
+        m = self._paged_alloc_slot(slot_idx, req, T)
+        if m is None:
+            return None
 
         Ts = T - m
         Tp = self._bucket(Ts)
@@ -1145,6 +1408,9 @@ class ContinuousBatchingScheduler:
         if slot.req is not None:
             slot.req.out.put((None, "", True, reason))
         slot.active = False
+        slot.prefilling = False
+        slot.pf_carry = None
+        slot.pf_done = 0
         slot.req = None
         self.stats["completed"] += 1
         self._release_slot_pages(slot_idx)
@@ -1190,29 +1456,7 @@ class ContinuousBatchingScheduler:
     def _loop_body(self) -> None:
         zero_keys = np.zeros((self.B, 2), np.uint32)
         while not self._stopping:
-            # cancellations / deadlines first: free slots before admitting
-            now = time.time()
-            for i, s in enumerate(self.slots):
-                if not s.active:
-                    continue
-                if s.req is not None and s.req.cancelled:
-                    self._finish(i, StopReason.CANCELLED)
-                elif s.deadline is not None and now > s.deadline:
-                    self._finish(i, StopReason.TIMEOUT)
-            self._admit()
-            active_idx = [i for i, s in enumerate(self.slots) if s.active]
-            # window size first: paged growth must cover every in-scan
-            # write of a multi-step dispatch (mirostat keeps K=1 —
-            # host-side stateful sampling)
-            k_cfg = self.decode_steps_per_dispatch
-            any_mirostat = any(self.slots[i].mirostat is not None
-                               for i in active_idx)
-            k_eff = 1 if any_mirostat else k_cfg
-            if self.paged and active_idx:
-                active_idx = self._paged_grow(active_idx, k_eff)
-            self.stats["active_slots"] = len(active_idx)
-            self.stats["queue_depth"] = self.pending.qsize()
-            if not active_idx:
+            if not self._step(zero_keys):
                 if (self._channel is not None
                         and time.time() - self._channel.last_send > 5.0):
                     # idle heartbeat: keep the followers' blocking
@@ -1220,110 +1464,143 @@ class ContinuousBatchingScheduler:
                     self._channel.send(("noop",))
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
-                continue
 
-            active = np.zeros(self.B, bool)
-            temps = np.zeros(self.B, np.float32)
-            top_ks = np.zeros(self.B, np.int32)
-            top_ps = np.ones(self.B, np.float32)
-            min_ps = np.zeros(self.B, np.float32)
-            typ_ps = np.ones(self.B, np.float32)
-            reps = np.ones(self.B, np.float32)
-            freqs = np.zeros(self.B, np.float32)
-            press = np.zeros(self.B, np.float32)
-            positions = np.zeros(self.B, np.int32)
-            hist = np.full((self.B, HISTORY_W), -1, np.int32)
-            keys = zero_keys.copy()
-            use_typical = False
-            use_bias = False
-            for i in active_idx:
-                s = self.slots[i]
-                g = s.req.gen
-                active[i] = True
-                temps[i] = 0.0 if g.is_greedy else g.temperature
-                top_ks[i] = g.top_k
-                top_ps[i] = g.top_p
-                min_ps[i] = g.min_p
-                typ_ps[i] = g.typical_p
-                if g.typical_p < 1.0 and not g.is_greedy:
-                    use_typical = True
-                reps[i] = g.repetition_penalty
-                freqs[i] = g.frequency_penalty
-                press[i] = g.presence_penalty
-                if self._bias_live[i]:
-                    use_bias = True
-                positions[i] = s.pos
-                hist[i] = self._slot_history(s)
-                keys[i] = np.asarray(s.key, np.uint32)
-            bias_rows = (self._bias_rows if use_bias else self._dummy_bias)
-            if k_eff > 1:
-                if self._channel is not None:
-                    self._channel.send((
-                        "decode_multi", self._tokens.copy(), positions,
-                        active, temps, top_ks, top_ps, min_ps, typ_ps,
-                        reps, freqs, press, hist, keys, use_typical,
-                        use_bias, k_eff))
-                multi_fn = (self._decode_multi_paged if self.paged
-                            else self._decode_multi)
-                nxt_seq, new_keys, self.cache = multi_fn(
-                    self.params, jnp.asarray(self._tokens),
-                    jnp.asarray(positions), self.cache,
-                    jnp.asarray(active), jnp.asarray(temps),
-                    jnp.asarray(top_ks), jnp.asarray(top_ps),
-                    jnp.asarray(min_ps), jnp.asarray(typ_ps),
-                    jnp.asarray(reps), jnp.asarray(freqs),
-                    jnp.asarray(press), bias_rows, jnp.asarray(hist),
-                    jnp.asarray(keys), use_typical=use_typical,
-                    use_bias=use_bias, n_steps=k_eff)
-                nxt_np = np.asarray(nxt_seq)          # [k, B]
-                new_keys_np = np.asarray(new_keys)
-                self.stats["decode_steps"] += k_eff
-                for i in active_idx:
-                    self.slots[i].key = jnp.asarray(new_keys_np[i])
-                for step in range(k_eff):
-                    for i in active_idx:
-                        s = self.slots[i]
-                        if not s.active:
-                            continue      # stopped earlier in the window
-                        s.pos += 1
-                        self._emit(i, int(nxt_np[step, i]))
+    def _step(self, zero_keys: np.ndarray | None = None) -> bool:
+        """One scheduler iteration: sweep cancellations/deadlines, admit,
+        advance chunked prefills, run one decode dispatch.  Returns False
+        when there was nothing to do (the loop may sleep)."""
+        if zero_keys is None:
+            zero_keys = np.zeros((self.B, 2), np.uint32)
+        # cancellations / deadlines first: free slots before admitting
+        now = time.time()
+        for i, s in enumerate(self.slots):
+            if not s.active:
                 continue
-            step_fn = (self._decode_step_paged if self.paged
-                       else self._decode_step)
-            # replicate full-vocab logits across hosts only when a
-            # mirostat slot will read them (code-review finding: an
-            # unconditional all-gather of [B, V] f32 over DCN per step)
-            rep_logits = (self._channel is not None and any_mirostat)
+            if s.req is not None and s.req.cancelled:
+                self._finish(i, StopReason.CANCELLED)
+            elif s.deadline is not None and now > s.deadline:
+                self._finish(i, StopReason.TIMEOUT)
+        self._admit()
+        chunk_worked = (self._advance_prefills()
+                        if self.chunked_prefill is not None else False)
+        active_idx = [i for i, s in enumerate(self.slots) if s.active]
+        # window size first: paged growth must cover every in-scan
+        # write of a multi-step dispatch (mirostat keeps K=1 —
+        # host-side stateful sampling)
+        k_cfg = self.decode_steps_per_dispatch
+        any_mirostat = any(self.slots[i].mirostat is not None
+                           for i in active_idx)
+        k_eff = 1 if any_mirostat else k_cfg
+        if self.paged and active_idx:
+            active_idx = self._paged_grow(active_idx, k_eff)
+        self.stats["active_slots"] = len(active_idx)
+        self.stats["queue_depth"] = self.pending.qsize()
+        if not active_idx:
+            return chunk_worked
+
+        active = np.zeros(self.B, bool)
+        temps = np.zeros(self.B, np.float32)
+        top_ks = np.zeros(self.B, np.int32)
+        top_ps = np.ones(self.B, np.float32)
+        min_ps = np.zeros(self.B, np.float32)
+        typ_ps = np.ones(self.B, np.float32)
+        reps = np.ones(self.B, np.float32)
+        freqs = np.zeros(self.B, np.float32)
+        press = np.zeros(self.B, np.float32)
+        positions = np.zeros(self.B, np.int32)
+        hist = np.full((self.B, HISTORY_W), -1, np.int32)
+        keys = zero_keys.copy()
+        use_typical = False
+        use_bias = False
+        for i in active_idx:
+            s = self.slots[i]
+            g = s.req.gen
+            active[i] = True
+            temps[i] = 0.0 if g.is_greedy else g.temperature
+            top_ks[i] = g.top_k
+            top_ps[i] = g.top_p
+            min_ps[i] = g.min_p
+            typ_ps[i] = g.typical_p
+            if g.typical_p < 1.0 and not g.is_greedy:
+                use_typical = True
+            reps[i] = g.repetition_penalty
+            freqs[i] = g.frequency_penalty
+            press[i] = g.presence_penalty
+            if self._bias_live[i]:
+                use_bias = True
+            positions[i] = s.pos
+            hist[i] = self._slot_history(s)
+            keys[i] = np.asarray(s.key, np.uint32)
+        bias_rows = (self._bias_rows if use_bias else self._dummy_bias)
+        if k_eff > 1:
             if self._channel is not None:
                 self._channel.send((
-                    "decode", self._tokens.copy(), positions, active,
-                    temps, top_ks, top_ps, min_ps, typ_ps, reps, freqs,
-                    press, hist, keys, use_typical, use_bias, rep_logits))
-            nxt, raw_lg, subs, new_keys, self.cache = step_fn(
+                    "decode_multi", self._tokens.copy(), positions,
+                    active, temps, top_ks, top_ps, min_ps, typ_ps,
+                    reps, freqs, press, hist, keys, use_typical,
+                    use_bias, k_eff))
+            multi_fn = (self._decode_multi_paged if self.paged
+                        else self._decode_multi)
+            nxt_seq, new_keys, self.cache = multi_fn(
                 self.params, jnp.asarray(self._tokens),
                 jnp.asarray(positions), self.cache,
                 jnp.asarray(active), jnp.asarray(temps),
                 jnp.asarray(top_ks), jnp.asarray(top_ps),
-                jnp.asarray(min_ps), jnp.asarray(typ_ps), jnp.asarray(reps),
-                jnp.asarray(freqs), jnp.asarray(press), bias_rows,
-                jnp.asarray(hist), jnp.asarray(keys),
-                use_typical=use_typical, use_bias=use_bias,
-                rep_logits=rep_logits)
-            nxt_np = np.asarray(nxt)
+                jnp.asarray(min_ps), jnp.asarray(typ_ps),
+                jnp.asarray(reps), jnp.asarray(freqs),
+                jnp.asarray(press), bias_rows, jnp.asarray(hist),
+                jnp.asarray(keys), use_typical=use_typical,
+                use_bias=use_bias, n_steps=k_eff)
+            nxt_np = np.asarray(nxt_seq)          # [k, B]
             new_keys_np = np.asarray(new_keys)
-            if rep_logits:
-                # mirostat samples on host from the raw logits — keep
-                # those ops process-local via numpy copies
-                raw_lg = np.asarray(raw_lg)
-                subs = np.asarray(subs)
-            self.stats["decode_steps"] += 1
+            self.stats["decode_steps"] += k_eff
             for i in active_idx:
-                s = self.slots[i]
-                s.key = jnp.asarray(new_keys_np[i])
-                tok = int(nxt_np[i])
-                if s.mirostat is not None:
-                    # stateful per-sequence sampling from the raw logits
-                    # with the slot's sub-key (engine mirostat path)
-                    tok = s.mirostat.sample(raw_lg[i], subs[i])
-                s.pos += 1
-                self._emit(i, tok)
+                self.slots[i].key = jnp.asarray(new_keys_np[i])
+            for step in range(k_eff):
+                for i in active_idx:
+                    s = self.slots[i]
+                    if not s.active:
+                        continue      # stopped earlier in the window
+                    s.pos += 1
+                    self._emit(i, int(nxt_np[step, i]))
+            return True
+        step_fn = (self._decode_step_paged if self.paged
+                   else self._decode_step)
+        # replicate full-vocab logits across hosts only when a
+        # mirostat slot will read them (code-review finding: an
+        # unconditional all-gather of [B, V] f32 over DCN per step)
+        rep_logits = (self._channel is not None and any_mirostat)
+        if self._channel is not None:
+            self._channel.send((
+                "decode", self._tokens.copy(), positions, active,
+                temps, top_ks, top_ps, min_ps, typ_ps, reps, freqs,
+                press, hist, keys, use_typical, use_bias, rep_logits))
+        nxt, raw_lg, subs, new_keys, self.cache = step_fn(
+            self.params, jnp.asarray(self._tokens),
+            jnp.asarray(positions), self.cache,
+            jnp.asarray(active), jnp.asarray(temps),
+            jnp.asarray(top_ks), jnp.asarray(top_ps),
+            jnp.asarray(min_ps), jnp.asarray(typ_ps), jnp.asarray(reps),
+            jnp.asarray(freqs), jnp.asarray(press), bias_rows,
+            jnp.asarray(hist), jnp.asarray(keys),
+            use_typical=use_typical, use_bias=use_bias,
+            rep_logits=rep_logits)
+        nxt_np = np.asarray(nxt)
+        new_keys_np = np.asarray(new_keys)
+        if rep_logits:
+            # mirostat samples on host from the raw logits — keep
+            # those ops process-local via numpy copies
+            raw_lg = np.asarray(raw_lg)
+            subs = np.asarray(subs)
+        self.stats["decode_steps"] += 1
+        for i in active_idx:
+            s = self.slots[i]
+            s.key = jnp.asarray(new_keys_np[i])
+            tok = int(nxt_np[i])
+            if s.mirostat is not None:
+                # stateful per-sequence sampling from the raw logits
+                # with the slot's sub-key (engine mirostat path)
+                tok = s.mirostat.sample(raw_lg[i], subs[i])
+            s.pos += 1
+            self._emit(i, tok)
+        return True

@@ -652,7 +652,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           kernel_path: str = "auto", num_slots: int = 4,
           shard: str | None = None, auth_token: str | None = None,
           model_dirs: list[str] | None = None, paged: bool = False,
-          num_pages: int | None = None, page_size: int = 16) -> None:
+          num_pages: int | None = None, page_size: int = 16,
+          chunked_prefill: int | None = None) -> None:
     """Load model + start the server (blocking)."""
     from aiohttp import web
 
@@ -715,7 +716,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
                                         num_slots=num_slots, mesh=mesh,
                                         paged=paged, num_pages=num_pages,
                                         page_size=page_size,
-                                        channel=channel)
+                                        channel=channel,
+                                        chunked_prefill=chunked_prefill)
     from .model_manager import ModelManager
 
     manager = ModelManager(ecfg, num_slots=num_slots, mesh=mesh)
