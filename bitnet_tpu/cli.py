@@ -36,6 +36,12 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--grammar-file", default=None, metavar="GBNF",
+                   help="constrain output with a GBNF grammar file "
+                        "(grammar-constrained decoding)")
+    p.add_argument("--json-schema", default=None, metavar="SCHEMA",
+                   help="constrain output to a JSON schema (inline JSON, "
+                        "a file path, or 'any' for generic JSON)")
     p.add_argument("--prompt-template", default=None,
                    help="template type (list-templates shows the full "
                         "59-type catalog), or 'embedded' to execute the "
@@ -108,6 +114,29 @@ def _parse_logit_bias(spec: str | None) -> tuple:
     return tuple(sorted(pairs.items()))
 
 
+def _resolve_cli_grammar(args) -> str | None:
+    """--grammar-file / --json-schema → GBNF source (None = off)."""
+    gf = getattr(args, "grammar_file", None)
+    js = getattr(args, "json_schema", None)
+    if gf and js:
+        from .errors import ConfigError
+
+        raise ConfigError("--grammar-file and --json-schema are exclusive")
+    if gf:
+        with open(gf) as f:
+            return f.read()
+    if js:
+        from .grammar import JSON_GRAMMAR, json_schema_grammar
+
+        if js == "any":
+            return JSON_GRAMMAR
+        if js.lstrip().startswith("{"):
+            return json_schema_grammar(js)
+        with open(js) as f:
+            return json_schema_grammar(f.read())
+    return None
+
+
 def _gen_config(args, extra_stops=()):
     from .config import GenerationConfig
 
@@ -124,6 +153,7 @@ def _gen_config(args, extra_stops=()):
         seed=args.seed if not args.deterministic else (args.seed or 42),
         greedy=args.greedy or args.deterministic,
         stop_sequences=tuple(extra_stops),
+        grammar=_resolve_cli_grammar(args),
     )
 
 

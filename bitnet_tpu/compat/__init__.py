@@ -5,6 +5,13 @@
 engine.
 """
 
-from .llama import Llama, LlamaCache, llama_backend_free, llama_backend_init
+from .llama import (
+    Llama,
+    LlamaCache,
+    LlamaGrammar,
+    llama_backend_free,
+    llama_backend_init,
+)
 
-__all__ = ["Llama", "LlamaCache", "llama_backend_init", "llama_backend_free"]
+__all__ = ["Llama", "LlamaCache", "LlamaGrammar",
+           "llama_backend_init", "llama_backend_free"]

@@ -42,6 +42,62 @@ def _bias_tuple(logit_bias) -> tuple:
                         for k, v in dict(logit_bias).items()))
 
 
+class LlamaGrammar:
+    """llama-cpp-python ``LlamaGrammar`` compatible holder of GBNF text.
+
+    Validates eagerly (like llama.cpp's grammar parser) so a malformed
+    grammar raises at construction, not mid-generation.
+    """
+
+    def __init__(self, gbnf: str):
+        from ..grammar import Grammar
+
+        Grammar.from_gbnf(gbnf)          # raises GrammarError if malformed
+        self._grammar = gbnf
+
+    @classmethod
+    def from_string(cls, grammar: str, verbose: bool = True,
+                    **_kw) -> "LlamaGrammar":
+        return cls(grammar)
+
+    @classmethod
+    def from_json_schema(cls, json_schema, verbose: bool = True,
+                         **_kw) -> "LlamaGrammar":
+        from ..grammar import json_schema_grammar
+
+        return cls(json_schema_grammar(json_schema))
+
+    @classmethod
+    def from_file(cls, file, verbose: bool = True, **_kw) -> "LlamaGrammar":
+        with open(file) as f:
+            return cls(f.read())
+
+    def __str__(self) -> str:
+        return self._grammar
+
+
+def _grammar_source(grammar=None, response_format=None) -> Optional[str]:
+    """GBNF source from a compat ``grammar=`` arg (``LlamaGrammar`` or raw
+    GBNF text) or an OpenAI-style ``response_format`` dict; grammar wins."""
+    if grammar is not None:
+        return (grammar._grammar if isinstance(grammar, LlamaGrammar)
+                else str(grammar))
+    rf = response_format or {}
+    t = rf.get("type")
+    if t == "json_object":
+        from ..grammar import JSON_GRAMMAR, json_schema_grammar
+
+        # llama-cpp-python extension: {"type": "json_object", "schema": …}
+        schema = rf.get("schema")
+        return json_schema_grammar(schema) if schema else JSON_GRAMMAR
+    if t == "json_schema":
+        from ..grammar import json_schema_grammar
+
+        return json_schema_grammar(
+            (rf.get("json_schema") or {}).get("schema") or {})
+    return None
+
+
 class Llama:
     """Drop-in replacement for ``llama_cpp.Llama`` on TPU."""
 
@@ -201,6 +257,7 @@ class Llama:
         stream: bool = False,
         seed: Optional[int] = None,
         logit_bias: Optional[Dict[int, float]] = None,
+        grammar: Optional[Union["LlamaGrammar", str]] = None,
         **_kw,
     ):
         if isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
@@ -209,7 +266,8 @@ class Llama:
             results = [self.create_completion(
                 p, max_tokens=max_tokens, temperature=temperature,
                 top_p=top_p, top_k=top_k, repeat_penalty=repeat_penalty,
-                echo=echo, stop=stop, seed=seed, logit_bias=logit_bias)
+                echo=echo, stop=stop, seed=seed, logit_bias=logit_bias,
+                grammar=grammar)
                 for p in prompt]
             return {
                 "id": f"cmpl-{uuid.uuid4().hex[:24]}",
@@ -242,6 +300,7 @@ class Llama:
             seed=seed if seed is not None else self._seed,
             greedy=temperature <= 0.0,
             stop_sequences=tuple(stop_list),
+            grammar=_grammar_source(grammar),
         )
         if isinstance(prompt, list):            # token-id prompt
             token_ids = [int(t) for t in prompt]
@@ -327,6 +386,8 @@ class Llama:
             seed=kwargs.get("seed", self._seed),
             greedy=float(kwargs.get("temperature", 0.8)) <= 0.0,
             stop_sequences=tuple(stop_list),
+            grammar=_grammar_source(kwargs.get("grammar"),
+                                    kwargs.get("response_format")),
         )
         cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         if stream:

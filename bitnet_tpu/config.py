@@ -154,6 +154,10 @@ class GenerationConfig:
     stop_sequences: tuple[str, ...] = ()
     stop_token_ids: tuple[int, ...] = ()
     add_bos: bool = True
+    # GBNF grammar source constraining the output (grammar-constrained
+    # decoding; compile JSON schemas via grammar.json_schema_grammar).
+    # Host-routed per step like mirostat.  None/"" = unconstrained.
+    grammar: str | None = None
 
     def __post_init__(self) -> None:
         if self.max_new_tokens <= 0:
@@ -180,6 +184,10 @@ class GenerationConfig:
         for tok, _b in self.logit_bias:
             if not isinstance(tok, int) or tok < 0:
                 raise ConfigError("logit_bias keys must be token ids >= 0")
+        if self.grammar is not None and not isinstance(self.grammar, str):
+            raise ConfigError("grammar must be GBNF source text")
+        if self.grammar == "":
+            object.__setattr__(self, "grammar", None)
 
     @property
     def is_greedy(self) -> bool:

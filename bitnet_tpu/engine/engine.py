@@ -32,7 +32,7 @@ from ..config import EngineConfig, GenerationConfig, ModelConfig
 from ..errors import ConfigError, InferenceError
 from ..models.bitnet import BitNetParams, forward, logits as model_logits
 from .cache import KVCache, allocate_cache, reset_cache
-from .sampling import MirostatState, SamplerChain
+from .sampling import NEG_INF, MirostatState, SamplerChain
 from .stop import StopCriteria, StopReason
 
 
@@ -222,6 +222,24 @@ class InferenceEngine:
             self._sample_jit[key] = jax.jit(chain.sample)
         return self._sample_jit[key]
 
+    def _grammar_matcher(self, gen_cfg: GenerationConfig):
+        """Build the per-request constrained-decoding state (grammar
+        compilation cached by source; the vocab trie built once)."""
+        if not gen_cfg.grammar:
+            return None
+        if self.tokenizer is None:
+            raise InferenceError("grammar decoding requires a tokenizer")
+        from ..grammar import Grammar, TokenVocab, VocabMatcher
+
+        if not hasattr(self, "_grammar_vocab"):
+            self._grammar_vocab = TokenVocab.from_tokenizer(self.tokenizer)
+            self._grammar_cache: dict[str, Grammar] = {}
+        g = self._grammar_cache.get(gen_cfg.grammar)
+        if g is None:
+            g = Grammar.from_gbnf(gen_cfg.grammar)
+            self._grammar_cache[gen_cfg.grammar] = g
+        return VocabMatcher(g, self._grammar_vocab)
+
     def _segment_steps(self) -> int:
         k = self.engine_cfg.decode_steps_per_dispatch
         if k == 0:
@@ -387,6 +405,11 @@ class InferenceEngine:
                 text="", token_ids=[], stop_reason=StopReason.MAX_TOKENS,
                 prompt_tokens=len(token_ids), metrics={})
         gen_cfg = gen_cfg.replace(max_new_tokens=remaining)
+        if gen_cfg.grammar and already_generated:
+            # the pushdown state must match the generation point: replay
+            # the previously generated tokens through a fresh matcher
+            # (scheduler checkpoint restore does the same)
+            self._grammar_replay = token_ids[-already_generated:]
         out_ids = [ev.token_id for ev in
                    self.generate_stream(token_ids, gen_cfg, resume=True)]
         text = (self.tokenizer.decode(out_ids)
@@ -432,6 +455,11 @@ class InferenceEngine:
         sampler = self._get_sampler(gen_cfg)
         mirostat = (MirostatState.from_config(gen_cfg)
                     if gen_cfg.mirostat else None)
+        grammar = self._grammar_matcher(gen_cfg)
+        replay = self.__dict__.pop("_grammar_replay", None)
+        if grammar is not None and replay:
+            for t in replay:
+                grammar.accept(int(t))
 
         t0 = time.perf_counter()
         if resume:
@@ -456,8 +484,10 @@ class InferenceEngine:
         generated = 0
         emitted: list[int] = []
         # K-step segments: sample→forward K times in ONE dispatch
-        # (engine/loop.py); mirostat keeps K=1 (host-side adaptive state)
-        K = self._segment_steps() if mirostat is None else 1
+        # (engine/loop.py); mirostat and grammar keep K=1 (host-side
+        # per-step state)
+        K = (self._segment_steps()
+             if mirostat is None and grammar is None else 1)
         active = jnp.asarray([True] + [False] * (B - 1))
         stopped = False
         while not stopped:
@@ -485,13 +515,26 @@ class InferenceEngine:
                 pos_delta = K
             else:
                 key, sub = jax.random.split(key)
+                step_logits = logits
+                if grammar is not None:
+                    mask = grammar.allowed_mask()
+                    if not mask.any():
+                        # grammar dead end and EOS illegal: stop cleanly
+                        self._last_stop_reason = StopReason.EOS
+                        self.kernel_recorder.append("grammar_dead_end")
+                        break
+                    step_logits = jnp.where(
+                        jnp.asarray(mask)[None, :], logits,
+                        jnp.asarray(NEG_INF, logits.dtype))
                 if mirostat is not None:
-                    tok_id = mirostat.sample(logits[0], sub)
+                    tok_id = mirostat.sample(step_logits[0], sub)
                     token = jnp.full((B, 1), tok_id, jnp.int32)
                 else:
-                    sampled = sampler(logits, history_dev, sub)  # [B]
+                    sampled = sampler(step_logits, history_dev, sub)  # [B]
                     token = sampled[:, None]
                     tok_id = int(sampled[0])
+                if grammar is not None:
+                    grammar.accept(tok_id)
                 step_toks = None
                 pos_delta = 1
 
@@ -622,6 +665,11 @@ class InferenceEngine:
         riding the compiled step (static shapes); their output is ignored.
         """
         gen_cfg = gen_cfg or GenerationConfig()
+        if gen_cfg.grammar:
+            raise InferenceError(
+                "grammar decoding is per-sequence host-side state; use "
+                "generate/generate_stream or the scheduler, not the "
+                "lockstep batch API")
         B = self.engine_cfg.max_batch_size
         S = self.engine_cfg.max_seq_len
         nb = len(prompts)

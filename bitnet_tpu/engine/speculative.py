@@ -191,6 +191,10 @@ class SpeculativeDecoder:
             raise InferenceError(
                 "greedy acceptance requires greedy generation; use "
                 "policy='threshold' for sampled decoding")
+        if gen_cfg.grammar:
+            raise InferenceError(
+                "grammar decoding is not supported with speculative "
+                "decoding (draft tokens bypass the grammar mask)")
         k = self.spec_cfg.num_draft_tokens
         S = eng.engine_cfg.max_seq_len
         B = eng.engine_cfg.max_batch_size

@@ -101,7 +101,9 @@ class _Parser:
 
     def _name(self) -> str:
         start = self.pos
-        while self._peek().isalnum() or self._peek() in "-_":
+        # NB: guard the empty string from _peek() at EOF — "" is a
+        # substring of any string, so `"" in "-_"` would loop forever
+        while (c := self._peek()) and (c.isalnum() or c in "-_"):
             self.pos += 1
         if self.pos == start:
             self._fail("expected rule name")
@@ -183,12 +185,17 @@ class _Parser:
 
     def _sequence(self, base: str) -> list:
         items: list = []
+        atoms = 0
         while True:
             self._ws(newlines=False)
             c = self._peek()
             if c == "" or c in "|)" or c in "\r\n":
+                if atoms == 0:
+                    # `a | | b` is always a typo; epsilon is spelt ""
+                    self._fail('empty alternate (use "" for epsilon)')
                 return items
             item = self._item(base)
+            atoms += 1
             items.extend(self._repetition(base, item))
 
     def _item(self, base: str) -> list:

@@ -45,6 +45,8 @@ class TokenVocab:
     @classmethod
     def from_tokenizer(cls, tokenizer) -> "TokenVocab":
         v = tokenizer.vocab_size
+        if callable(v):          # Tokenizer trait method (reference
+            v = v()              # lib.rs:83 convention) vs plain attribute
         pieces = [tokenizer.token_to_piece(i) or "" for i in range(v)]
         return cls(pieces, getattr(tokenizer, "eos_token_id", None))
 

@@ -107,6 +107,13 @@ class _Slot:
     pf_done: int = 0              # suffix tokens prefilled so far
     pf_base: int = 0              # forked-prefix length (paged mode)
     pf_carry: Any = None          # dense mode: (kc, vc, ks, vs) B=1 buffers
+    # grammar-constrained decoding state (host-routed like mirostat)
+    grammar: Any = None           # VocabMatcher | None
+
+    @property
+    def hostside(self) -> bool:
+        """Sampling needs host-side per-step state (forces K=1)."""
+        return self.mirostat is not None or self.grammar is not None
 
     @property
     def occupied(self) -> bool:
@@ -834,6 +841,7 @@ class ContinuousBatchingScheduler:
                         "repetition_penalty": g.repetition_penalty,
                         "seed": g.seed, "greedy": g.greedy,
                         "stop_token_ids": list(g.stop_token_ids),
+                        "grammar": g.grammar,
                     },
                 }, f)
             written.append(path)
@@ -870,6 +878,7 @@ class ContinuousBatchingScheduler:
                         "repetition_penalty": g.repetition_penalty,
                         "seed": g.seed, "greedy": g.greedy,
                         "stop_token_ids": list(g.stop_token_ids),
+                        "grammar": g.grammar,
                     },
                 }, f)
             written.append(path)
@@ -911,6 +920,7 @@ class ContinuousBatchingScheduler:
                 repetition_penalty=g["repetition_penalty"],
                 seed=g["seed"], greedy=g["greedy"],
                 stop_token_ids=tuple(g.get("stop_token_ids", ())),
+                grammar=g.get("grammar"),
             )
             req = Request(token_ids=state.prompt_ids, gen=gen,
                           id=meta["request_id"])
@@ -976,6 +986,12 @@ class ContinuousBatchingScheduler:
             slot.key = jax.random.PRNGKey(_request_seed(gen))
             slot.mirostat = (MirostatState.from_config(gen)
                              if gen.mirostat else None)
+            slot.grammar = self._grammar_matcher(gen)
+            if slot.grammar is not None:
+                # replay the emitted text through the matcher so the
+                # pushdown state matches the generation point
+                for t in state.generated_ids:
+                    slot.grammar.accept(int(t))
             slot.deadline = None
             slot.admitted_at = time.time()
             slot.active = True
@@ -996,6 +1012,7 @@ class ContinuousBatchingScheduler:
                 repetition_penalty=g["repetition_penalty"],
                 seed=g["seed"], greedy=g["greedy"],
                 stop_token_ids=tuple(g.get("stop_token_ids", ())),
+                grammar=g.get("grammar"),
             )
             restored.append(self.submit(
                 meta["token_ids"], gen,
@@ -1095,6 +1112,7 @@ class ContinuousBatchingScheduler:
             slot.key = jax.random.PRNGKey(_request_seed(req.gen))
             slot.mirostat = (MirostatState.from_config(req.gen)
                              if req.gen.mirostat else None)
+            slot.grammar = self._grammar_matcher(req.gen)
             slot.deadline = (req.submitted_at + req.timeout_s
                              if req.timeout_s is not None else None)
             slot.admitted_at = time.time()
@@ -1376,21 +1394,53 @@ class ContinuousBatchingScheduler:
             jnp.asarray(row))
         self._bias_live[slot_idx] = bool(bias)
 
+    def _grammar_matcher(self, gen: GenerationConfig):
+        """Per-request constrained-decoding state (grammar compile cached
+        by source; one shared vocab trie per scheduler)."""
+        if not gen.grammar:
+            return None
+        if self.tokenizer is None:
+            raise InferenceError("grammar decoding requires a tokenizer")
+        from ..grammar import Grammar, TokenVocab, VocabMatcher
+
+        if not hasattr(self, "_grammar_vocab"):
+            self._grammar_vocab = TokenVocab.from_tokenizer(self.tokenizer)
+            self._grammar_cache: dict[str, Grammar] = {}
+        g = self._grammar_cache.get(gen.grammar)
+        if g is None:
+            g = Grammar.from_gbnf(gen.grammar)
+            self._grammar_cache[gen.grammar] = g
+        return VocabMatcher(g, self._grammar_vocab)
+
+    def _grammar_mask(self, slot: _Slot, lg):
+        """Apply the slot's grammar mask to a [V] or [1, V] logits row
+        (host numpy; NEG_INF outside the admissible set)."""
+        mask = slot.grammar.allowed_mask()
+        lg = np.asarray(lg, np.float32)
+        return np.where(mask, lg, NEG_INF) if lg.ndim == 1 else \
+            np.where(mask[None, :], lg, NEG_INF)
+
     def _sample_first(self, slot: _Slot, lg: jnp.ndarray) -> int:
         """Sample the prefill token with the slot's key stream + the
         prompt-tail history — exactly the engine's first decode-loop
         iteration (engine.py generate_stream)."""
         gen = slot.req.gen
         slot.key, sub = jax.random.split(slot.key)
+        if slot.grammar is not None:
+            lg = jnp.asarray(self._grammar_mask(slot, lg))
         if slot.mirostat is not None:
-            return slot.mirostat.sample(lg[0].astype(jnp.float32), sub)
-        W = max(1, min(gen.repetition_window, HISTORY_W))
-        hist = np.full((1, W), -1, np.int32)
-        tail = slot.req.token_ids[-W:]
-        hist[0, : len(tail)] = tail
-        chain = SamplerChain(gen)
-        return int(chain.sample(lg.astype(jnp.float32)[:1],
-                                jnp.asarray(hist), sub)[0])
+            tok = slot.mirostat.sample(lg[0].astype(jnp.float32), sub)
+        else:
+            W = max(1, min(gen.repetition_window, HISTORY_W))
+            hist = np.full((1, W), -1, np.int32)
+            tail = slot.req.token_ids[-W:]
+            hist[0, : len(tail)] = tail
+            chain = SamplerChain(gen)
+            tok = int(chain.sample(lg.astype(jnp.float32)[:1],
+                                   jnp.asarray(hist), sub)[0])
+        if slot.grammar is not None:
+            slot.grammar.accept(tok)
+        return tok
 
     def _slot_history(self, slot: _Slot) -> np.ndarray:
         """Last ``repetition_window`` tokens of prompt+output ([-1]-padded,
@@ -1411,6 +1461,7 @@ class ContinuousBatchingScheduler:
         slot.prefilling = False
         slot.pf_carry = None
         slot.pf_done = 0
+        slot.grammar = None
         slot.req = None
         self.stats["completed"] += 1
         self._release_slot_pages(slot_idx)
@@ -1441,6 +1492,7 @@ class ContinuousBatchingScheduler:
             return
         # finished → free slot
         slot.active = False
+        slot.grammar = None
         slot.req = None
         self.stats["completed"] += 1
         self._release_slot_pages(slot_idx)
@@ -1488,9 +1540,8 @@ class ContinuousBatchingScheduler:
         # write of a multi-step dispatch (mirostat keeps K=1 —
         # host-side stateful sampling)
         k_cfg = self.decode_steps_per_dispatch
-        any_mirostat = any(self.slots[i].mirostat is not None
-                           for i in active_idx)
-        k_eff = 1 if any_mirostat else k_cfg
+        any_hostside = any(self.slots[i].hostside for i in active_idx)
+        k_eff = 1 if any_hostside else k_cfg
         if self.paged and active_idx:
             active_idx = self._paged_grow(active_idx, k_eff)
         self.stats["active_slots"] = len(active_idx)
@@ -1566,10 +1617,10 @@ class ContinuousBatchingScheduler:
             return True
         step_fn = (self._decode_step_paged if self.paged
                    else self._decode_step)
-        # replicate full-vocab logits across hosts only when a
-        # mirostat slot will read them (code-review finding: an
-        # unconditional all-gather of [B, V] f32 over DCN per step)
-        rep_logits = (self._channel is not None and any_mirostat)
+        # replicate full-vocab logits across hosts only when a host-side
+        # sampler (mirostat/grammar) will read them (code-review finding:
+        # an unconditional all-gather of [B, V] f32 over DCN per step)
+        rep_logits = (self._channel is not None and any_hostside)
         if self._channel is not None:
             self._channel.send((
                 "decode", self._tokens.copy(), positions, active,
@@ -1597,10 +1648,22 @@ class ContinuousBatchingScheduler:
             s = self.slots[i]
             s.key = jnp.asarray(new_keys_np[i])
             tok = int(nxt_np[i])
-            if s.mirostat is not None:
+            if s.hostside:
                 # stateful per-sequence sampling from the raw logits
-                # with the slot's sub-key (engine mirostat path)
-                tok = s.mirostat.sample(raw_lg[i], subs[i])
+                # with the slot's sub-key (engine mirostat/grammar path)
+                lg_row = raw_lg[i]
+                if s.grammar is not None:
+                    lg_row = self._grammar_mask(s, lg_row)
+                if s.mirostat is not None:
+                    tok = s.mirostat.sample(lg_row, subs[i])
+                else:
+                    chain = SamplerChain(s.req.gen)
+                    tok = int(chain.sample(
+                        jnp.asarray(lg_row, jnp.float32)[None],
+                        jnp.asarray(self._slot_history(s)[None]),
+                        jnp.asarray(subs[i]))[0])
+                if s.grammar is not None:
+                    s.grammar.accept(tok)
             s.pos += 1
             self._emit(i, tok)
         return True

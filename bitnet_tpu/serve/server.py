@@ -97,6 +97,51 @@ def _validate_body(body: dict) -> str | None:
             if tok < 0 or not isinstance(v, (int, float)):
                 return "logit_bias keys must be token ids >= 0 with " \
                        "numeric values"
+    g = body.get("grammar")
+    if g is not None and not isinstance(g, str):
+        return "grammar must be a GBNF source string"
+    js = body.get("json_schema")
+    if js is not None and not isinstance(js, (dict, str)):
+        return "json_schema must be an object or a JSON string"
+    rf = body.get("response_format")
+    if rf is not None:
+        if not isinstance(rf, dict) or rf.get("type") not in (
+                "text", "json_object", "json_schema"):
+            return ("response_format.type must be one of "
+                    "text | json_object | json_schema")
+        if rf.get("type") == "json_schema":
+            spec = rf.get("json_schema")
+            if not isinstance(spec, dict) \
+                    or not isinstance(spec.get("schema", {}), dict):
+                return "response_format.json_schema.schema must be an object"
+    if g is not None or js is not None or rf is not None:
+        from ..grammar import Grammar, GrammarError
+
+        try:
+            src = _resolve_grammar(body)
+            if src is not None:
+                Grammar.from_gbnf(src)
+        except GrammarError as e:
+            return f"invalid grammar: {e}"
+    return None
+
+
+def _resolve_grammar(body: dict) -> str | None:
+    """Constrained-output source, by precedence: explicit GBNF
+    ``grammar`` > ``json_schema`` > OpenAI ``response_format``."""
+    from ..grammar import JSON_GRAMMAR, json_schema_grammar
+
+    if body.get("grammar"):
+        return body["grammar"]
+    if body.get("json_schema") is not None:
+        return json_schema_grammar(body["json_schema"])
+    rf = body.get("response_format") or {}
+    t = rf.get("type")
+    if t == "json_object":
+        return JSON_GRAMMAR
+    if t == "json_schema":
+        spec = rf.get("json_schema") or {}
+        return json_schema_grammar(spec.get("schema") or {})
     return None
 
 
@@ -117,6 +162,7 @@ def _gen_config_from_body(body: dict) -> GenerationConfig:
         seed=body.get("seed"),
         greedy=bool(body.get("greedy", False)),
         stop_sequences=tuple(body.get("stop", []) or []),
+        grammar=_resolve_grammar(body),
     )
 
 
