@@ -475,3 +475,34 @@ class TestGrammarResume:
         cont = engine.generate_from_state(
             PROMPT + head, already_generated=k, gen_cfg=gen)
         assert head + cont.token_ids == full.token_ids
+
+
+# ------------------------------------------------- DFA mask equivalence
+class TestDFAMaskEquivalence:
+    """The vectorized class-DFA mask must equal the brute-force
+    per-token pushdown check at every step of a generation."""
+
+    @pytest.mark.parametrize("gbnf,text", [
+        (JSON_GRAMMAR, '{"a": [1.5, true, "x y"], "b": null}'),
+        ('root ::= ("ab" | [0-9]{2} | "c" root)*', 'ab42cab'),
+        ('root ::= [^"]* ["]', 'plain text!'),
+    ])
+    def test_matches_bruteforce(self, gbnf, text):
+        pieces = ([""]                     # 0 = eos
+                  + [chr(c) for c in range(32, 127)]
+                  + ["ab", "42", "tru", "true", "null", '"x', "x y",
+                     "  ", '{"', '"]', "1.5", "cab", "zz9"])
+        vocab = TokenVocab(pieces, eos_token_id=0)
+        g = Grammar.from_gbnf(gbnf)
+        m = VocabMatcher(g, vocab)
+        for step_ch in text + "\0":        # include the final state
+            mask = m.allowed_mask()
+            for tid, piece in enumerate(pieces):
+                if tid == 0 or not piece:
+                    want = m.matcher.can_complete
+                else:
+                    want = m.matcher.would_accept(piece)
+                assert mask[tid] == want, (step_ch, tid, piece)
+            if step_ch == "\0":
+                break
+            assert m.matcher.feed_text(step_ch), (text, step_ch)
