@@ -36,6 +36,9 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--logprobs", type=int, default=None, metavar="N",
+                   help="report per-token log-probabilities plus the "
+                        "top-N alternatives (stderr table)")
     p.add_argument("--grammar-file", default=None, metavar="GBNF",
                    help="constrain output with a GBNF grammar file "
                         "(grammar-constrained decoding)")
@@ -154,6 +157,7 @@ def _gen_config(args, extra_stops=()):
         greedy=args.greedy or args.deterministic,
         stop_sequences=tuple(extra_stops),
         grammar=_resolve_cli_grammar(args),
+        logprobs=getattr(args, "logprobs", None),
     )
 
 
@@ -227,6 +231,13 @@ def cmd_run(args) -> int:
             sys.stdout.write(ev.text)
             sys.stdout.flush()
             out_ids.append(ev.token_id)
+            if gcfg.logprobs is not None and ev.logprob is not None:
+                alts = " ".join(
+                    f"{engine.tokenizer.token_to_piece(i)!r}:{lp:.3f}"
+                    for i, lp in (ev.top_logprobs or []))
+                print(f"[lp {ev.text!r}:{ev.logprob:.3f}"
+                      + (f" | {alts}" if alts else "") + "]",
+                      file=sys.stderr)
         print()
         r = None
     m = (engine._last_metrics.as_dict()

@@ -76,6 +76,16 @@ class LlamaGrammar:
         return self._grammar
 
 
+def _chat_logprobs_arg(kwargs: Dict[str, Any]) -> Optional[int]:
+    """OpenAI chat convention: ``logprobs=True`` + ``top_logprobs=N``."""
+    lp = kwargs.get("logprobs")
+    if lp is True:
+        return int(kwargs.get("top_logprobs", 0) or 0)
+    if isinstance(lp, int) and not isinstance(lp, bool):
+        return lp
+    return None
+
+
 def _grammar_source(grammar=None, response_format=None) -> Optional[str]:
     """GBNF source from a compat ``grammar=`` arg (``LlamaGrammar`` or raw
     GBNF text) or an OpenAI-style ``response_format`` dict; grammar wins."""
@@ -258,6 +268,7 @@ class Llama:
         seed: Optional[int] = None,
         logit_bias: Optional[Dict[int, float]] = None,
         grammar: Optional[Union["LlamaGrammar", str]] = None,
+        logprobs: Optional[int] = None,
         **_kw,
     ):
         if isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
@@ -301,6 +312,7 @@ class Llama:
             greedy=temperature <= 0.0,
             stop_sequences=tuple(stop_list),
             grammar=_grammar_source(grammar),
+            logprobs=logprobs,
         )
         if isinstance(prompt, list):            # token-id prompt
             token_ids = [int(t) for t in prompt]
@@ -326,7 +338,7 @@ class Llama:
             "choices": [{
                 "text": text,
                 "index": 0,
-                "logprobs": None,
+                "logprobs": self._format_logprobs(res.get("logprobs")),
                 "finish_reason": res["finish_reason"],
             }],
             "usage": {
@@ -388,12 +400,21 @@ class Llama:
             stop_sequences=tuple(stop_list),
             grammar=_grammar_source(kwargs.get("grammar"),
                                     kwargs.get("response_format")),
+            logprobs=_chat_logprobs_arg(kwargs),
         )
         cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         if stream:
             return self._stream_completion(cid, token_ids, gen_cfg,
                                            object_type="chat.completion.chunk")
         res = self._engine_generate(token_ids, gen_cfg)
+        lp_block = None
+        if res.get("logprobs") is not None:
+            piece = self._engine.tokenizer.token_to_piece
+            lp_block = {"content": [{
+                "token": e["text"], "logprob": e["logprob"],
+                "top_logprobs": [{"token": piece(i) or "", "logprob": l}
+                                 for i, l in e["top"]],
+            } for e in res["logprobs"]]}
         return {
             "id": cid,
             "object": "chat.completion",
@@ -402,6 +423,7 @@ class Llama:
             "choices": [{
                 "index": 0,
                 "message": {"role": "assistant", "content": res["text"]},
+                "logprobs": lp_block,
                 "finish_reason": res["finish_reason"],
             }],
             "usage": {
@@ -509,6 +531,24 @@ class Llama:
             "text": res.text,
             "completion_tokens": len(res.token_ids),
             "finish_reason": reason,
+            "logprobs": res.logprobs,
+        }
+
+    def _format_logprobs(self, entries) -> Optional[Dict[str, Any]]:
+        """Engine logprob entries → OpenAI completions logprobs block."""
+        if entries is None:
+            return None
+        piece = self._engine.tokenizer.token_to_piece
+        text_offset, off = [], 0
+        for e in entries:
+            text_offset.append(off)
+            off += len(e["text"])
+        return {
+            "tokens": [e["text"] for e in entries],
+            "token_logprobs": [e["logprob"] for e in entries],
+            "top_logprobs": [{piece(i) or "": lp for i, lp in e["top"]}
+                             for e in entries],
+            "text_offset": text_offset,
         }
 
     def _stream_completion(self, cid: str, token_ids: List[int],

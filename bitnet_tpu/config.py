@@ -158,6 +158,12 @@ class GenerationConfig:
     # decoding; compile JSON schemas via grammar.json_schema_grammar).
     # Host-routed per step like mirostat.  None/"" = unconstrained.
     grammar: str | None = None
+    # None = off; N >= 0 = return the sampled token's log-probability
+    # plus the top-N alternatives per step (OpenAI ``logprobs``).  The
+    # reference stubs this field (``bitnet-server/src/sse.rs:102``
+    # always None); here it is computed from the raw model distribution.
+    # Host-routed per step like mirostat (forces K=1 segments).
+    logprobs: int | None = None
 
     def __post_init__(self) -> None:
         if self.max_new_tokens <= 0:
@@ -188,6 +194,9 @@ class GenerationConfig:
             raise ConfigError("grammar must be GBNF source text")
         if self.grammar == "":
             object.__setattr__(self, "grammar", None)
+        if self.logprobs is not None and not (
+                isinstance(self.logprobs, int) and 0 <= self.logprobs <= 32):
+            raise ConfigError("logprobs must be None or an int in [0, 32]")
 
     @property
     def is_greedy(self) -> bool:

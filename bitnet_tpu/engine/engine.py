@@ -32,7 +32,7 @@ from ..config import EngineConfig, GenerationConfig, ModelConfig
 from ..errors import ConfigError, InferenceError
 from ..models.bitnet import BitNetParams, forward, logits as model_logits
 from .cache import KVCache, allocate_cache, reset_cache
-from .sampling import NEG_INF, MirostatState, SamplerChain
+from .sampling import NEG_INF, MirostatState, SamplerChain, logprob_entry
 from .stop import StopCriteria, StopReason
 
 
@@ -44,6 +44,9 @@ class TokenEvent:
     text: str
     index: int
     logprob: float | None = None
+    # [(token_id, logprob)] of the top-N alternatives, highest first
+    # (populated when GenerationConfig.logprobs >= 1)
+    top_logprobs: list[tuple[int, float]] | None = None
 
 
 @dataclasses.dataclass
@@ -55,6 +58,9 @@ class GenerationResult:
     metrics: dict
     # acceptance stats when produced by engine.speculative (else None)
     spec_stats: dict | None = None
+    # per emitted token: {"token_id", "text", "logprob", "top": [(id, lp)]}
+    # when GenerationConfig.logprobs is set (else None)
+    logprobs: list[dict] | None = None
 
 
 @dataclasses.dataclass
@@ -484,10 +490,12 @@ class InferenceEngine:
         generated = 0
         emitted: list[int] = []
         # K-step segments: sample→forward K times in ONE dispatch
-        # (engine/loop.py); mirostat and grammar keep K=1 (host-side
-        # per-step state)
+        # (engine/loop.py); mirostat, grammar and logprobs keep K=1
+        # (host-side per-step state / per-step logits reads)
+        lp_n = gen_cfg.logprobs
         K = (self._segment_steps()
-             if mirostat is None and grammar is None else 1)
+             if mirostat is None and grammar is None and lp_n is None
+             else 1)
         active = jnp.asarray([True] + [False] * (B - 1))
         stopped = False
         while not stopped:
@@ -546,6 +554,11 @@ class InferenceEngine:
                         if self.tokenizer is not None else "")
                 ev = TokenEvent(token_id=tok_id, text=text,
                                 index=generated - 1)
+                if lp_n is not None:
+                    # raw model distribution (pre-mask/penalty), the
+                    # OpenAI/llama.cpp logprobs convention
+                    ev.logprob, ev.top_logprobs = logprob_entry(
+                        np.asarray(logits[0]), tok_id, lp_n)
                 reason = stop.check(tok_id, text)
                 if reason in (StopReason.STOP_TOKEN, StopReason.EOS):
                     # stop tokens are not emitted (engine.rs stop handling)
@@ -625,8 +638,14 @@ class InferenceEngine:
             token_ids = list(prompt)
 
         out_ids: list[int] = []
+        lps: list[dict] | None = ([] if gen_cfg.logprobs is not None
+                                  else None)
         for ev in self.generate_stream(token_ids, gen_cfg):
             out_ids.append(ev.token_id)
+            if lps is not None:
+                lps.append({"token_id": ev.token_id, "text": ev.text,
+                            "logprob": ev.logprob,
+                            "top": ev.top_logprobs or []})
         text = (self.tokenizer.decode(out_ids)
                 if self.tokenizer is not None else "")
         # recorded for deterministic replay via honest-compute receipts
@@ -650,6 +669,7 @@ class InferenceEngine:
             stop_reason=self._last_stop_reason,
             prompt_tokens=len(token_ids),
             metrics=self._last_metrics.as_dict(),
+            logprobs=lps,
         )
 
     def generate_batch(
@@ -668,6 +688,11 @@ class InferenceEngine:
         if gen_cfg.grammar:
             raise InferenceError(
                 "grammar decoding is per-sequence host-side state; use "
+                "generate/generate_stream or the scheduler, not the "
+                "lockstep batch API")
+        if gen_cfg.logprobs is not None:
+            raise InferenceError(
+                "logprobs need per-step host logits reads; use "
                 "generate/generate_stream or the scheduler, not the "
                 "lockstep batch API")
         B = self.engine_cfg.max_batch_size

@@ -167,6 +167,29 @@ def argmax(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def logprob_entry(row, tok_id: int, n: int) -> tuple[float, list]:
+    """Log-softmax logprob of ``tok_id`` plus the top-``n`` alternatives
+    ``[(token_id, logprob)]`` (highest first) from a raw logits row.
+
+    Host-side numpy: used by the engine/scheduler logprobs paths, which
+    report the *model's* distribution (pre-penalty/mask), the same
+    convention as OpenAI completions and llama.cpp.  The reference only
+    stubs this (``bitnet-server/src/sse.rs:102`` hardcodes None).
+    """
+    import numpy as np
+
+    row = np.asarray(row, np.float32).reshape(-1)
+    m = float(row.max())
+    lp = row - (m + np.log(np.exp(row - m).sum()))
+    top = []
+    if n > 0:
+        k = min(n, lp.size)
+        idx = np.argpartition(-lp, k - 1)[:k]
+        idx = idx[np.argsort(-lp[idx])]
+        top = [(int(i), float(lp[i])) for i in idx]
+    return float(lp[tok_id]), top
+
+
 # --------------------------------------------------------------------------
 # Sampler chain
 # --------------------------------------------------------------------------

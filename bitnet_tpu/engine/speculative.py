@@ -195,6 +195,10 @@ class SpeculativeDecoder:
             raise InferenceError(
                 "grammar decoding is not supported with speculative "
                 "decoding (draft tokens bypass the grammar mask)")
+        if gen_cfg.logprobs is not None:
+            raise InferenceError(
+                "logprobs are not supported with speculative decoding "
+                "(verify-step logits are consumed on device)")
         k = self.spec_cfg.num_draft_tokens
         S = eng.engine_cfg.max_seq_len
         B = eng.engine_cfg.max_batch_size

@@ -53,7 +53,8 @@ import numpy as np
 
 from ..config import EngineConfig, GenerationConfig, ModelConfig
 from ..engine.cache import KVCache, allocate_cache
-from ..engine.sampling import NEG_INF, MirostatState, SamplerChain
+from ..engine.sampling import (NEG_INF, MirostatState, SamplerChain,
+                               logprob_entry)
 from ..engine.stop import StopCriteria, StopReason
 from ..errors import InferenceError
 from ..models.bitnet import BitNetParams, forward, logits as model_logits
@@ -75,6 +76,10 @@ class Request:
     priority: int = 0           # lower = sooner (batch_engine.rs priorities)
     timeout_s: float | None = None        # total deadline from submission
     queue_timeout_s: float | None = None  # max wait before admission
+    # per emitted token {"token_id","text","logprob","top"} when
+    # gen.logprobs is set; appended before the matching out.put so a
+    # consumer that just dequeued token i may read logprobs[i]
+    logprobs: list[dict] | None = None
     _cancel: threading.Event = dataclasses.field(
         default_factory=threading.Event)
 
@@ -109,11 +114,17 @@ class _Slot:
     pf_carry: Any = None          # dense mode: (kc, vc, ks, vs) B=1 buffers
     # grammar-constrained decoding state (host-routed like mirostat)
     grammar: Any = None           # VocabMatcher | None
+    # logprob entry of the just-sampled token, appended to req.logprobs
+    # by _emit iff the token is actually emitted
+    lp_pending: Any = None
 
     @property
     def hostside(self) -> bool:
-        """Sampling needs host-side per-step state (forces K=1)."""
-        return self.mirostat is not None or self.grammar is not None
+        """Sampling needs host-side per-step state or per-step logits
+        reads (forces K=1)."""
+        return (self.mirostat is not None or self.grammar is not None
+                or (self.req is not None
+                    and self.req.gen.logprobs is not None))
 
     @property
     def occupied(self) -> bool:
@@ -650,7 +661,8 @@ class ContinuousBatchingScheduler:
             rid = self._req_counter
         req = Request(token_ids=list(token_ids), gen=gen, id=rid,
                       priority=priority, timeout_s=timeout_s,
-                      queue_timeout_s=queue_timeout_s)
+                      queue_timeout_s=queue_timeout_s,
+                      logprobs=[] if gen.logprobs is not None else None)
         self.pending.put((priority, req.submitted_at, rid, req))
         self.stats["requests"] += 1
         self._wake.set()
@@ -842,6 +854,7 @@ class ContinuousBatchingScheduler:
                         "seed": g.seed, "greedy": g.greedy,
                         "stop_token_ids": list(g.stop_token_ids),
                         "grammar": g.grammar,
+                        "logprobs": g.logprobs,
                     },
                 }, f)
             written.append(path)
@@ -879,6 +892,7 @@ class ContinuousBatchingScheduler:
                         "seed": g.seed, "greedy": g.greedy,
                         "stop_token_ids": list(g.stop_token_ids),
                         "grammar": g.grammar,
+                        "logprobs": g.logprobs,
                     },
                 }, f)
             written.append(path)
@@ -921,9 +935,12 @@ class ContinuousBatchingScheduler:
                 seed=g["seed"], greedy=g["greedy"],
                 stop_token_ids=tuple(g.get("stop_token_ids", ())),
                 grammar=g.get("grammar"),
+                logprobs=g.get("logprobs"),
             )
             req = Request(token_ids=state.prompt_ids, gen=gen,
-                          id=meta["request_id"])
+                          id=meta["request_id"],
+                          logprobs=([] if gen.logprobs is not None
+                                    else None))
 
             # write the snapshot into the pool slot
             L, KV, D = (self.cfg.num_layers, self.cfg.num_kv_heads,
@@ -1013,6 +1030,7 @@ class ContinuousBatchingScheduler:
                 seed=g["seed"], greedy=g["greedy"],
                 stop_token_ids=tuple(g.get("stop_token_ids", ())),
                 grammar=g.get("grammar"),
+                logprobs=g.get("logprobs"),
             )
             restored.append(self.submit(
                 meta["token_ids"], gen,
@@ -1412,6 +1430,21 @@ class ContinuousBatchingScheduler:
             self._grammar_cache[gen.grammar] = g
         return VocabMatcher(g, self._grammar_vocab)
 
+    def _stash_logprobs(self, slot: _Slot, lg_row, tok: int) -> None:
+        """Compute the raw-distribution logprob entry for a just-sampled
+        token; _emit appends it to req.logprobs iff the token is emitted."""
+        gen = slot.req.gen
+        if gen.logprobs is None:
+            return
+        lp, top = logprob_entry(lg_row, tok, gen.logprobs)
+        piece = self.tokenizer.token_to_piece(tok) if self.tokenizer else ""
+        tops = [{"token_id": i,
+                 "token": (self.tokenizer.token_to_piece(i)
+                           if self.tokenizer else ""),
+                 "logprob": l} for i, l in top]
+        slot.lp_pending = {"token_id": tok, "text": piece,
+                           "logprob": lp, "top": tops}
+
     def _grammar_mask(self, slot: _Slot, lg):
         """Apply the slot's grammar mask to a [V] or [1, V] logits row
         (host numpy; NEG_INF outside the admissible set)."""
@@ -1426,6 +1459,7 @@ class ContinuousBatchingScheduler:
         iteration (engine.py generate_stream)."""
         gen = slot.req.gen
         slot.key, sub = jax.random.split(slot.key)
+        raw = lg
         if slot.grammar is not None:
             lg = jnp.asarray(self._grammar_mask(slot, lg))
         if slot.mirostat is not None:
@@ -1440,6 +1474,7 @@ class ContinuousBatchingScheduler:
                                    jnp.asarray(hist), sub)[0])
         if slot.grammar is not None:
             slot.grammar.accept(tok)
+        self._stash_logprobs(slot, np.asarray(raw).reshape(-1), tok)
         return tok
 
     def _slot_history(self, slot: _Slot) -> np.ndarray:
@@ -1462,6 +1497,7 @@ class ContinuousBatchingScheduler:
         slot.pf_carry = None
         slot.pf_done = 0
         slot.grammar = None
+        slot.lp_pending = None
         slot.req = None
         self.stats["completed"] += 1
         self._release_slot_pages(slot_idx)
@@ -1479,6 +1515,12 @@ class ContinuousBatchingScheduler:
         reason = stop.check(tok, text)
         slot.generated += 1
         self.stats["tokens_generated"] += 1
+        lp, slot.lp_pending = slot.lp_pending, None
+        if req.logprobs is not None and lp is not None \
+                and reason not in (StopReason.STOP_TOKEN, StopReason.EOS):
+            # append BEFORE out.put so a consumer that dequeued token i
+            # may read req.logprobs[i] (stop tokens are never emitted)
+            req.logprobs.append(lp)
         if reason in (StopReason.STOP_TOKEN, StopReason.EOS):
             req.out.put((None, "", True, reason))
         elif reason is not None:
@@ -1493,6 +1535,7 @@ class ContinuousBatchingScheduler:
         # finished → free slot
         slot.active = False
         slot.grammar = None
+        slot.lp_pending = None
         slot.req = None
         self.stats["completed"] += 1
         self._release_slot_pages(slot_idx)
@@ -1652,6 +1695,7 @@ class ContinuousBatchingScheduler:
                 # stateful per-sequence sampling from the raw logits
                 # with the slot's sub-key (engine mirostat/grammar path)
                 lg_row = raw_lg[i]
+                raw_row = lg_row
                 if s.grammar is not None:
                     lg_row = self._grammar_mask(s, lg_row)
                 if s.mirostat is not None:
@@ -1664,6 +1708,7 @@ class ContinuousBatchingScheduler:
                         jnp.asarray(subs[i]))[0])
                 if s.grammar is not None:
                     s.grammar.accept(tok)
+                self._stash_logprobs(s, raw_row, tok)
             s.pos += 1
             self._emit(i, tok)
         return True

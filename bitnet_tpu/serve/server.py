@@ -97,6 +97,17 @@ def _validate_body(body: dict) -> str | None:
             if tok < 0 or not isinstance(v, (int, float)):
                 return "logit_bias keys must be token ids >= 0 with " \
                        "numeric values"
+    lp = body.get("logprobs")
+    if lp is not None and not isinstance(lp, (bool, int)):
+        return "logprobs must be a boolean or an integer"
+    if isinstance(lp, int) and not isinstance(lp, bool) \
+            and not (0 <= lp <= 32):
+        return "logprobs must be in [0, 32]"
+    tlp = body.get("top_logprobs")
+    if tlp is not None and (not isinstance(tlp, int)
+                            or isinstance(tlp, bool)
+                            or not (0 <= tlp <= 32)):
+        return "top_logprobs must be an integer in [0, 32]"
     g = body.get("grammar")
     if g is not None and not isinstance(g, str):
         return "grammar must be a GBNF source string"
@@ -163,7 +174,45 @@ def _gen_config_from_body(body: dict) -> GenerationConfig:
         greedy=bool(body.get("greedy", False)),
         stop_sequences=tuple(body.get("stop", []) or []),
         grammar=_resolve_grammar(body),
+        logprobs=_resolve_logprobs(body),
     )
+
+
+def _resolve_logprobs(body: dict) -> int | None:
+    """OpenAI conventions: completions pass ``logprobs: <int>``; chat
+    passes ``logprobs: true`` + ``top_logprobs: <int>``."""
+    lp = body.get("logprobs")
+    if lp is None or lp is False:
+        return None
+    if lp is True:
+        return int(body.get("top_logprobs", 0) or 0)
+    return int(lp)
+
+
+def _openai_logprobs(entries: list[dict]) -> dict:
+    """OpenAI *completions*-style logprobs block from scheduler entries."""
+    text_offset, off = [], 0
+    for e in entries:
+        text_offset.append(off)
+        off += len(e["text"])
+    return {
+        "tokens": [e["text"] for e in entries],
+        "token_ids": [e["token_id"] for e in entries],
+        "token_logprobs": [e["logprob"] for e in entries],
+        "top_logprobs": [{t["token"]: t["logprob"] for t in e["top"]}
+                         for e in entries],
+        "text_offset": text_offset,
+    }
+
+
+def _chat_logprobs(entries: list[dict]) -> dict:
+    """OpenAI *chat*-style logprobs block from scheduler entries."""
+    return {"content": [{
+        "token": e["text"],
+        "logprob": e["logprob"],
+        "top_logprobs": [{"token": t["token"], "logprob": t["logprob"]}
+                         for t in e["top"]],
+    } for e in entries]}
 
 
 def _submit_kwargs(body: dict) -> dict:
@@ -385,7 +434,7 @@ class BitNetServer:
         req = sched.submit(ids, self._gen_for(body, sched),
                            **_submit_kwargs(body))
         text, toks, reason = await self._collect(req)
-        return web.json_response({
+        out = {
             "text": text,
             "tokens": toks,
             "num_tokens": len(toks),
@@ -393,7 +442,10 @@ class BitNetServer:
             "prompt_tokens": len(ids),
             "latency_s": round(time.time() - t0, 4),
             "model": self.model_name,
-        })
+        }
+        if req.logprobs is not None:
+            out["logprobs"] = _openai_logprobs(req.logprobs)
+        return web.json_response(out)
 
     async def handle_stream(self, request):
         from aiohttp import web
@@ -422,8 +474,12 @@ class BitNetServer:
                 tok, text, done, reason = await loop.run_in_executor(
                     None, lambda: req.out.get(timeout=600))
                 if tok is not None:
-                    payload = json.dumps({"token": tok, "text": text,
-                                          "index": idx})
+                    event = {"token": tok, "text": text, "index": idx}
+                    if req.logprobs is not None and idx < len(req.logprobs):
+                        # real value, not the reference's hardcoded None
+                        # (bitnet-server/src/sse.rs:102)
+                        event["logprob"] = req.logprobs[idx]["logprob"]
+                    payload = json.dumps(event)
                     await resp.write(f"data: {payload}\n\n".encode())
                     idx += 1
                 if done:
@@ -464,6 +520,8 @@ class BitNetServer:
             "choices": [{
                 "index": 0,
                 "message": {"role": "assistant", "content": text},
+                "logprobs": (_chat_logprobs(req.logprobs)
+                             if req.logprobs is not None else None),
                 "finish_reason": "stop" if reason in (
                     StopReason.EOS, StopReason.STOP_TOKEN,
                     StopReason.STOP_SEQUENCE) else "length",
@@ -620,8 +678,12 @@ class BitNetServer:
                     tok, text, done, reason = await loop.run_in_executor(
                         None, lambda: req.out.get(timeout=600))
                     if tok is not None:
-                        await ws.send_json({"token": tok, "text": text,
-                                            "index": idx})
+                        event = {"token": tok, "text": text, "index": idx}
+                        if req.logprobs is not None \
+                                and idx < len(req.logprobs):
+                            # websocket.rs:26 Token.logprob, filled for real
+                            event["logprob"] = req.logprobs[idx]["logprob"]
+                        await ws.send_json(event)
                         idx += 1
                     if done:
                         await ws.send_json({
