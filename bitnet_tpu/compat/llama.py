@@ -357,10 +357,23 @@ class Llama:
         **kwargs,
     ):
         """OpenAI-style chat completion through the prompt-template
-        catalog — absent from the reference's compat layer; exceeds it."""
+        catalog — absent from the reference's compat layer; exceeds it.
+        Supports ``tools``/``tool_choice`` (grammar-forced calls)."""
+        from ..toolcall import parse_tool_calls, tool_choice_grammar
         from .. import templates
 
-        msgs = [templates.Message(m["role"], m["content"]) for m in messages]
+        # OpenAI tools protocol (absent from llama-cpp-python's own
+        # compat in the reference): forced calls are grammar-constrained
+        tools, tool_choice = kwargs.get("tools"), kwargs.get("tool_choice")
+        fns = None
+        if tools and tool_choice != "none":
+            from ..toolcall import normalize_tool_messages, validate_tools
+
+            fns = validate_tools(tools, tool_choice)
+            msgs = normalize_tool_messages(messages, fns)
+        else:
+            msgs = [templates.Message(m["role"], m["content"] or "")
+                    for m in messages]
         # llama-cpp-python parity: the model's own embedded jinja chat
         # template wins when present (and no chat_format override); the
         # family catalog is the fallback
@@ -399,7 +412,8 @@ class Llama:
             greedy=float(kwargs.get("temperature", 0.8)) <= 0.0,
             stop_sequences=tuple(stop_list),
             grammar=_grammar_source(kwargs.get("grammar"),
-                                    kwargs.get("response_format")),
+                                    kwargs.get("response_format"))
+            or (tool_choice_grammar(fns, tool_choice) if fns else None),
             logprobs=_chat_logprobs_arg(kwargs),
         )
         cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
@@ -407,6 +421,15 @@ class Llama:
             return self._stream_completion(cid, token_ids, gen_cfg,
                                            object_type="chat.completion.chunk")
         res = self._engine_generate(token_ids, gen_cfg)
+        message: Dict[str, Any] = {"role": "assistant",
+                                   "content": res["text"]}
+        finish = res["finish_reason"]
+        if fns is not None:
+            calls = parse_tool_calls(res["text"], fns)
+            if calls is not None:
+                message = {"role": "assistant", "content": None,
+                           "tool_calls": calls}
+                finish = "tool_calls"
         lp_block = None
         if res.get("logprobs") is not None:
             piece = self._engine.tokenizer.token_to_piece
@@ -422,9 +445,9 @@ class Llama:
             "model": self.model_path,
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": res["text"]},
+                "message": message,
                 "logprobs": lp_block,
-                "finish_reason": res["finish_reason"],
+                "finish_reason": finish,
             }],
             "usage": {
                 "prompt_tokens": len(token_ids),

@@ -134,6 +134,15 @@ def _validate_body(body: dict) -> str | None:
                 Grammar.from_gbnf(src)
         except GrammarError as e:
             return f"invalid grammar: {e}"
+    if body.get("tools") is not None:
+        from ..toolcall import ToolCallError, validate_tools
+
+        try:
+            validate_tools(body["tools"], body.get("tool_choice"))
+        except ToolCallError as e:
+            return str(e)
+    elif body.get("tool_choice") not in (None, "auto", "none"):
+        return "tool_choice requires tools"
     return None
 
 
@@ -356,8 +365,15 @@ class BitNetServer:
         if "messages" in body:
             from .. import templates
 
-            msgs = [templates.Message(m["role"], m["content"])
-                    for m in body["messages"]]
+            tools = body.get("tools")
+            if tools and body.get("tool_choice") != "none":
+                from ..toolcall import normalize_tool_messages, validate_tools
+
+                msgs = normalize_tool_messages(
+                    body["messages"], validate_tools(tools))
+            else:
+                msgs = [templates.Message(m["role"], m["content"])
+                        for m in body["messages"]]
             # the model's own embedded jinja chat template wins when the
             # GGUF ships one (executed sandboxed — HF semantics); the
             # DETECTED family template is the fallback, never hardcoded
@@ -508,10 +524,34 @@ class BitNetServer:
             sched = self._sched_for(body)
         except Exception as e:
             return web.json_response({"error": str(e)}, status=404)
+        # OpenAI tools protocol: constrain forced calls with a grammar
+        # compiled from the tool's JSON-schema parameters (toolcall.py)
+        fns = None
+        if body.get("tools") and body.get("tool_choice") != "none":
+            from ..toolcall import (
+                parse_tool_calls,
+                tool_choice_grammar,
+                validate_tools,
+            )
+
+            fns = validate_tools(body["tools"], body.get("tool_choice"))
+            tg = tool_choice_grammar(fns, body.get("tool_choice"))
+            if tg is not None and not body.get("grammar"):
+                body = dict(body, grammar=tg)
         ids = self._encode(body, sched)
         req = sched.submit(ids, self._gen_for(body, sched),
                            **_submit_kwargs(body))
         text, toks, reason = await self._collect(req)
+        message: dict = {"role": "assistant", "content": text}
+        finish = ("stop" if reason in (
+            StopReason.EOS, StopReason.STOP_TOKEN,
+            StopReason.STOP_SEQUENCE) else "length")
+        if fns is not None:
+            calls = parse_tool_calls(text, fns)
+            if calls is not None:
+                message = {"role": "assistant", "content": None,
+                           "tool_calls": calls}
+                finish = "tool_calls"
         return web.json_response({
             "id": f"chatcmpl-{req.id}",
             "object": "chat.completion",
@@ -519,12 +559,10 @@ class BitNetServer:
             "model": self.model_name,
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": text},
+                "message": message,
                 "logprobs": (_chat_logprobs(req.logprobs)
                              if req.logprobs is not None else None),
-                "finish_reason": "stop" if reason in (
-                    StopReason.EOS, StopReason.STOP_TOKEN,
-                    StopReason.STOP_SEQUENCE) else "length",
+                "finish_reason": finish,
             }],
             "usage": {
                 "prompt_tokens": len(ids),
