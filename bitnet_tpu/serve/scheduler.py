@@ -1430,6 +1430,45 @@ class ContinuousBatchingScheduler:
             self._grammar_cache[gen.grammar] = g
         return VocabMatcher(g, self._grammar_vocab)
 
+    def embed_ids(self, token_ids: list[int]) -> np.ndarray:
+        """Final-hidden-state embeddings [T, H] f32 for /v1/embeddings
+        (llama.cpp ``embedding=True`` semantics, mean-pool at the caller).
+
+        Runs on a throwaway KV cache, never the serving pool, so decode
+        state is untouched; sequence lengths bucket to powers of two to
+        bound compile count."""
+        if self._channel is not None:
+            raise InferenceError(
+                "embeddings are frontend-local; not supported on a "
+                "multi-host scheduler")
+        T = len(token_ids)
+        if T == 0:
+            raise InferenceError("empty input")
+        if T > self.S:
+            raise InferenceError(f"input {T} tokens > max_seq_len {self.S}")
+        Tp = min(self.S, 1 << max(3, (T - 1).bit_length()))
+        fn = getattr(self, "_embed_fns", None)
+        if fn is None:
+            fn = self._embed_fns = {}
+        if Tp not in fn:
+            from functools import partial
+
+            from ..models.bitnet import forward_cache
+
+            fn[Tp] = jax.jit(partial(
+                forward_cache, self.cfg, kernel_path=self._kp))
+        from ..engine.cache import allocate_cache
+
+        cache = allocate_cache(self.cfg, 1, Tp)
+        toks = np.zeros((1, Tp), np.int32)
+        toks[0, :T] = token_ids
+        pos = np.full((1, Tp), Tp, np.int32)
+        pos[0, :T] = np.arange(T)
+        h, _cache = fn[Tp](self.params, jnp.asarray(toks),
+                           jnp.asarray(pos), cache,
+                           jnp.asarray([T], jnp.int32))
+        return np.asarray(h[0, :T], np.float32)
+
     def _stash_logprobs(self, slot: _Slot, lg_row, tok: int) -> None:
         """Compute the raw-distribution logprob entry for a just-sampled
         token; _emit appends it to req.logprobs iff the token is emitted."""

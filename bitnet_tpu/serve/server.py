@@ -55,8 +55,10 @@ def _validate_body(body: dict) -> str | None:
         msgs = body["messages"]
         if (not isinstance(msgs, list) or not msgs
                 or not all(isinstance(m, dict) and "role" in m
-                           and "content" in m for m in msgs)):
-            return "messages must be a non-empty list of {role, content}"
+                           and ("content" in m or "tool_calls" in m)
+                           for m in msgs)):
+            return ("messages must be a non-empty list of {role, content} "
+                    "(assistant turns may carry tool_calls instead)")
     elif "tokens" in body:
         toks = body["tokens"]
         if (not isinstance(toks, list) or not toks
@@ -108,6 +110,11 @@ def _validate_body(body: dict) -> str | None:
                             or isinstance(tlp, bool)
                             or not (0 <= tlp <= 32)):
         return "top_logprobs must be an integer in [0, 32]"
+    nch = body.get("n")
+    if nch is not None and (not isinstance(nch, int)
+                            or isinstance(nch, bool)
+                            or not (1 <= nch <= 8)):
+        return "n must be an integer in [1, 8]"
     g = body.get("grammar")
     if g is not None and not isinstance(g, str):
         return "grammar must be a GBNF source string"
@@ -372,7 +379,7 @@ class BitNetServer:
                 msgs = normalize_tool_messages(
                     body["messages"], validate_tools(tools))
             else:
-                msgs = [templates.Message(m["role"], m["content"])
+                msgs = [templates.Message(m["role"], m.get("content") or "")
                         for m in body["messages"]]
             # the model's own embedded jinja chat template wins when the
             # GGUF ships one (executed sandboxed — HF semantics); the
@@ -539,36 +546,99 @@ class BitNetServer:
             if tg is not None and not body.get("grammar"):
                 body = dict(body, grammar=tg)
         ids = self._encode(body, sched)
-        req = sched.submit(ids, self._gen_for(body, sched),
-                           **_submit_kwargs(body))
-        text, toks, reason = await self._collect(req)
-        message: dict = {"role": "assistant", "content": text}
-        finish = ("stop" if reason in (
-            StopReason.EOS, StopReason.STOP_TOKEN,
-            StopReason.STOP_SEQUENCE) else "length")
-        if fns is not None:
-            calls = parse_tool_calls(text, fns)
-            if calls is not None:
-                message = {"role": "assistant", "content": None,
-                           "tool_calls": calls}
-                finish = "tool_calls"
-        return web.json_response({
-            "id": f"chatcmpl-{req.id}",
-            "object": "chat.completion",
-            "created": int(time.time()),
-            "model": self.model_name,
-            "choices": [{
-                "index": 0,
+        n = int(body.get("n") or 1)
+        gen = self._gen_for(body, sched)
+        reqs = []
+        for i in range(n):
+            # distinct choices: derive per-choice seeds from the request
+            # seed (or leave None → scheduler picks fresh entropy)
+            g = (gen if n == 1
+                 else gen.replace(seed=(gen.seed + i
+                                        if gen.seed is not None else None)))
+            reqs.append(sched.submit(ids, g, **_submit_kwargs(body)))
+        results = await asyncio.gather(*[self._collect(r) for r in reqs])
+        choices = []
+        total_out = 0
+        for i, (req, (text, toks, reason)) in enumerate(zip(reqs, results)):
+            total_out += len(toks)
+            message: dict = {"role": "assistant", "content": text}
+            finish = ("stop" if reason in (
+                StopReason.EOS, StopReason.STOP_TOKEN,
+                StopReason.STOP_SEQUENCE) else "length")
+            if fns is not None:
+                calls = parse_tool_calls(text, fns)
+                if calls is not None:
+                    message = {"role": "assistant", "content": None,
+                               "tool_calls": calls}
+                    finish = "tool_calls"
+            choices.append({
+                "index": i,
                 "message": message,
                 "logprobs": (_chat_logprobs(req.logprobs)
                              if req.logprobs is not None else None),
                 "finish_reason": finish,
-            }],
+            })
+        return web.json_response({
+            "id": f"chatcmpl-{reqs[0].id}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": self.model_name,
+            "choices": choices,
             "usage": {
                 "prompt_tokens": len(ids),
-                "completion_tokens": len(toks),
-                "total_tokens": len(ids) + len(toks),
+                "completion_tokens": total_out,
+                "total_tokens": len(ids) + total_out,
             },
+        })
+
+    async def handle_embeddings(self, request):
+        """OpenAI /v1/embeddings: final-hidden-state mean pooling
+        (llama.cpp ``embedding=True`` semantics)."""
+        from aiohttp import web
+
+        body = await self._json(request)
+        rej = self._admit_body(request, body)
+        if rej is not None:
+            return rej
+        raw = body.get("input")
+        if isinstance(raw, str):
+            inputs = [raw]
+        elif isinstance(raw, list) and raw \
+                and all(isinstance(x, int) for x in raw):
+            inputs = [raw]                    # one token array
+        elif isinstance(raw, list) and raw \
+                and all(isinstance(x, (str, list)) for x in raw):
+            inputs = raw
+        else:
+            return web.json_response(
+                {"error": "input must be a string, an array of strings, "
+                          "or token arrays"}, status=422)
+        try:
+            sched = self._sched_for(body)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        loop = asyncio.get_event_loop()
+
+        def run():
+            data, total = [], 0
+            for i, item in enumerate(inputs):
+                ids = (sched.tokenizer.encode(item, add_bos=True)
+                       if isinstance(item, str) else [int(t) for t in item])
+                total += len(ids)
+                h = sched.embed_ids(ids)              # [T, H]
+                data.append({"object": "embedding", "index": i,
+                             "embedding": h.mean(axis=0).tolist()})
+            return data, total
+
+        try:
+            data, total = await loop.run_in_executor(None, run)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=422)
+        return web.json_response({
+            "object": "list",
+            "data": data,
+            "model": body.get("model") or self.model_name,
+            "usage": {"prompt_tokens": total, "total_tokens": total},
         })
 
     async def handle_models(self, request):
@@ -778,6 +848,7 @@ class BitNetServer:
         app.router.add_post("/v1/chat/completions",
                             self.handle_chat_completions)
         app.router.add_post("/v1/completions", self.handle_inference)
+        app.router.add_post("/v1/embeddings", self.handle_embeddings)
         app.router.add_get("/v1/models", self.handle_models)
         app.router.add_post("/v1/models/load", self.handle_model_load)
         app.router.add_get("/v1/models/{name}", self.handle_model_get)

@@ -213,3 +213,35 @@ class TestCompatLogprobs:
         assert len(blk["content"][0]["top_logprobs"]) == 2
         plain = llm.create_completion("q", max_tokens=3, temperature=0.0)
         assert plain["choices"][0]["logprobs"] is None
+
+
+# ----------------------------------------------------------- embeddings
+class TestSchedulerEmbeddings:
+    def test_embed_ids_shape_and_determinism(self, mini_gguf_f32):
+        import jax.numpy as jnp
+
+        from bitnet_tpu.models import load_model
+        from bitnet_tpu.serve.scheduler import ContinuousBatchingScheduler
+        from bitnet_tpu.tokenizer import load_tokenizer
+
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        tok = load_tokenizer(mini_gguf_f32.path)
+        s = ContinuousBatchingScheduler(cfg, params, tok, ECFG,
+                                        num_slots=1, start_loop=False)
+        try:
+            h = s.embed_ids([1, 7, 20, 3])
+            assert h.shape == (4, cfg.hidden_size)
+            assert np.isfinite(h).all()
+            h2 = s.embed_ids([1, 7, 20, 3])
+            np.testing.assert_allclose(h, h2, rtol=1e-5)
+            # matches the engine's embedding path
+            eng = InferenceEngine.from_gguf(mini_gguf_f32.path, ECFG)
+            np.testing.assert_allclose(h, eng.embed_ids([1, 7, 20, 3]),
+                                       rtol=1e-4, atol=1e-5)
+            with pytest.raises(InferenceError):
+                s.embed_ids([])
+            with pytest.raises(InferenceError):
+                s.embed_ids(list(range(ECFG.max_seq_len + 1)))
+        finally:
+            s.shutdown()

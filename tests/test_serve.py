@@ -290,3 +290,72 @@ class TestMeshShardedScheduler:
                 cfg, params, load_tokenizer(mini_gguf_f32.path),
                 EngineConfig(max_seq_len=64, compute_dtype="f32"),
                 num_slots=3, mesh=make_mesh(dp=2, tp=2))
+
+
+class TestEmbeddingsRoute:
+    def test_embeddings(self, sched):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from bitnet_tpu.serve.server import BitNetServer
+
+        server = BitNetServer(sched)
+
+        async def run():
+            app = server.build_app()
+            async with TestClient(TestServer(app)) as c:
+                r = await c.post("/v1/embeddings",
+                                 json={"input": ["ab", "cd"]})
+                assert r.status == 200
+                body = await r.json()
+                assert body["object"] == "list" and len(body["data"]) == 2
+                dim = len(body["data"][0]["embedding"])
+                assert dim == sched.cfg.hidden_size
+                assert body["usage"]["prompt_tokens"] >= 2
+
+                # token-array input
+                r = await c.post("/v1/embeddings", json={"input": [1, 2, 3]})
+                assert r.status == 200
+                body = await r.json()
+                assert len(body["data"]) == 1
+
+                # bad input → 422
+                r = await c.post("/v1/embeddings", json={"input": 7})
+                assert r.status == 422
+
+        asyncio.new_event_loop().run_until_complete(run())
+
+
+class TestNChoices:
+    def test_n_choices_chat(self, sched):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from bitnet_tpu.serve.server import BitNetServer
+
+        server = BitNetServer(sched)
+
+        async def run():
+            app = server.build_app()
+            async with TestClient(TestServer(app)) as c:
+                r = await c.post("/v1/chat/completions", json={
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 4, "temperature": 0.9, "seed": 11, "n": 3})
+                assert r.status == 200
+                body = await r.json()
+                assert [ch["index"] for ch in body["choices"]] == [0, 1, 2]
+                texts = [ch["message"]["content"]
+                         for ch in body["choices"]]
+                assert len(set(texts)) > 1     # per-choice seeds differ
+                assert body["usage"]["completion_tokens"] >= 3
+
+                r = await c.post("/v1/chat/completions", json={
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 2, "n": 99})
+                assert r.status == 422
+
+        asyncio.new_event_loop().run_until_complete(run())
