@@ -64,8 +64,12 @@ def _validate_body(body: dict) -> str | None:
         if (not isinstance(toks, list) or not toks
                 or not all(isinstance(t, int) and t >= 0 for t in toks)):
             return "tokens must be a non-empty list of non-negative ints"
-    elif not isinstance(body.get("prompt", ""), str):
-        return "prompt must be a string"
+    else:
+        p = body.get("prompt", "")
+        if not isinstance(p, str) and not (
+                isinstance(p, list) and p
+                and all(isinstance(x, str) for x in p)):
+            return "prompt must be a string or an array of strings"
     mnt = body.get("max_new_tokens", body.get("max_tokens", 128))
     if not isinstance(mnt, int) or not (1 <= mnt <= 65536):
         return "max_new_tokens must be an int in [1, 65536]"
@@ -519,6 +523,116 @@ class BitNetServer:
         await resp.write_eof()
         return resp
 
+    async def _stream_openai(self, request, req, cid: str,
+                             object_type: str, chat: bool):
+        """SSE stream in OpenAI chunk format, terminated by [DONE]."""
+        from aiohttp import web
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        loop = asyncio.get_event_loop()
+        created = int(time.time())
+
+        def chunk(payload: dict, finish=None) -> bytes:
+            body = dict(payload, finish_reason=finish, index=0)
+            return ("data: " + json.dumps({
+                "id": cid, "object": object_type, "created": created,
+                "model": self.model_name, "choices": [body],
+            }) + "\n\n").encode()
+
+        try:
+            if chat:
+                await resp.write(chunk({"delta": {"role": "assistant"}}))
+            while True:
+                tok, text, done, reason = await loop.run_in_executor(
+                    None, lambda: req.out.get(timeout=600))
+                if tok is not None:
+                    body = ({"delta": {"content": text}} if chat
+                            else {"text": text, "logprobs": None})
+                    await resp.write(chunk(body))
+                if done:
+                    finish = ("stop" if reason in (
+                        StopReason.EOS, StopReason.STOP_TOKEN,
+                        StopReason.STOP_SEQUENCE) else "length")
+                    final = ({"delta": {}} if chat
+                             else {"text": "", "logprobs": None})
+                    await resp.write(chunk(final, finish))
+                    await resp.write(b"data: [DONE]\n\n")
+                    break
+        except (asyncio.CancelledError, ConnectionResetError,
+                ConnectionError):
+            req.cancel()
+            raise
+        await resp.write_eof()
+        return resp
+
+    async def handle_completions(self, request):
+        """OpenAI /v1/completions (text_completion wire format; the
+        native schema stays on /v1/inference)."""
+        from aiohttp import web
+
+        body = await self._json(request)
+        rej = self._admit_body(request, body)
+        if rej is not None:
+            return rej
+        try:
+            sched = self._sched_for(body)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        prompts = body.get("prompt", "")
+        many = isinstance(prompts, list) and prompts \
+            and all(isinstance(p, str) for p in prompts)
+        if not many:
+            prompts = [prompts if isinstance(prompts, str) else ""]
+        gen = self._gen_for(body, sched)
+        if body.get("stream"):
+            ids = self._encode(dict(body, prompt=prompts[0]), sched)
+            req = sched.submit(ids, gen, **_submit_kwargs(body))
+            return await self._stream_openai(
+                request, req, f"cmpl-{req.id}", "text_completion",
+                chat=False)
+        n = int(body.get("n") or 1)
+        reqs, lens = [], []
+        for p in prompts:
+            ids = self._encode(dict(body, prompt=p), sched)
+            for i in range(n):
+                g = (gen if n == 1
+                     else gen.replace(seed=(gen.seed + i
+                                            if gen.seed is not None
+                                            else None)))
+                reqs.append(sched.submit(ids, g, **_submit_kwargs(body)))
+                lens.append(len(ids))
+        results = await asyncio.gather(*[self._collect(r) for r in reqs])
+        choices, total_out = [], 0
+        for i, (req, (text, toks, reason)) in enumerate(zip(reqs, results)):
+            total_out += len(toks)
+            if body.get("echo"):
+                text = prompts[i // n] + text
+            choices.append({
+                "text": text,
+                "index": i,
+                "logprobs": (_openai_logprobs(req.logprobs)
+                             if req.logprobs is not None else None),
+                "finish_reason": ("stop" if reason in (
+                    StopReason.EOS, StopReason.STOP_TOKEN,
+                    StopReason.STOP_SEQUENCE) else "length"),
+            })
+        return web.json_response({
+            "id": f"cmpl-{reqs[0].id}",
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": self.model_name,
+            "choices": choices,
+            "usage": {
+                "prompt_tokens": sum(lens),
+                "completion_tokens": total_out,
+                "total_tokens": sum(lens) + total_out,
+            },
+        })
+
     async def handle_chat_completions(self, request):
         """OpenAI-compatible endpoint."""
         from aiohttp import web
@@ -546,6 +660,14 @@ class BitNetServer:
             if tg is not None and not body.get("grammar"):
                 body = dict(body, grammar=tg)
         ids = self._encode(body, sched)
+        if body.get("stream"):
+            # OpenAI chat streaming: role chunk → content deltas → final
+            # finish_reason chunk → data: [DONE]
+            req = sched.submit(ids, self._gen_for(body, sched),
+                               **_submit_kwargs(body))
+            return await self._stream_openai(
+                request, req, f"chatcmpl-{req.id}",
+                "chat.completion.chunk", chat=True)
         n = int(body.get("n") or 1)
         gen = self._gen_for(body, sched)
         reqs = []
@@ -847,7 +969,7 @@ class BitNetServer:
         app.router.add_post("/v1/inference/stream", self.handle_stream)
         app.router.add_post("/v1/chat/completions",
                             self.handle_chat_completions)
-        app.router.add_post("/v1/completions", self.handle_inference)
+        app.router.add_post("/v1/completions", self.handle_completions)
         app.router.add_post("/v1/embeddings", self.handle_embeddings)
         app.router.add_get("/v1/models", self.handle_models)
         app.router.add_post("/v1/models/load", self.handle_model_load)

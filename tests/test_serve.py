@@ -359,3 +359,70 @@ class TestNChoices:
                 assert r.status == 422
 
         asyncio.new_event_loop().run_until_complete(run())
+
+
+class TestOpenAICompletions:
+    def test_wire_formats(self, sched):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from bitnet_tpu.serve.server import BitNetServer
+
+        server = BitNetServer(sched)
+
+        async def run():
+            app = server.build_app()
+            async with TestClient(TestServer(app)) as c:
+                # OpenAI text_completion schema on /v1/completions
+                r = await c.post("/v1/completions", json={
+                    "prompt": "ab", "max_tokens": 3, "greedy": True,
+                    "echo": True, "logprobs": 2})
+                assert r.status == 200
+                body = await r.json()
+                assert body["object"] == "text_completion"
+                ch = body["choices"][0]
+                assert ch["text"].startswith("ab")      # echo
+                assert ch["finish_reason"] in ("stop", "length")
+                assert len(ch["logprobs"]["tokens"]) == 3
+                assert body["usage"]["completion_tokens"] == 3
+
+                # prompt array → one choice per prompt
+                r = await c.post("/v1/completions", json={
+                    "prompt": ["ab", "cd"], "max_tokens": 2,
+                    "greedy": True})
+                body = await r.json()
+                assert [ch["index"] for ch in body["choices"]] == [0, 1]
+
+                # streaming: text chunks then [DONE]
+                r = await c.post("/v1/completions", json={
+                    "prompt": "ab", "max_tokens": 3, "greedy": True,
+                    "stream": True})
+                raw = await r.text()
+                lines = [l for l in raw.splitlines() if l.startswith("data: ")]
+                assert lines[-1] == "data: [DONE]"
+                chunks = [json.loads(l[6:]) for l in lines[:-1]]
+                assert all(c0["object"] == "text_completion"
+                           for c0 in chunks)
+                assert chunks[-1]["choices"][0]["finish_reason"] in (
+                    "stop", "length")
+                assert "".join(c0["choices"][0]["text"]
+                               for c0 in chunks[:-1])
+
+                # chat streaming: role delta, content deltas, [DONE]
+                r = await c.post("/v1/chat/completions", json={
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 3, "greedy": True, "stream": True})
+                raw = await r.text()
+                lines = [l for l in raw.splitlines() if l.startswith("data: ")]
+                assert lines[-1] == "data: [DONE]"
+                chunks = [json.loads(l[6:]) for l in lines[:-1]]
+                assert chunks[0]["choices"][0]["delta"] == {
+                    "role": "assistant"}
+                assert any("content" in c0["choices"][0]["delta"]
+                           for c0 in chunks[1:])
+                assert chunks[-1]["choices"][0]["finish_reason"] in (
+                    "stop", "length")
+
+        asyncio.new_event_loop().run_until_complete(run())
