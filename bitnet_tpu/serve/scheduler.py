@@ -684,6 +684,24 @@ class ContinuousBatchingScheduler:
         if self._thread is not None:
             self._thread.join(timeout=30)
 
+    def pause(self, timeout: float = 30.0) -> None:
+        """Quiesce the decode loop at the next step boundary (for live
+        checkpointing); :meth:`unpause` resumes it.  No-op without a
+        running loop thread."""
+        self._pause_req = True
+        self._wake.set()
+        if self._thread is None or not self._thread.is_alive():
+            return
+        deadline = time.time() + timeout
+        while not getattr(self, "_paused_at_barrier", False):
+            if time.time() > deadline:
+                raise InferenceError("scheduler pause timed out")
+            time.sleep(0.005)
+
+    def unpause(self) -> None:
+        self._pause_req = False
+        self._wake.set()
+
     # ----------------------------------------------------- multi-host
     def follow(self) -> None:
         """Worker follower loop (serve/follower.py): replay the frontend's
@@ -1590,6 +1608,14 @@ class ContinuousBatchingScheduler:
     def _loop_body(self) -> None:
         zero_keys = np.zeros((self.B, 2), np.uint32)
         while not self._stopping:
+            if getattr(self, "_pause_req", False):
+                # quiesced between steps: cache/slots are stable for
+                # checkpoint_requests until unpause()
+                self._paused_at_barrier = True
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            self._paused_at_barrier = False
             if not self._step(zero_keys):
                 if (self._channel is not None
                         and time.time() - self._channel.last_send > 5.0):

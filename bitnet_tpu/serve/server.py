@@ -780,6 +780,95 @@ class BitNetServer:
         except Exception as e:
             return web.json_response({"error": str(e)}, status=404)
 
+    def _dir_allowed(self, directory: str):
+        """Admin path whitelist (same policy as /v1/models/load)."""
+        if self.allowed_model_dirs is None:
+            return None
+        real = os.path.realpath(str(directory))
+        if any(real.startswith(d + os.sep) or real == d
+               for d in self.allowed_model_dirs):
+            return None
+        from aiohttp import web
+
+        return web.json_response(
+            {"error": "directory outside allowed model directories"},
+            status=403)
+
+    async def handle_checkpoint(self, request):
+        """POST /v1/admin/checkpoint {directory, model?} — quiesce the
+        decode loop at a step boundary and snapshot every in-flight
+        request (preemption drills / planned restarts; reference
+        checkpoint_manager.rs parity, SURVEY §5)."""
+        from aiohttp import web
+
+        body = await self._json(request)
+        if isinstance(body, web.Response):
+            return body
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
+        directory = body.get("directory")
+        if not directory:
+            return web.json_response({"error": "need 'directory'"},
+                                     status=400)
+        rej = self._dir_allowed(directory)
+        if rej is not None:
+            return rej
+        try:
+            sched = self.manager.get(body.get("model"))
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        loop = asyncio.get_event_loop()
+
+        def run():
+            sched.pause()
+            try:
+                return sched.checkpoint_requests(str(directory))
+            finally:
+                sched.unpause()
+
+        try:
+            written = await loop.run_in_executor(None, run)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
+        return web.json_response({"written": written,
+                                  "count": len(written)})
+
+    async def handle_resume(self, request):
+        """POST /v1/admin/resume {directory, model?} — restore
+        checkpointed requests and run them to completion; returns the
+        finished texts (an admin drain, not client re-attachment)."""
+        from aiohttp import web
+
+        body = await self._json(request)
+        if isinstance(body, web.Response):
+            return body
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
+        directory = body.get("directory")
+        if not directory:
+            return web.json_response({"error": "need 'directory'"},
+                                     status=400)
+        rej = self._dir_allowed(directory)
+        if rej is not None:
+            return rej
+        try:
+            sched = self.manager.get(body.get("model"))
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        loop = asyncio.get_event_loop()
+        try:
+            reqs = await loop.run_in_executor(
+                None, lambda: sched.resume_requests(str(directory)))
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
+        results = await asyncio.gather(*[self._collect(r) for r in reqs])
+        return web.json_response({"resumed": [
+            {"request_id": r.id, "text": text, "num_tokens": len(toks),
+             "stop_reason": reason.value if reason else None}
+            for r, (text, toks, reason) in zip(reqs, results)]})
+
     async def handle_model_load(self, request):
         """POST /v1/models/load {name, path, default?} — load a model
         (reference model load route, lib.rs:265-282).  Admin route: auth +
@@ -973,6 +1062,8 @@ class BitNetServer:
         app.router.add_post("/v1/embeddings", self.handle_embeddings)
         app.router.add_get("/v1/models", self.handle_models)
         app.router.add_post("/v1/models/load", self.handle_model_load)
+        app.router.add_post("/v1/admin/checkpoint", self.handle_checkpoint)
+        app.router.add_post("/v1/admin/resume", self.handle_resume)
         app.router.add_get("/v1/models/{name}", self.handle_model_get)
         app.router.add_delete("/v1/models/{name}",
                               self.handle_model_unload)
