@@ -546,13 +546,26 @@ class BitNetServer:
         try:
             if chat:
                 await resp.write(chunk({"delta": {"role": "assistant"}}))
+            idx = 0
             while True:
                 tok, text, done, reason = await loop.run_in_executor(
                     None, lambda: req.out.get(timeout=600))
                 if tok is not None:
-                    body = ({"delta": {"content": text}} if chat
-                            else {"text": text, "logprobs": None})
+                    lp = None
+                    if req.logprobs is not None and idx < len(req.logprobs):
+                        e = req.logprobs[idx]
+                        lp = ({"content": [{
+                            "token": e["text"], "logprob": e["logprob"],
+                            "top_logprobs": [
+                                {"token": t["token"],
+                                 "logprob": t["logprob"]}
+                                for t in e["top"]]}]} if chat
+                            else _openai_logprobs([e]))
+                    body = ({"delta": {"content": text}, "logprobs": lp}
+                            if chat else
+                            {"text": text, "logprobs": lp})
                     await resp.write(chunk(body))
+                    idx += 1
                 if done:
                     finish = ("stop" if reason in (
                         StopReason.EOS, StopReason.STOP_TOKEN,

@@ -497,3 +497,46 @@ class TestAdminCheckpointRoutes:
         emitted = state.generated_ids
         full = "".join(tok.token_to_piece(t) for t in emitted) + res["text"]
         assert full == text1
+
+
+class TestStreamLogprobs:
+    def test_openai_chunks_carry_logprobs(self, sched):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from bitnet_tpu.serve.server import BitNetServer
+
+        server = BitNetServer(sched)
+
+        async def run():
+            app = server.build_app()
+            async with TestClient(TestServer(app)) as c:
+                r = await c.post("/v1/chat/completions", json={
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 3, "greedy": True, "stream": True,
+                    "logprobs": True, "top_logprobs": 2})
+                raw = await r.text()
+                chunks = [json.loads(l[6:]) for l in raw.splitlines()
+                          if l.startswith("data: ") and l != "data: [DONE]"]
+                content = [c0 for c0 in chunks
+                           if c0["choices"][0].get("delta", {})
+                           .get("content")]
+                assert content, raw
+                lp = content[0]["choices"][0]["logprobs"]
+                assert lp["content"][0]["logprob"] <= 0.0
+                assert len(lp["content"][0]["top_logprobs"]) == 2
+
+                r = await c.post("/v1/completions", json={
+                    "prompt": "ab", "max_tokens": 2, "greedy": True,
+                    "stream": True, "logprobs": 1})
+                raw = await r.text()
+                chunks = [json.loads(l[6:]) for l in raw.splitlines()
+                          if l.startswith("data: ") and l != "data: [DONE]"]
+                with_text = [c0 for c0 in chunks
+                             if c0["choices"][0].get("text")]
+                assert with_text[0]["choices"][0]["logprobs"][
+                    "token_logprobs"][0] <= 0.0
+
+        asyncio.new_event_loop().run_until_complete(run())
