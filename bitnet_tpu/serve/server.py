@@ -776,6 +776,66 @@ class BitNetServer:
             "usage": {"prompt_tokens": total, "total_tokens": total},
         })
 
+    async def handle_tokenize(self, request):
+        """POST /tokenize {content, add_special?} — llama.cpp server
+        compat endpoint."""
+        from aiohttp import web
+
+        body = await self._json(request)
+        if isinstance(body, web.Response):
+            return body
+        content = body.get("content", body.get("prompt", ""))
+        if not isinstance(content, str):
+            return web.json_response({"error": "content must be a string"},
+                                     status=422)
+        try:
+            sched = self._sched_for(body)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        ids = sched.tokenizer.encode(
+            content, add_bos=bool(body.get("add_special", True)))
+        return web.json_response({"tokens": list(ids)})
+
+    async def handle_detokenize(self, request):
+        """POST /detokenize {tokens} — llama.cpp server compat."""
+        from aiohttp import web
+
+        body = await self._json(request)
+        if isinstance(body, web.Response):
+            return body
+        toks = body.get("tokens")
+        if not isinstance(toks, list) \
+                or not all(isinstance(t, int) and t >= 0 for t in toks):
+            return web.json_response(
+                {"error": "tokens must be a list of non-negative ints"},
+                status=422)
+        try:
+            sched = self._sched_for(body)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        return web.json_response(
+            {"content": sched.tokenizer.decode([int(t) for t in toks])})
+
+    async def handle_props(self, request):
+        """GET /props — llama.cpp server compat: model/runtime props."""
+        from aiohttp import web
+
+        sched = self.scheduler
+        cfg = sched.cfg
+        return web.json_response({
+            "model_path": self.model_name,
+            "n_ctx": sched.S,
+            "total_slots": sched.B,
+            "chat_template": "",
+            "model": {
+                "vocab_size": cfg.vocab_size,
+                "n_embd": cfg.hidden_size,
+                "n_layer": cfg.num_layers,
+                "n_head": cfg.num_heads,
+                "n_head_kv": cfg.num_kv_heads,
+            },
+        })
+
     async def handle_models(self, request):
         from aiohttp import web
 
@@ -1073,6 +1133,9 @@ class BitNetServer:
                             self.handle_chat_completions)
         app.router.add_post("/v1/completions", self.handle_completions)
         app.router.add_post("/v1/embeddings", self.handle_embeddings)
+        app.router.add_post("/tokenize", self.handle_tokenize)
+        app.router.add_post("/detokenize", self.handle_detokenize)
+        app.router.add_get("/props", self.handle_props)
         app.router.add_get("/v1/models", self.handle_models)
         app.router.add_post("/v1/models/load", self.handle_model_load)
         app.router.add_post("/v1/admin/checkpoint", self.handle_checkpoint)

@@ -540,3 +540,37 @@ class TestStreamLogprobs:
                     "token_logprobs"][0] <= 0.0
 
         asyncio.new_event_loop().run_until_complete(run())
+
+
+class TestLlamaCppEndpoints:
+    def test_tokenize_detokenize_props(self, sched):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from bitnet_tpu.serve.server import BitNetServer
+
+        server = BitNetServer(sched)
+
+        async def run():
+            app = server.build_app()
+            async with TestClient(TestServer(app)) as c:
+                r = await c.post("/tokenize", json={"content": "ab",
+                                                    "add_special": False})
+                toks = (await r.json())["tokens"]
+                assert toks and all(isinstance(t, int) for t in toks)
+
+                r = await c.post("/detokenize", json={"tokens": toks})
+                # the mini fixture's SPM-style vocab keeps the ▁ marker
+                assert (await r.json())["content"].lstrip("▁ ") == "ab"
+
+                r = await c.post("/detokenize", json={"tokens": "x"})
+                assert r.status == 422
+
+                r = await c.get("/props")
+                body = await r.json()
+                assert body["n_ctx"] == sched.S
+                assert body["model"]["n_layer"] == sched.cfg.num_layers
+
+        asyncio.new_event_loop().run_until_complete(run())
