@@ -506,3 +506,106 @@ class TestDFAMaskEquivalence:
             if step_ch == "\0":
                 break
             assert m.matcher.feed_text(step_ch), (text, step_ch)
+
+
+# ---------------------------------------------------------------- fuzzing
+class TestGrammarFuzz:
+    """No-panic / consistency properties (the pytest translation of the
+    reference's grammar-adjacent fuzz targets, SURVEY §4 item 3)."""
+
+    def test_parser_never_hangs_or_crashes(self):
+        """Random GBNF-ish soup either compiles or raises GrammarError —
+        never an unbounded loop or a foreign exception."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        alphabet = 'ab01 ":=|()[]{}*+?-^\\\n#.'
+
+        @settings(max_examples=300, deadline=2000)
+        @given(st.text(alphabet=alphabet, max_size=80))
+        def check(text):
+            try:
+                Grammar.from_gbnf('root ::= "x"\n' + text)
+            except GrammarError:
+                pass
+
+        check()
+
+    def test_matcher_consistency_random_walk(self):
+        """would_accept == (copy + feed_text) for random inputs; the
+        stack-set matcher state never mutates on rejection."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        g = Grammar.from_gbnf(
+            'root ::= item ("," item)*\nitem ::= [a-c]{1,3} | "(" root ")"')
+
+        @settings(max_examples=200, deadline=2000)
+        @given(st.text(alphabet="abc,()x", max_size=24))
+        def check(text):
+            m = GrammarMatcher(g)
+            for ch in text:
+                before = m.stacks
+                ok_preview = m.would_accept(ch)
+                assert m.stacks == before          # stateless preview
+                ok = m.feed_text(ch)
+                assert ok == ok_preview
+                if not ok:
+                    assert m.stacks == before      # reject keeps state
+                    return
+
+        check()
+
+    def test_schema_compiler_no_panic(self):
+        """Random nested schemas: compile + the grammar accepts a JSON
+        document that instantiates the schema."""
+        import json as _json
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        leaf = st.sampled_from([
+            {"type": "integer"}, {"type": "number"}, {"type": "boolean"},
+            {"type": "null"}, {"type": "string"},
+            {"enum": ["x", 1, None]}, {"const": "k"},
+        ])
+        schemas = st.recursive(
+            leaf,
+            lambda kids: st.one_of(
+                st.fixed_dictionaries(
+                    {"type": st.just("array"), "items": kids}),
+                st.builds(
+                    lambda props, req: {
+                        "type": "object", "properties": props,
+                        "required": sorted(req & set(props))},
+                    st.dictionaries(
+                        st.sampled_from(["a", "b", "c"]), kids,
+                        min_size=1, max_size=3),
+                    st.sets(st.sampled_from(["a", "b", "c"]))),
+                st.builds(lambda a, b: {"anyOf": [a, b]}, kids, kids),
+            ),
+            max_leaves=8)
+
+        def instance(s):
+            if "const" in s:
+                return s["const"]
+            if "enum" in s:
+                return s["enum"][0]
+            t = s.get("type")
+            if t == "array":
+                return [instance(s["items"])]
+            if t == "object":
+                return {k: instance(v) for k, v in s["properties"].items()}
+            if "anyOf" in s:
+                return instance(s["anyOf"][0])
+            return {"integer": 3, "number": -1.5, "boolean": True,
+                    "null": None, "string": "s"}[t]
+
+        @settings(max_examples=120, deadline=5000)
+        @given(schemas)
+        def check(schema):
+            g = Grammar.from_gbnf(json_schema_grammar(schema))
+            doc = _json.dumps(instance(schema))
+            assert accepts(g, doc), (schema, doc)
+
+        check()
