@@ -276,9 +276,14 @@ class Llama:
             # create_completion list behavior)
             results = [self.create_completion(
                 p, max_tokens=max_tokens, temperature=temperature,
-                top_p=top_p, top_k=top_k, repeat_penalty=repeat_penalty,
+                top_p=top_p, top_k=top_k, min_p=min_p,
+                typical_p=typical_p, repeat_penalty=repeat_penalty,
+                frequency_penalty=frequency_penalty,
+                presence_penalty=presence_penalty,
+                mirostat_mode=mirostat_mode, mirostat_tau=mirostat_tau,
+                mirostat_eta=mirostat_eta,
                 echo=echo, stop=stop, seed=seed, logit_bias=logit_bias,
-                grammar=grammar)
+                grammar=grammar, logprobs=logprobs)
                 for p in prompt]
             return {
                 "id": f"cmpl-{uuid.uuid4().hex[:24]}",
@@ -372,7 +377,7 @@ class Llama:
             fns = validate_tools(tools, tool_choice)
             msgs = normalize_tool_messages(messages, fns)
         else:
-            msgs = [templates.Message(m["role"], m["content"] or "")
+            msgs = [templates.Message(m["role"], m.get("content") or "")
                     for m in messages]
         # llama-cpp-python parity: the model's own embedded jinja chat
         # template wins when present (and no chat_format override); the

@@ -243,6 +243,8 @@ class InferenceEngine:
         g = self._grammar_cache.get(gen_cfg.grammar)
         if g is None:
             g = Grammar.from_gbnf(gen_cfg.grammar)
+            if len(self._grammar_cache) >= 32:    # bound per-source cache
+                self._grammar_cache.pop(next(iter(self._grammar_cache)))
             self._grammar_cache[gen_cfg.grammar] = g
         return VocabMatcher(g, self._grammar_vocab)
 

@@ -41,9 +41,11 @@ class TokenVocab:
         self.pieces = [p or "" for p in pieces]
         self.size = len(self.pieces)
         self.eos_token_id = eos_token_id
-        # grammar identity -> shared DFA (engines cache Grammar objects
-        # by source text, so identity is stable per grammar)
-        self._dfas: dict[int, _GrammarDFA] = {}
+        # grammar -> DFA, LRU-capped: each entry holds a [V, Lmax] piece
+        # matrix (a few MB at large vocabs), so unbounded growth on
+        # per-request schemas would leak.  The value keeps a strong ref
+        # to the Grammar so the id() key can never go stale.
+        self._dfas: "dict[int, tuple[Grammar, _GrammarDFA]]" = {}
 
     @classmethod
     def from_tokenizer(cls, tokenizer) -> "TokenVocab":
@@ -53,10 +55,16 @@ class TokenVocab:
         pieces = [tokenizer.token_to_piece(i) or "" for i in range(v)]
         return cls(pieces, getattr(tokenizer, "eos_token_id", None))
 
+    MAX_DFAS = 8
+
     def dfa(self, grammar: Grammar) -> "_GrammarDFA":
-        d = self._dfas.get(id(grammar))
-        if d is None:
-            d = self._dfas[id(grammar)] = _GrammarDFA(grammar, self)
+        hit = self._dfas.get(id(grammar))
+        if hit is not None:
+            return hit[1]
+        d = _GrammarDFA(grammar, self)
+        while len(self._dfas) >= self.MAX_DFAS:
+            self._dfas.pop(next(iter(self._dfas)))     # FIFO eviction
+        self._dfas[id(grammar)] = (grammar, d)
         return d
 
 
@@ -154,6 +162,8 @@ class _GrammarDFA:
             mask = mask.copy()
             mask[self.eos_token_id] = True
         mask.setflags(write=False)
+        if len(self._masks) >= 2048:       # [V]-bool each; bound memory
+            self._masks.pop(next(iter(self._masks)))
         self._masks[key] = mask
         return mask
 

@@ -695,6 +695,10 @@ class ContinuousBatchingScheduler:
         deadline = time.time() + timeout
         while not getattr(self, "_paused_at_barrier", False):
             if time.time() > deadline:
+                # roll back the request: a failed pause must not leave
+                # the loop quiescing forever (serving would wedge)
+                self._pause_req = False
+                self._wake.set()
                 raise InferenceError("scheduler pause timed out")
             time.sleep(0.005)
 
@@ -1168,7 +1172,10 @@ class ContinuousBatchingScheduler:
                 continue
             slot.active = True
             first = self._sample_first(slot, lg)
-            self._emit(slot_idx, first)
+            if first is None:                      # grammar dead end
+                self._finish(slot_idx, StopReason.EOS)
+            else:
+                self._emit(slot_idx, first)
 
     # ---------------------------------------------------- chunked prefill
     def _advance_prefills(self) -> bool:
@@ -1268,7 +1275,10 @@ class ContinuousBatchingScheduler:
             slot.pos = T
             slot.active = True
             first = self._sample_first(slot, lg)
-            self._emit(slot_idx, first)
+            if first is None:                      # grammar dead end
+                self._finish(slot_idx, StopReason.EOS)
+            else:
+                self._emit(slot_idx, first)
         return worked
 
     # ------------------------------------------------------------ paged ops
@@ -1445,6 +1455,8 @@ class ContinuousBatchingScheduler:
         g = self._grammar_cache.get(gen.grammar)
         if g is None:
             g = Grammar.from_gbnf(gen.grammar)
+            if len(self._grammar_cache) >= 32:    # bound per-source cache
+                self._grammar_cache.pop(next(iter(self._grammar_cache)))
             self._grammar_cache[gen.grammar] = g
         return VocabMatcher(g, self._grammar_vocab)
 
@@ -1504,13 +1516,18 @@ class ContinuousBatchingScheduler:
 
     def _grammar_mask(self, slot: _Slot, lg):
         """Apply the slot's grammar mask to a [V] or [1, V] logits row
-        (host numpy; NEG_INF outside the admissible set)."""
+        (host numpy; NEG_INF outside the admissible set).  Returns None
+        on a dead end — no admissible token AND EOS illegal — so the
+        caller stops the slot cleanly (engine.py grammar_dead_end
+        parity) instead of sampling from a uniform all-NEG_INF row."""
         mask = slot.grammar.allowed_mask()
+        if not mask.any():
+            return None
         lg = np.asarray(lg, np.float32)
         return np.where(mask, lg, NEG_INF) if lg.ndim == 1 else \
             np.where(mask[None, :], lg, NEG_INF)
 
-    def _sample_first(self, slot: _Slot, lg: jnp.ndarray) -> int:
+    def _sample_first(self, slot: _Slot, lg: jnp.ndarray) -> int | None:
         """Sample the prefill token with the slot's key stream + the
         prompt-tail history — exactly the engine's first decode-loop
         iteration (engine.py generate_stream)."""
@@ -1518,7 +1535,10 @@ class ContinuousBatchingScheduler:
         slot.key, sub = jax.random.split(slot.key)
         raw = lg
         if slot.grammar is not None:
-            lg = jnp.asarray(self._grammar_mask(slot, lg))
+            masked = self._grammar_mask(slot, lg)
+            if masked is None:
+                return None                        # grammar dead end
+            lg = jnp.asarray(masked)
         if slot.mirostat is not None:
             tok = slot.mirostat.sample(lg[0].astype(jnp.float32), sub)
         else:
@@ -1763,6 +1783,9 @@ class ContinuousBatchingScheduler:
                 raw_row = lg_row
                 if s.grammar is not None:
                     lg_row = self._grammar_mask(s, lg_row)
+                    if lg_row is None:             # grammar dead end
+                        self._finish(i, StopReason.EOS)
+                        continue
                 if s.mirostat is not None:
                     tok = s.mirostat.sample(lg_row, subs[i])
                 else:

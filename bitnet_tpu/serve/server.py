@@ -524,7 +524,8 @@ class BitNetServer:
         return resp
 
     async def _stream_openai(self, request, req, cid: str,
-                             object_type: str, chat: bool):
+                             object_type: str, chat: bool,
+                             echo_text: str | None = None):
         """SSE stream in OpenAI chunk format, terminated by [DONE]."""
         from aiohttp import web
 
@@ -546,6 +547,9 @@ class BitNetServer:
         try:
             if chat:
                 await resp.write(chunk({"delta": {"role": "assistant"}}))
+            elif echo_text:
+                await resp.write(chunk({"text": echo_text,
+                                        "logprobs": None}))
             idx = 0
             while True:
                 tok, text, done, reason = await loop.run_in_executor(
@@ -602,22 +606,28 @@ class BitNetServer:
             prompts = [prompts if isinstance(prompts, str) else ""]
         gen = self._gen_for(body, sched)
         if body.get("stream"):
+            if many and len(prompts) > 1 or int(body.get("n") or 1) > 1:
+                # honest rejection beats silently dropping prompts/choices
+                return web.json_response(
+                    {"error": "stream=true supports a single prompt "
+                              "and n=1"}, status=422)
             ids = self._encode(dict(body, prompt=prompts[0]), sched)
             req = sched.submit(ids, gen, **_submit_kwargs(body))
             return await self._stream_openai(
                 request, req, f"cmpl-{req.id}", "text_completion",
-                chat=False)
+                chat=False, echo_text=(prompts[0] if body.get("echo")
+                                       else None))
         n = int(body.get("n") or 1)
         reqs, lens = [], []
         for p in prompts:
             ids = self._encode(dict(body, prompt=p), sched)
+            lens.append(len(ids))       # each prompt billed ONCE, not ×n
             for i in range(n):
                 g = (gen if n == 1
                      else gen.replace(seed=(gen.seed + i
                                             if gen.seed is not None
                                             else None)))
                 reqs.append(sched.submit(ids, g, **_submit_kwargs(body)))
-                lens.append(len(ids))
         results = await asyncio.gather(*[self._collect(r) for r in reqs])
         choices, total_out = [], 0
         for i, (req, (text, toks, reason)) in enumerate(zip(reqs, results)):
@@ -678,9 +688,43 @@ class BitNetServer:
             # finish_reason chunk → data: [DONE]
             req = sched.submit(ids, self._gen_for(body, sched),
                                **_submit_kwargs(body))
-            return await self._stream_openai(
-                request, req, f"chatcmpl-{req.id}",
-                "chat.completion.chunk", chat=True)
+            if fns is None:
+                return await self._stream_openai(
+                    request, req, f"chatcmpl-{req.id}",
+                    "chat.completion.chunk", chat=True)
+            # with tools the output must be parsed before the client
+            # sees it: buffer, then emit role → tool_calls/content
+            # delta → finish → [DONE] (OpenAI streaming tool protocol)
+            text, _toks, reason = await self._collect(req)
+            calls = parse_tool_calls(text, fns)
+            cid = f"chatcmpl-{req.id}"
+            created = int(time.time())
+
+            def chunk(delta, finish=None):
+                return ("data: " + json.dumps({
+                    "id": cid, "object": "chat.completion.chunk",
+                    "created": created, "model": self.model_name,
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}],
+                }) + "\n\n").encode()
+
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache"})
+            await resp.prepare(request)
+            await resp.write(chunk({"role": "assistant"}))
+            if calls is not None:
+                deltas = [dict(c, index=i) for i, c in enumerate(calls)]
+                await resp.write(chunk({"tool_calls": deltas}))
+                await resp.write(chunk({}, "tool_calls"))
+            else:
+                await resp.write(chunk({"content": text}))
+                await resp.write(chunk({}, "stop" if reason in (
+                    StopReason.EOS, StopReason.STOP_TOKEN,
+                    StopReason.STOP_SEQUENCE) else "length"))
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
         n = int(body.get("n") or 1)
         gen = self._gen_for(body, sched)
         reqs = []
@@ -781,6 +825,9 @@ class BitNetServer:
         compat endpoint."""
         from aiohttp import web
 
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
         body = await self._json(request)
         if isinstance(body, web.Response):
             return body
@@ -800,6 +847,9 @@ class BitNetServer:
         """POST /detokenize {tokens} — llama.cpp server compat."""
         from aiohttp import web
 
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
         body = await self._json(request)
         if isinstance(body, web.Response):
             return body
@@ -820,6 +870,9 @@ class BitNetServer:
         """GET /props — llama.cpp server compat: model/runtime props."""
         from aiohttp import web
 
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
         sched = self.scheduler
         cfg = sched.cfg
         return web.json_response({
@@ -894,10 +947,11 @@ class BitNetServer:
         loop = asyncio.get_event_loop()
 
         def run():
-            sched.pause()
             try:
+                sched.pause()
                 return sched.checkpoint_requests(str(directory))
             finally:
+                # idempotent: also correct when pause() itself failed
                 sched.unpause()
 
         try:

@@ -142,13 +142,20 @@ def normalize_tool_messages(messages: list[dict],
             name = m.get("name", "tool")
             role, content = "user", f"[{name} result]\n{content}"
         elif role == "assistant" and m.get("tool_calls"):
-            calls = [{"name": c["function"]["name"],
-                      "arguments": json.loads(
-                          c["function"]["arguments"])
-                      if isinstance(c["function"].get("arguments"), str)
-                      else c["function"].get("arguments", {})}
-                     for c in m["tool_calls"]
-                     if isinstance(c, dict) and c.get("function")]
+            # client-controlled history: tolerate malformed entries
+            # (missing name, broken arguments JSON) instead of 500ing
+            calls = []
+            for c in m["tool_calls"]:
+                fn = c.get("function") if isinstance(c, dict) else None
+                if not isinstance(fn, dict) or not fn.get("name"):
+                    continue
+                args = fn.get("arguments", {})
+                if isinstance(args, str):
+                    try:
+                        args = json.loads(args)
+                    except ValueError:
+                        pass                # keep the raw string verbatim
+                calls.append({"name": fn["name"], "arguments": args})
             content = "\n".join(json.dumps(c) for c in calls)
         out.append(Message(role, content))
     if sys_text is not None:

@@ -574,3 +574,210 @@ class TestLlamaCppEndpoints:
                 assert body["model"]["n_layer"] == sched.cfg.num_layers
 
         asyncio.new_event_loop().run_until_complete(run())
+
+
+class TestReviewFixes:
+    """Regressions for the round-3 code-review findings."""
+
+    def test_scheduler_grammar_dead_end_stops_cleanly(self, mini_gguf_f32):
+        """A grammar that becomes unsatisfiable must stop the slot, not
+        stream uniform garbage (engine grammar_dead_end parity)."""
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        tok = load_tokenizer(mini_gguf_f32.path)
+        s = ContinuousBatchingScheduler(
+            cfg, params, tok,
+            EngineConfig(max_seq_len=64, compute_dtype="f32"), num_slots=1)
+        try:
+            # private-use  exists in no vocab piece → dead end
+            # immediately at the first sampled token (EOS illegal: the
+            # grammar can't complete on empty output)
+            req = s.submit([1, 5], GenerationConfig(
+                max_new_tokens=8, greedy=True,
+                grammar='root ::= [\\uE000]'))
+            toks, reason = collect(s, req)
+            assert toks == []
+            assert reason == StopReason.EOS
+        finally:
+            s.shutdown()
+
+    def test_pause_timeout_rolls_back(self, mini_gguf_f32):
+        """A timed-out pause() must reset _pause_req — otherwise the
+        loop quiesces forever and every later request hangs."""
+        import pytest as _pytest
+
+        from bitnet_tpu.errors import InferenceError
+
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        tok = load_tokenizer(mini_gguf_f32.path)
+        s = ContinuousBatchingScheduler(
+            cfg, params, tok,
+            EngineConfig(max_seq_len=64, compute_dtype="f32"),
+            num_slots=1, start_loop=False)
+        try:
+            class _Busy:              # a loop that never hits the barrier
+                def is_alive(self):
+                    return True
+
+            s._thread = _Busy()
+            with _pytest.raises(InferenceError):
+                s.pause(timeout=0.05)
+            assert s._pause_req is False          # rolled back
+        finally:
+            s._thread = None
+            s.shutdown()
+
+    def test_pause_unpause_live(self, sched):
+        """pause() on a live idle loop reaches the barrier; unpause
+        resumes serving."""
+        sched.pause(timeout=30)
+        assert sched._paused_at_barrier
+        sched.unpause()
+        req = sched.submit([1, 2], GenerationConfig(max_new_tokens=2,
+                                                    greedy=True))
+        toks, _ = collect(sched, req)
+        assert len(toks) >= 1
+
+    def test_compat_endpoints_require_auth(self, sched):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from bitnet_tpu.serve.server import BitNetServer
+
+        server = BitNetServer(sched, auth_token="sekrit")
+
+        async def run():
+            app = server.build_app()
+            async with TestClient(TestServer(app)) as c:
+                for route, method, body in (
+                        ("/tokenize", "post", {"content": "x"}),
+                        ("/detokenize", "post", {"tokens": [1]}),
+                        ("/props", "get", None)):
+                    fn = getattr(c, method)
+                    r = await (fn(route, json=body) if body is not None
+                               else fn(route))
+                    assert r.status == 401, route
+                hdr = {"Authorization": "Bearer sekrit"}
+                r = await c.get("/props", headers=hdr)
+                assert r.status == 200
+
+        asyncio.new_event_loop().run_until_complete(run())
+
+    def test_malformed_tool_history_not_500(self, sched):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from bitnet_tpu.serve.server import BitNetServer
+
+        server = BitNetServer(sched)
+        tools = [{"type": "function", "function": {
+            "name": "f", "parameters": {"type": "object",
+                                        "properties": {}}}}]
+
+        async def run():
+            app = server.build_app()
+            async with TestClient(TestServer(app)) as c:
+                r = await c.post("/v1/chat/completions", json={
+                    "messages": [
+                        {"role": "user", "content": "x"},
+                        {"role": "assistant", "tool_calls": [
+                            {"function": {"name": "f",
+                                          "arguments": "{broken"}},
+                            {"function": {}},          # no name
+                            "not-a-dict",
+                        ]},
+                        {"role": "tool", "name": "f", "content": "r"},
+                    ],
+                    "max_tokens": 2, "greedy": True, "tools": tools})
+                assert r.status == 200     # tolerated, not a 500
+
+        asyncio.new_event_loop().run_until_complete(run())
+
+    def test_stream_tools_emits_tool_call_chunks(self, mini_gguf_f32):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from bitnet_tpu.gguf.fixtures import MiniModelSpec, generate_mini_gguf
+        from bitnet_tpu.serve.server import BitNetServer
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            m = generate_mini_gguf(td + "/m.gguf",
+                                   MiniModelSpec(quant="f32",
+                                                 max_seq_len=1024))
+            cfg, params, _ = load_model(m.path, param_dtype=jnp.float32)
+            tok = load_tokenizer(m.path)
+            s = ContinuousBatchingScheduler(
+                cfg, params, tok,
+                EngineConfig(max_seq_len=1024, compute_dtype="f32"),
+                num_slots=1)
+            server = BitNetServer(s)
+            tools = [{"type": "function", "function": {
+                "name": "f", "parameters": {
+                    "type": "object", "properties": {
+                        "q": {"type": "boolean"}},
+                    "required": ["q"], "additionalProperties": False}}}]
+
+            async def run():
+                app = server.build_app()
+                async with TestClient(TestServer(app)) as c:
+                    r = await c.post("/v1/chat/completions", json={
+                        "messages": [{"role": "user", "content": "go"}],
+                        "max_tokens": 80, "greedy": True, "stream": True,
+                        "tools": tools,
+                        "tool_choice": {"type": "function",
+                                        "function": {"name": "f"}}})
+                    raw = await r.text()
+                    lines = [l for l in raw.splitlines()
+                             if l.startswith("data: ")]
+                    assert lines[-1] == "data: [DONE]"
+                    chunks = [json.loads(l[6:]) for l in lines[:-1]]
+                    tc = [c0 for c0 in chunks
+                          if c0["choices"][0]["delta"].get("tool_calls")]
+                    assert tc, raw
+                    call = tc[0]["choices"][0]["delta"]["tool_calls"][0]
+                    assert call["function"]["name"] == "f"
+                    assert chunks[-1]["choices"][0][
+                        "finish_reason"] == "tool_calls"
+
+            try:
+                asyncio.new_event_loop().run_until_complete(run())
+            finally:
+                s.shutdown()
+
+    def test_completions_usage_counts_prompt_once(self, sched):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from bitnet_tpu.serve.server import BitNetServer
+
+        server = BitNetServer(sched)
+
+        async def run():
+            app = server.build_app()
+            async with TestClient(TestServer(app)) as c:
+                r1 = await c.post("/v1/completions", json={
+                    "prompt": "abc", "max_tokens": 2, "greedy": True})
+                one = (await r1.json())["usage"]["prompt_tokens"]
+                r4 = await c.post("/v1/completions", json={
+                    "prompt": "abc", "max_tokens": 2, "greedy": True,
+                    "n": 4})
+                four = (await r4.json())["usage"]["prompt_tokens"]
+                assert one == four       # prompt billed once, not ×n
+
+                # stream with n>1 → honest 422
+                r = await c.post("/v1/completions", json={
+                    "prompt": "abc", "max_tokens": 2, "stream": True,
+                    "n": 2})
+                assert r.status == 422
+
+        asyncio.new_event_loop().run_until_complete(run())
