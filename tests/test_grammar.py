@@ -609,3 +609,40 @@ class TestGrammarFuzz:
             assert accepts(g, doc), (schema, doc)
 
         check()
+
+
+# ------------------------------------------------------ paged-pool parity
+@pytest.mark.slow
+class TestPagedGrammar:
+    def test_paged_matches_dense_and_engine(self, mini_gguf_f32, engine):
+        from bitnet_tpu.models import load_model
+        from bitnet_tpu.serve.scheduler import ContinuousBatchingScheduler
+        from bitnet_tpu.tokenizer import load_tokenizer
+
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        tok = load_tokenizer(mini_gguf_f32.path)
+        gen = GenerationConfig(max_new_tokens=12, temperature=0.8, seed=13,
+                               grammar='root ::= [ab]{2,10} "!"',
+                               logprobs=1)
+        want = engine.generate(PROMPT, gen)
+        s = ContinuousBatchingScheduler(
+            cfg, params, tok, ECFG, num_slots=2,
+            paged=True, num_pages=32, page_size=16)
+        try:
+            req = s.submit(PROMPT, gen)
+            toks = []
+            while True:
+                t, _x, done, _r = req.out.get(timeout=120)
+                if t is not None:
+                    toks.append(t)
+                if done:
+                    break
+            assert toks == want.token_ids
+            assert len(req.logprobs) == len(toks)
+            for se, ee in zip(req.logprobs, want.logprobs):
+                assert se["token_id"] == ee["token_id"]
+                assert se["logprob"] == pytest.approx(ee["logprob"],
+                                                      abs=1e-4)
+        finally:
+            s.shutdown()
