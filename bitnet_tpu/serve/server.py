@@ -176,17 +176,26 @@ def _resolve_grammar(body: dict) -> str | None:
     return None
 
 
+def _num(body: dict, key: str, default):
+    """Field with an explicit JSON null treated as 'use the default'
+    (a null would otherwise 500 inside float()/int())."""
+    v = body.get(key)
+    return default if v is None else v
+
+
 def _gen_config_from_body(body: dict) -> GenerationConfig:
+    mnt = body.get("max_new_tokens")
+    if mnt is None:
+        mnt = _num(body, "max_tokens", 128)
     return GenerationConfig(
-        max_new_tokens=int(body.get("max_new_tokens",
-                                    body.get("max_tokens", 128))),
-        temperature=float(body.get("temperature", 1.0)),
-        top_k=int(body.get("top_k", 0)),
-        top_p=float(body.get("top_p", 1.0)),
-        min_p=float(body.get("min_p", 0.0)),
-        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
-        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
-        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        max_new_tokens=int(mnt),
+        temperature=float(_num(body, "temperature", 1.0)),
+        top_k=int(_num(body, "top_k", 0)),
+        top_p=float(_num(body, "top_p", 1.0)),
+        min_p=float(_num(body, "min_p", 0.0)),
+        repetition_penalty=float(_num(body, "repetition_penalty", 1.0)),
+        frequency_penalty=float(_num(body, "frequency_penalty", 0.0)),
+        presence_penalty=float(_num(body, "presence_penalty", 0.0)),
         logit_bias=tuple(sorted(
             (int(k), float(v))
             for k, v in (body.get("logit_bias") or {}).items())),

@@ -781,3 +781,73 @@ class TestReviewFixes:
                 assert r.status == 422
 
         asyncio.new_event_loop().run_until_complete(run())
+
+
+@pytest.mark.slow
+class TestServerFuzz:
+    """Random request bodies must map to clean HTTP statuses — never a
+    500 (the pytest translation of the reference's server fuzz lanes)."""
+
+    def test_no_500_on_random_bodies(self, sched):
+        pytest.importorskip("aiohttp")
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from bitnet_tpu.serve.server import BitNetServer
+
+        server = BitNetServer(sched)
+        app = server.build_app()
+
+        scalar = st.one_of(st.none(), st.booleans(),
+                           st.integers(-5, 70000), st.floats(-3, 3),
+                           st.text(max_size=6))
+        bodies = st.dictionaries(
+            st.sampled_from([
+                "prompt", "messages", "tokens", "max_new_tokens",
+                "temperature", "top_k", "top_p", "logit_bias", "stop",
+                "grammar", "json_schema", "response_format", "logprobs",
+                "top_logprobs", "n", "tools", "tool_choice", "stream",
+                "seed", "model", "input", "echo"]),
+            st.one_of(scalar, st.lists(scalar, max_size=3),
+                      st.dictionaries(st.text(max_size=4), scalar,
+                                      max_size=3)),
+            max_size=5)
+
+        routes = ["/v1/inference", "/v1/completions",
+                  "/v1/chat/completions", "/v1/embeddings", "/tokenize",
+                  "/detokenize"]
+
+        loop = asyncio.new_event_loop()
+
+        async def setup():
+            c = TestClient(TestServer(app))
+            await c.__aenter__()
+            return c
+
+        client = loop.run_until_complete(setup())
+        try:
+            @settings(max_examples=150, deadline=30000)
+            @given(st.sampled_from(routes), bodies)
+            def check(route, body):
+                # keep generation cheap when a body happens to be valid
+                body = dict(body)
+                body.setdefault("max_new_tokens", 2)
+                if not isinstance(body.get("max_new_tokens"), int) \
+                        or not (1 <= body["max_new_tokens"] <= 8):
+                    body["max_new_tokens"] = 2
+
+                async def one():
+                    r = await client.post(route, json=body)
+                    await r.text()
+                    return r.status
+
+                status = loop.run_until_complete(one())
+                assert status != 500, (route, body)
+
+            check()
+        finally:
+            loop.run_until_complete(client.__aexit__(None, None, None))
+            loop.close()
