@@ -1067,6 +1067,50 @@ class ContinuousBatchingScheduler:
             b *= 2
         return min(b, self.S)
 
+    def _maybe_preempt(self) -> None:
+        """Priority preemption (recompute mode, the vLLM default): when
+        a strictly higher-priority request waits and no slot is free,
+        evict the lowest-priority ACTIVE slot.  Its generated tokens
+        fold into the prompt and its sampler/grammar/stop state is
+        stashed on the Request, so re-admission re-prefills once and
+        continues the exact token stream (client streaming is seamless —
+        already-delivered tokens are never re-emitted).  At most one
+        eviction per step; requests keep their original priority, so a
+        preempted request can never thrash a same-priority slot."""
+        if self.pending.empty():
+            return
+        with self.pending.mutex:
+            if not self.pending.queue:
+                return
+            best_prio = self.pending.queue[0][0]
+        if any(not s.occupied for s in self.slots):
+            return                      # normal admission will handle it
+        worst_i, worst_p = None, best_prio
+        for i, s in enumerate(self.slots):
+            if s.active and not s.prefilling and s.req is not None \
+                    and s.req.priority > worst_p:
+                worst_p, worst_i = s.req.priority, i
+        if worst_i is None:
+            return
+        slot = self.slots[worst_i]
+        req = slot.req
+        req.token_ids = list(req.token_ids) + list(slot.out_ids)
+        req._preempt = {
+            "key": slot.key, "mirostat": slot.mirostat,
+            "grammar": slot.grammar, "stop": slot.stop,
+            "generated": slot.generated,
+        }
+        # free the slot WITHOUT finishing the request
+        slot.active = False
+        slot.req = None
+        slot.grammar = None
+        slot.lp_pending = None
+        self._release_slot_pages(worst_i)
+        self.pending.put((req.priority, req.submitted_at, req.id, req))
+        self.stats["preempted"] = self.stats.get("preempted", 0) + 1
+        self.stats["active_slots"] = sum(
+            1 for s in self.slots if s.active)
+
     def _admit(self) -> None:
         admitted = 0
         for slot_idx, slot in enumerate(self.slots):
@@ -1156,6 +1200,18 @@ class ContinuousBatchingScheduler:
             slot.deadline = (req.submitted_at + req.timeout_s
                              if req.timeout_s is not None else None)
             slot.admitted_at = time.time()
+            res = req.__dict__.pop("_preempt", None)
+            if res is not None:
+                # preempted request resuming: continue its key stream,
+                # stop budget, and grammar/mirostat state exactly where
+                # the evicted slot left off (already-emitted tokens are
+                # part of req.token_ids now; out_ids stays empty so
+                # nothing is re-streamed to the client)
+                slot.key = res["key"]
+                slot.mirostat = res["mirostat"]
+                slot.grammar = res["grammar"]
+                slot.stop = res["stop"]
+                slot.generated = res["generated"]
             if req.gen.logit_bias or self._bias_live[slot_idx]:
                 self._set_slot_bias(slot_idx, req.gen.logit_bias)
                 if self._channel is not None:
@@ -1660,6 +1716,7 @@ class ContinuousBatchingScheduler:
                 self._finish(i, StopReason.CANCELLED)
             elif s.deadline is not None and now > s.deadline:
                 self._finish(i, StopReason.TIMEOUT)
+        self._maybe_preempt()
         self._admit()
         chunk_worked = (self._advance_prefills()
                         if self.chunked_prefill is not None else False)

@@ -381,6 +381,11 @@ class BitNetServer:
         if "tokens" in body:
             return [int(t) for t in body["tokens"]]
         prompt = body.get("prompt", "")
+        if isinstance(prompt, list):
+            # prompt arrays are a /v1/completions feature — that route
+            # splits them per prompt before encoding; anywhere else the
+            # only sane reading is the first element
+            prompt = prompt[0] if prompt else ""
         add_bos = True
         if "messages" in body:
             from .. import templates
