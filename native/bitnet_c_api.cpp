@@ -209,6 +209,66 @@ BN_EXPORT int bitnet_inference(int handle, const char* prompt, char* out,
                                       0.0f, 0, 1.0f, 0, 1);
 }
 
+// Grammar-constrained generation (no llama.cpp C-API equivalent is
+// exposed by the reference's FFI crate; GBNF dialect per grammar/gbnf.py).
+// `grammar` is GBNF source text; returns token count or -1 (see
+// bitnet_last_error, e.g. malformed grammar).
+BN_EXPORT int bitnet_inference_grammar(int handle, const char* prompt,
+                                       const char* grammar, char* out,
+                                       int out_len, int max_new_tokens,
+                                       float temperature, int seed,
+                                       int greedy) {
+  PyObject* eng;
+  {
+    std::lock_guard<std::mutex> lk(g_mu);
+    auto it = g_models.find(handle);
+    if (it == g_models.end()) { set_error("bad handle"); return -1; }
+    eng = it->second;
+  }
+  Gil gil;
+  PyObject* cfgmod = PyImport_ImportModule("bitnet_tpu.config");
+  if (!cfgmod) { set_error_from_python(); return -1; }
+  PyObject* gcls = PyObject_GetAttrString(cfgmod, "GenerationConfig");
+  Py_DECREF(cfgmod);
+  if (!gcls) { set_error_from_python(); return -1; }
+  PyObject* gkw = Py_BuildValue(
+      "{s:i,s:f,s:s,s:O}", "max_new_tokens",
+      max_new_tokens > 0 ? max_new_tokens : 64, "temperature", temperature,
+      "grammar", grammar ? grammar : "", "greedy",
+      greedy ? Py_True : Py_False);
+  if (seed >= 0) {
+    PyObject* s = PyLong_FromLong(seed);
+    PyDict_SetItemString(gkw, "seed", s);
+    Py_DECREF(s);
+  }
+  PyObject* empty = PyTuple_New(0);
+  PyObject* gcfg = PyObject_Call(gcls, empty, gkw);
+  Py_DECREF(empty);
+  Py_DECREF(gkw);
+  Py_DECREF(gcls);
+  if (!gcfg) { set_error_from_python(); return -1; }
+  PyObject* res =
+      PyObject_CallMethod(eng, "generate", "sO", prompt, gcfg);
+  Py_DECREF(gcfg);
+  if (!res) { set_error_from_python(); return -1; }
+  PyObject* text = PyObject_GetAttrString(res, "text");
+  PyObject* ids = PyObject_GetAttrString(res, "token_ids");
+  int n = -1;
+  if (text && ids) {
+    const char* t = PyUnicode_AsUTF8(text);
+    if (t && out && out_len > 0) {
+      std::snprintf(out, (size_t)out_len, "%s", t);
+    }
+    n = (int)PyList_Size(ids);
+  } else {
+    set_error_from_python();
+  }
+  Py_XDECREF(text);
+  Py_XDECREF(ids);
+  Py_DECREF(res);
+  return n;
+}
+
 BN_EXPORT int bitnet_cleanup() {
   {
     Gil gil;

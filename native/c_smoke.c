@@ -12,6 +12,11 @@ extern int bitnet_init(const char* repo_path);
 extern int bitnet_model_load(const char* gguf_path, int max_seq_len);
 extern int bitnet_inference(int handle, const char* prompt, char* out,
                             int out_len);
+extern int bitnet_inference_grammar(int handle, const char* prompt,
+                                    const char* grammar, char* out,
+                                    int out_len, int max_new_tokens,
+                                    float temperature, int seed,
+                                    int greedy);
 extern int bitnet_model_free(int handle);
 extern int bitnet_cleanup(void);
 
@@ -37,6 +42,27 @@ int main(int argc, char** argv) {
     return 1;
   }
   printf("generated %d tokens: %s\n", n, out);
+  /* grammar-constrained: output must be exactly "yes" or "no" */
+  n = bitnet_inference_grammar(h, "hello",
+                               "root ::= \"yes\" | \"no\"", out,
+                               sizeof out, 8, 0.0f, 0, 1);
+  if (n < 0) {
+    fprintf(stderr, "grammar inference failed: %s\n", bitnet_last_error());
+    return 1;
+  }
+  printf("grammar output: %s\n", out);
+  if (!((out[0] == 'y' && out[1] == 'e' && out[2] == 's' && !out[3]) ||
+        (out[0] == 'n' && out[1] == 'o' && !out[2]))) {
+    fprintf(stderr, "grammar output violates grammar: '%s'\n", out);
+    return 1;
+  }
+  /* malformed grammar must fail cleanly, not crash */
+  if (bitnet_inference_grammar(h, "x", "root ::", out, sizeof out, 4,
+                               0.0f, 0, 1) >= 0) {
+    fprintf(stderr, "malformed grammar unexpectedly succeeded\n");
+    return 1;
+  }
+  printf("malformed grammar rejected: %s\n", bitnet_last_error());
   bitnet_model_free(h);
   bitnet_cleanup();
   printf("C_SMOKE_OK\n");
