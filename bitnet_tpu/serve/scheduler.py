@@ -157,6 +157,7 @@ class ContinuousBatchingScheduler:
         start_loop: bool = True,
         decode_steps_per_dispatch: int = 1,
         chunked_prefill: int | None = None,
+        speculative_k: int = 0,
     ):
         """``mesh``: optional (data, model) jax Mesh — the slot pool's
         batch axis shards across ``data`` and attention heads / FFN
@@ -198,6 +199,20 @@ class ContinuousBatchingScheduler:
         # is otherwise one host round-trip per token.  Trade-offs: stop/
         # cancel/admission latency and overshoot are bounded by K.
         self.decode_steps_per_dispatch = max(1, decode_steps_per_dispatch)
+        # serving-level speculative decoding (engine/speculative.py's
+        # n-gram draft + greedy verify, folded into the pool): k draft
+        # tokens verified in ONE forward per eligible slot.  Dense
+        # single-host pools only; the reference has no serving-level
+        # speculation at all (speculative.rs is engine-only).
+        self.speculative_k = max(0, int(speculative_k))
+        self._spec_verify_jit: dict[int, Any] = {}
+        if self.speculative_k:
+            from ..engine.speculative import NgramDraft
+
+            self._spec_draft = NgramDraft()
+            if paged or channel is not None:
+                raise InferenceError(
+                    "speculative_k requires a dense single-host pool")
         # chunked prefill (vLLM-style; the reference prefills whole
         # prompts request-at-a-time, batch_engine.rs:52): prompts longer
         # than ``chunked_prefill`` are prefilled that many tokens per
@@ -1067,6 +1082,95 @@ class ContinuousBatchingScheduler:
             b *= 2
         return min(b, self.S)
 
+    # ------------------------------------------------- speculative decode
+    def _get_spec_verify(self, Tk: int):
+        """Jitted verify forward: run Tk tokens for ONE slot of the pool
+        (other slots masked via num_real_tokens=0 / pad positions) and
+        return that slot's [Tk, V] logits.  Draft rows land in the cache;
+        rows past the accepted prefix are overwritten by later decode
+        steps and never attended (explicit kv_valid positions)."""
+        if Tk in self._spec_verify_jit:
+            return self._spec_verify_jit[Tk]
+        cfg, kp, B, S = self.cfg, self._kp, self.B, self.S
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def spec_verify(params, toks, cache: KVCache, idx, base):
+            tok_b = jnp.zeros((B, Tk), jnp.int32).at[idx].set(toks)
+            pos = jnp.full((B, Tk), S, jnp.int32).at[idx].set(
+                base + jnp.arange(Tk, dtype=jnp.int32))
+            kv_valid = jnp.zeros((B,), jnp.int32).at[idx].set(base)
+            n_real = jnp.zeros((B,), jnp.int32).at[idx].set(Tk)
+            h, k, v, ks, vs = forward(
+                cfg, params, tok_b, pos, cache.k, cache.v, kv_valid,
+                num_real_tokens=n_real, kernel_path=kp,
+                k_scale=cache.k_scale, v_scale=cache.v_scale,
+            )
+            cache = dataclasses.replace(cache, k=k, v=v, k_scale=ks,
+                                        v_scale=vs)
+            lg = model_logits(cfg, params, h, kp)          # [B, Tk, V]
+            row = jax.lax.dynamic_index_in_dim(lg, idx, 0, keepdims=False)
+            return row.astype(jnp.float32), cache
+
+        self._spec_verify_jit[Tk] = spec_verify
+        return spec_verify
+
+    def _spec_eligible(self, slot: _Slot) -> bool:
+        g = slot.req.gen
+        return (g.is_greedy and not slot.hostside
+                and g.repetition_penalty == 1.0
+                and g.frequency_penalty == 0.0
+                and g.presence_penalty == 0.0
+                and not g.logit_bias
+                and slot.pos + self.speculative_k + 1 < self.S)
+
+    def _run_spec_slots(self, active_idx: list[int]) -> list[int]:
+        """Drive eligible slots one draft+verify round each; returns the
+        indices the normal dispatch must still handle."""
+        k = self.speculative_k
+        Tk = k + 1
+        verify = self._get_spec_verify(Tk)
+        rest: list[int] = []
+        for i in active_idx:
+            s = self.slots[i]
+            if not self._spec_eligible(s):
+                rest.append(i)
+                continue
+            ctx = s.req.token_ids + s.out_ids
+            draft = self._spec_draft.propose(ctx, k)
+            cur = int(self._tokens[i])
+            toks = jnp.asarray([cur] + list(draft), jnp.int32)
+            lg, self.cache = verify(self.params, toks, self.cache,
+                                    jnp.asarray(i, jnp.int32),
+                                    jnp.asarray(s.pos, jnp.int32))
+            want = np.asarray(jnp.argmax(lg, axis=-1))     # [Tk]
+            self.stats["decode_steps"] += 1
+            self.stats["spec_drafted"] = (
+                self.stats.get("spec_drafted", 0) + k)
+            emitted = 0
+            for j in range(k):
+                if int(want[j]) != draft[j]:
+                    break
+                s.pos += 1
+                emitted += 1
+                self._emit(i, draft[j])
+                if not s.active:
+                    break
+            else:
+                j = k
+            accepted = min(emitted, k)
+            self.stats["spec_accepted"] = (
+                self.stats.get("spec_accepted", 0) + accepted)
+            if s.active and emitted == j:
+                # correction (on mismatch) or bonus (all k accepted)
+                s.pos += 1
+                self._emit(i, int(want[j]))
+            if s.active:
+                # hygiene: keep the pool's length bookkeeping exact
+                self.cache = dataclasses.replace(
+                    self.cache,
+                    lengths=self.cache.lengths.at[i].set(s.pos))
+        return rest
+
     def _maybe_preempt(self) -> None:
         """Priority preemption (recompute mode, the vLLM default): when
         a strictly higher-priority request waits and no slot is free,
@@ -1721,6 +1825,13 @@ class ContinuousBatchingScheduler:
         chunk_worked = (self._advance_prefills()
                         if self.chunked_prefill is not None else False)
         active_idx = [i for i, s in enumerate(self.slots) if s.active]
+        if self.speculative_k and active_idx:
+            active_idx = self._run_spec_slots(active_idx)
+            if not active_idx:
+                self.stats["active_slots"] = sum(
+                    1 for s in self.slots if s.active)
+                self.stats["queue_depth"] = self.pending.qsize()
+                return True
         # window size first: paged growth must cover every in-scan
         # write of a multi-step dispatch (mirostat keeps K=1 —
         # host-side stateful sampling)
