@@ -872,7 +872,8 @@ def cmd_serve(args) -> int:
           auth_token=args.auth_token, model_dirs=args.model_dir,
           paged=args.paged, num_pages=args.num_pages,
           page_size=args.page_size,
-          chunked_prefill=args.chunked_prefill)
+          chunked_prefill=args.chunked_prefill,
+          speculative_k=args.speculative)
     return 0
 
 
@@ -929,6 +930,10 @@ def main(argv: list[str] | None = None) -> int:
                         "(HBM sized by live tokens, prefix forking)")
     p.add_argument("--num-pages", type=int, default=None)
     p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="serving-level speculative decoding: verify K "
+                        "n-gram draft tokens per forward (greedy slots, "
+                        "dense single-host pools)")
     p.add_argument("--chunked-prefill", type=int, default=None,
                    metavar="N",
                    help="prefill long prompts N tokens per scheduler "

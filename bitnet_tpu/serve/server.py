@@ -1227,7 +1227,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           shard: str | None = None, auth_token: str | None = None,
           model_dirs: list[str] | None = None, paged: bool = False,
           num_pages: int | None = None, page_size: int = 16,
-          chunked_prefill: int | None = None) -> None:
+          chunked_prefill: int | None = None,
+          speculative_k: int = 0) -> None:
     """Load model + start the server (blocking)."""
     from aiohttp import web
 
@@ -1291,7 +1292,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
                                         paged=paged, num_pages=num_pages,
                                         page_size=page_size,
                                         channel=channel,
-                                        chunked_prefill=chunked_prefill)
+                                        chunked_prefill=chunked_prefill,
+                                        speculative_k=speculative_k)
     from .model_manager import ModelManager
 
     manager = ModelManager(ecfg, num_slots=num_slots, mesh=mesh)
