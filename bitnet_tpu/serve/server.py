@@ -903,6 +903,30 @@ class BitNetServer:
             },
         })
 
+    async def handle_slots(self, request):
+        """GET /slots — llama.cpp server compat: per-slot pool state."""
+        from aiohttp import web
+
+        gated = self._gate(request)
+        if gated is not None:
+            return gated
+        sched = self.scheduler
+        out = []
+        for i, s in enumerate(sched.slots):
+            entry = {"id": i, "state": (
+                "prefilling" if s.prefilling
+                else "processing" if s.active else "idle")}
+            if s.req is not None:
+                entry.update({
+                    "request_id": s.req.id,
+                    "n_ctx": sched.S,
+                    "n_past": s.pos,
+                    "n_decoded": s.generated,
+                    "priority": s.req.priority,
+                })
+            out.append(entry)
+        return web.json_response(out)
+
     async def handle_models(self, request):
         from aiohttp import web
 
@@ -1204,6 +1228,7 @@ class BitNetServer:
         app.router.add_post("/tokenize", self.handle_tokenize)
         app.router.add_post("/detokenize", self.handle_detokenize)
         app.router.add_get("/props", self.handle_props)
+        app.router.add_get("/slots", self.handle_slots)
         app.router.add_get("/v1/models", self.handle_models)
         app.router.add_post("/v1/models/load", self.handle_model_load)
         app.router.add_post("/v1/admin/checkpoint", self.handle_checkpoint)

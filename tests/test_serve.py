@@ -573,6 +573,12 @@ class TestLlamaCppEndpoints:
                 assert body["n_ctx"] == sched.S
                 assert body["model"]["n_layer"] == sched.cfg.num_layers
 
+                r = await c.get("/slots")
+                slots = await r.json()
+                assert len(slots) == sched.B
+                assert all(s0["state"] in ("idle", "processing",
+                                           "prefilling") for s0 in slots)
+
         asyncio.new_event_loop().run_until_complete(run())
 
 
