@@ -197,6 +197,18 @@ class GenerationConfig:
         if self.logprobs is not None and not (
                 isinstance(self.logprobs, int) and 0 <= self.logprobs <= 32):
             raise ConfigError("logprobs must be None or an int in [0, 32]")
+        if self.seed is not None:
+            # a non-integer seed would crash jax.random.PRNGKey deep in
+            # the decode loop (scheduler thread death = wedged server)
+            try:
+                import operator
+
+                object.__setattr__(self, "seed", operator.index(self.seed))
+            except TypeError:
+                raise ConfigError("seed must be an integer") from None
+        for s in self.stop_sequences:
+            if not isinstance(s, str):
+                raise ConfigError("stop_sequences must be strings")
 
     @property
     def is_greedy(self) -> bool:

@@ -1084,32 +1084,33 @@ class ContinuousBatchingScheduler:
 
     # ------------------------------------------------- speculative decode
     def _get_spec_verify(self, Tk: int):
-        """Jitted verify forward: run Tk tokens for ONE slot of the pool
-        (other slots masked via num_real_tokens=0 / pad positions) and
-        return that slot's [Tk, V] logits.  Draft rows land in the cache;
-        rows past the accepted prefix are overwritten by later decode
-        steps and never attended (explicit kv_valid positions)."""
+        """Jitted verify forward: run Tk tokens for EVERY spec-eligible
+        slot in ONE dispatch (non-spec slots masked via n_real=0 / pad
+        positions) and return the per-position greedy argmax [B, Tk]
+        (tiny host transfer — greedy acceptance never needs the full
+        logits).  Draft rows land in the cache; rows past the accepted
+        prefix are overwritten by later decode steps and never attended
+        (explicit kv_valid positions)."""
         if Tk in self._spec_verify_jit:
             return self._spec_verify_jit[Tk]
-        cfg, kp, B, S = self.cfg, self._kp, self.B, self.S
+        cfg, kp, S = self.cfg, self._kp, self.S
 
         @partial(jax.jit, donate_argnums=(2,))
-        def spec_verify(params, toks, cache: KVCache, idx, base):
-            tok_b = jnp.zeros((B, Tk), jnp.int32).at[idx].set(toks)
-            pos = jnp.full((B, Tk), S, jnp.int32).at[idx].set(
-                base + jnp.arange(Tk, dtype=jnp.int32))
-            kv_valid = jnp.zeros((B,), jnp.int32).at[idx].set(base)
-            n_real = jnp.zeros((B,), jnp.int32).at[idx].set(Tk)
+        def spec_verify(params, toks, cache: KVCache, base, spec_mask):
+            # toks [B, Tk]; base [B] start positions; spec_mask [B] bool
+            pos_rows = base[:, None] + jnp.arange(Tk, dtype=jnp.int32)
+            pos = jnp.where(spec_mask[:, None], pos_rows, S)
+            n_real = jnp.where(spec_mask, Tk, 0).astype(jnp.int32)
             h, k, v, ks, vs = forward(
-                cfg, params, tok_b, pos, cache.k, cache.v, kv_valid,
+                cfg, params, toks, pos, cache.k, cache.v,
+                jnp.where(spec_mask, base, 0).astype(jnp.int32),
                 num_real_tokens=n_real, kernel_path=kp,
                 k_scale=cache.k_scale, v_scale=cache.v_scale,
             )
             cache = dataclasses.replace(cache, k=k, v=v, k_scale=ks,
                                         v_scale=vs)
             lg = model_logits(cfg, params, h, kp)          # [B, Tk, V]
-            row = jax.lax.dynamic_index_in_dim(lg, idx, 0, keepdims=False)
-            return row.astype(jnp.float32), cache
+            return jnp.argmax(lg, axis=-1).astype(jnp.int32), cache
 
         self._spec_verify_jit[Tk] = spec_verify
         return spec_verify
@@ -1124,31 +1125,42 @@ class ContinuousBatchingScheduler:
                 and slot.pos + self.speculative_k + 1 < self.S)
 
     def _run_spec_slots(self, active_idx: list[int]) -> list[int]:
-        """Drive eligible slots one draft+verify round each; returns the
-        indices the normal dispatch must still handle."""
+        """Drive every eligible slot one draft+verify round in a single
+        dispatch; returns the indices the normal dispatch must handle."""
         k = self.speculative_k
         Tk = k + 1
+        spec_idx = [i for i in active_idx
+                    if self._spec_eligible(self.slots[i])]
+        rest = [i for i in active_idx if i not in spec_idx]
+        if not spec_idx:
+            return rest
         verify = self._get_spec_verify(Tk)
-        rest: list[int] = []
-        for i in active_idx:
+        toks = np.zeros((self.B, Tk), np.int32)
+        base = np.zeros(self.B, np.int32)
+        mask = np.zeros(self.B, bool)
+        drafts: dict[int, list[int]] = {}
+        for i in spec_idx:
             s = self.slots[i]
-            if not self._spec_eligible(s):
-                rest.append(i)
-                continue
-            ctx = s.req.token_ids + s.out_ids
-            draft = self._spec_draft.propose(ctx, k)
-            cur = int(self._tokens[i])
-            toks = jnp.asarray([cur] + list(draft), jnp.int32)
-            lg, self.cache = verify(self.params, toks, self.cache,
-                                    jnp.asarray(i, jnp.int32),
-                                    jnp.asarray(s.pos, jnp.int32))
-            want = np.asarray(jnp.argmax(lg, axis=-1))     # [Tk]
-            self.stats["decode_steps"] += 1
-            self.stats["spec_drafted"] = (
-                self.stats.get("spec_drafted", 0) + k)
+            draft = self._spec_draft.propose(
+                s.req.token_ids + s.out_ids, k)
+            drafts[i] = draft
+            toks[i] = [int(self._tokens[i])] + list(draft)
+            base[i] = s.pos
+            mask[i] = True
+        want, self.cache = verify(self.params, jnp.asarray(toks),
+                                  self.cache, jnp.asarray(base),
+                                  jnp.asarray(mask))
+        want = np.asarray(want)                        # [B, Tk]
+        self.stats["decode_steps"] += 1
+        self.stats["spec_drafted"] = (
+            self.stats.get("spec_drafted", 0) + k * len(spec_idx))
+        new_lengths = None
+        for i in spec_idx:
+            s = self.slots[i]
+            draft = drafts[i]
             emitted = 0
             for j in range(k):
-                if int(want[j]) != draft[j]:
+                if int(want[i, j]) != draft[j]:
                     break
                 s.pos += 1
                 emitted += 1
@@ -1157,18 +1169,19 @@ class ContinuousBatchingScheduler:
                     break
             else:
                 j = k
-            accepted = min(emitted, k)
             self.stats["spec_accepted"] = (
-                self.stats.get("spec_accepted", 0) + accepted)
+                self.stats.get("spec_accepted", 0) + min(emitted, k))
             if s.active and emitted == j:
                 # correction (on mismatch) or bonus (all k accepted)
                 s.pos += 1
-                self._emit(i, int(want[j]))
+                self._emit(i, int(want[i, j]))
             if s.active:
                 # hygiene: keep the pool's length bookkeeping exact
-                self.cache = dataclasses.replace(
-                    self.cache,
-                    lengths=self.cache.lengths.at[i].set(s.pos))
+                new_lengths = (self.cache.lengths if new_lengths is None
+                               else new_lengths).at[i].set(s.pos)
+        if new_lengths is not None:
+            self.cache = dataclasses.replace(self.cache,
+                                             lengths=new_lengths)
         return rest
 
     def _maybe_preempt(self) -> None:
@@ -1233,7 +1246,10 @@ class ContinuousBatchingScheduler:
                 self.stats["completed"] += 1
                 continue
             if (req.queue_timeout_s is not None
+                    and getattr(req, "_preempt", None) is None
                     and now - req.submitted_at > req.queue_timeout_s):
+                # queue_timeout_s bounds QUEUE WAIT; a preempted request
+                # already ran, so the pre-admission clock does not apply
                 req.out.put((None, "", True, StopReason.TIMEOUT))
                 self.stats["timeouts"] += 1
                 self.stats["completed"] += 1

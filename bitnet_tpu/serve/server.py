@@ -103,6 +103,15 @@ def _validate_body(body: dict) -> str | None:
             if tok < 0 or not isinstance(v, (int, float)):
                 return "logit_bias keys must be token ids >= 0 with " \
                        "numeric values"
+    sp = body.get("stop")
+    if sp is not None and not (
+            isinstance(sp, str)
+            or (isinstance(sp, list)
+                and all(isinstance(x, str) for x in sp))):
+        return "stop must be a string or an array of strings"
+    sd = body.get("seed")
+    if sd is not None and (isinstance(sd, bool) or not isinstance(sd, int)):
+        return "seed must be an integer"
     lp = body.get("logprobs")
     if lp is not None and not isinstance(lp, (bool, int)):
         return "logprobs must be a boolean or an integer"
@@ -201,10 +210,20 @@ def _gen_config_from_body(body: dict) -> GenerationConfig:
             for k, v in (body.get("logit_bias") or {}).items())),
         seed=body.get("seed"),
         greedy=bool(body.get("greedy", False)),
-        stop_sequences=tuple(body.get("stop", []) or []),
+        stop_sequences=_stop_tuple(body.get("stop")),
         grammar=_resolve_grammar(body),
         logprobs=_resolve_logprobs(body),
     )
+
+
+def _stop_tuple(stop) -> tuple:
+    """OpenAI allows a bare string — one sequence, NOT per-character
+    (tuple('###') would explode into ('#','#','#'))."""
+    if stop is None:
+        return ()
+    if isinstance(stop, str):
+        return (stop,)
+    return tuple(stop)
 
 
 def _resolve_logprobs(body: dict) -> int | None:
@@ -325,7 +344,18 @@ class BitNetServer:
     def _gen_for(self, body: dict, sched) -> GenerationConfig:
         """GenerationConfig with graceful degradation: queue pressure caps
         max_new_tokens (error_recovery.rs GracefulDegradation)."""
-        gen = _gen_config_from_body(body)
+        from ..errors import ConfigError
+
+        try:
+            gen = _gen_config_from_body(body)
+        except (ConfigError, TypeError, ValueError) as e:
+            # belt and braces behind _validate_body: config rejections
+            # surface as 422, never a 500 (or worse, a thread death)
+            from aiohttp import web
+
+            raise web.HTTPUnprocessableEntity(
+                text=json.dumps({"error": str(e)}),
+                content_type="application/json") from None
         level = self.degradation.level(sched.stats.get("queue_depth", 0),
                                        sched.B)
         cap = self.degradation.cap_tokens(level, gen.max_new_tokens)
@@ -913,16 +943,17 @@ class BitNetServer:
         sched = self.scheduler
         out = []
         for i, s in enumerate(sched.slots):
+            req = s.req   # snapshot: the decode thread nulls it on finish
             entry = {"id": i, "state": (
                 "prefilling" if s.prefilling
                 else "processing" if s.active else "idle")}
-            if s.req is not None:
+            if req is not None:
                 entry.update({
-                    "request_id": s.req.id,
+                    "request_id": req.id,
                     "n_ctx": sched.S,
                     "n_past": s.pos,
                     "n_decoded": s.generated,
-                    "priority": s.req.priority,
+                    "priority": req.priority,
                 })
             out.append(entry)
         return web.json_response(out)

@@ -144,32 +144,29 @@ BN_EXPORT int bitnet_model_free(int handle) {
   return 0;
 }
 
-// Greedy/sampled generation. Writes UTF-8 into out (<= out_len-1 bytes,
-// NUL terminated). Returns number of generated tokens, or < 0 on error.
-BN_EXPORT int bitnet_inference_with_config(int handle, const char* prompt,
-                                           char* out, int out_len,
-                                           int max_new_tokens,
-                                           float temperature, int top_k,
-                                           float top_p, int seed,
-                                           int greedy) {
+// Shared generation core: look up the engine, build a GenerationConfig
+// from prepared kwargs (ownership taken), run generate(), copy text out.
+static int bn_generate(int handle, const char* prompt, PyObject* gkw,
+                       int seed, char* out, int out_len) {
   PyObject* eng;
   {
     std::lock_guard<std::mutex> lk(g_mu);
     auto it = g_models.find(handle);
-    if (it == g_models.end()) { set_error("bad handle"); return -1; }
+    if (it == g_models.end()) {
+      set_error("bad handle");
+      Gil gil;
+      Py_XDECREF(gkw);
+      return -1;
+    }
     eng = it->second;
   }
   Gil gil;
+  if (!gkw) { set_error_from_python(); return -1; }
   PyObject* cfgmod = PyImport_ImportModule("bitnet_tpu.config");
-  if (!cfgmod) { set_error_from_python(); return -1; }
+  if (!cfgmod) { Py_DECREF(gkw); set_error_from_python(); return -1; }
   PyObject* gcls = PyObject_GetAttrString(cfgmod, "GenerationConfig");
   Py_DECREF(cfgmod);
-  if (!gcls) { set_error_from_python(); return -1; }
-  PyObject* gkw = Py_BuildValue(
-      "{s:i,s:f,s:i,s:f,s:O}", "max_new_tokens",
-      max_new_tokens > 0 ? max_new_tokens : 64, "temperature", temperature,
-      "top_k", top_k, "top_p", top_p, "greedy",
-      greedy ? Py_True : Py_False);
+  if (!gcls) { Py_DECREF(gkw); set_error_from_python(); return -1; }
   if (seed >= 0) {
     PyObject* s = PyLong_FromLong(seed);
     PyDict_SetItemString(gkw, "seed", s);
@@ -201,6 +198,23 @@ BN_EXPORT int bitnet_inference_with_config(int handle, const char* prompt,
   Py_XDECREF(ids);
   Py_DECREF(res);
   return n;
+}
+
+// Greedy/sampled generation. Writes UTF-8 into out (<= out_len-1 bytes,
+// NUL terminated). Returns number of generated tokens, or < 0 on error.
+BN_EXPORT int bitnet_inference_with_config(int handle, const char* prompt,
+                                           char* out, int out_len,
+                                           int max_new_tokens,
+                                           float temperature, int top_k,
+                                           float top_p, int seed,
+                                           int greedy) {
+  Gil gil;
+  PyObject* gkw = Py_BuildValue(
+      "{s:i,s:f,s:i,s:f,s:O}", "max_new_tokens",
+      max_new_tokens > 0 ? max_new_tokens : 64, "temperature", temperature,
+      "top_k", top_k, "top_p", top_p, "greedy",
+      greedy ? Py_True : Py_False);
+  return bn_generate(handle, prompt, gkw, seed, out, out_len);
 }
 
 BN_EXPORT int bitnet_inference(int handle, const char* prompt, char* out,
@@ -218,55 +232,13 @@ BN_EXPORT int bitnet_inference_grammar(int handle, const char* prompt,
                                        int out_len, int max_new_tokens,
                                        float temperature, int seed,
                                        int greedy) {
-  PyObject* eng;
-  {
-    std::lock_guard<std::mutex> lk(g_mu);
-    auto it = g_models.find(handle);
-    if (it == g_models.end()) { set_error("bad handle"); return -1; }
-    eng = it->second;
-  }
   Gil gil;
-  PyObject* cfgmod = PyImport_ImportModule("bitnet_tpu.config");
-  if (!cfgmod) { set_error_from_python(); return -1; }
-  PyObject* gcls = PyObject_GetAttrString(cfgmod, "GenerationConfig");
-  Py_DECREF(cfgmod);
-  if (!gcls) { set_error_from_python(); return -1; }
   PyObject* gkw = Py_BuildValue(
       "{s:i,s:f,s:s,s:O}", "max_new_tokens",
       max_new_tokens > 0 ? max_new_tokens : 64, "temperature", temperature,
       "grammar", grammar ? grammar : "", "greedy",
       greedy ? Py_True : Py_False);
-  if (seed >= 0) {
-    PyObject* s = PyLong_FromLong(seed);
-    PyDict_SetItemString(gkw, "seed", s);
-    Py_DECREF(s);
-  }
-  PyObject* empty = PyTuple_New(0);
-  PyObject* gcfg = PyObject_Call(gcls, empty, gkw);
-  Py_DECREF(empty);
-  Py_DECREF(gkw);
-  Py_DECREF(gcls);
-  if (!gcfg) { set_error_from_python(); return -1; }
-  PyObject* res =
-      PyObject_CallMethod(eng, "generate", "sO", prompt, gcfg);
-  Py_DECREF(gcfg);
-  if (!res) { set_error_from_python(); return -1; }
-  PyObject* text = PyObject_GetAttrString(res, "text");
-  PyObject* ids = PyObject_GetAttrString(res, "token_ids");
-  int n = -1;
-  if (text && ids) {
-    const char* t = PyUnicode_AsUTF8(text);
-    if (t && out && out_len > 0) {
-      std::snprintf(out, (size_t)out_len, "%s", t);
-    }
-    n = (int)PyList_Size(ids);
-  } else {
-    set_error_from_python();
-  }
-  Py_XDECREF(text);
-  Py_XDECREF(ids);
-  Py_DECREF(res);
-  return n;
+  return bn_generate(handle, prompt, gkw, seed, out, out_len);
 }
 
 BN_EXPORT int bitnet_cleanup() {

@@ -854,11 +854,24 @@ class TestServerFuzz:
                     status = loop.run_until_complete(
                         asyncio.wait_for(one(), timeout=90))
                 except asyncio.TimeoutError:
-                    return    # slow valid generation under contention,
-                              # not a server error
+                    # slow valid generation under contention is fine —
+                    # but a DEAD decode loop also looks like a hang, and
+                    # that must fail (an earlier body may have crashed
+                    # the scheduler thread)
+                    assert sched._thread.is_alive(), (route, body)
+                    return
                 assert status != 500, (route, body)
+                assert sched._thread.is_alive(), (route, body)
 
             check()
+            # end-to-end liveness: the pool still serves after the storm
+            async def probe():
+                r = await client.post("/v1/inference", json={
+                    "prompt": "ab", "max_new_tokens": 2, "greedy": True})
+                return r.status
+
+            assert loop.run_until_complete(
+                asyncio.wait_for(probe(), timeout=120)) == 200
         finally:
             loop.run_until_complete(client.__aexit__(None, None, None))
             loop.close()
@@ -1007,3 +1020,31 @@ class TestSchedulerSpeculative:
             ContinuousBatchingScheduler(cfg, params, tok, ecfg,
                                         num_slots=1, paged=True,
                                         num_pages=8, speculative_k=2)
+
+    def test_two_spec_slots_one_dispatch(self, mini_gguf_f32):
+        """Both greedy slots verify in the SAME dispatch (batched spec)."""
+        from bitnet_tpu.engine import InferenceEngine
+
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        tok = load_tokenizer(mini_gguf_f32.path)
+        ecfg = EngineConfig(max_seq_len=64, compute_dtype="f32")
+        eng = InferenceEngine.from_gguf(mini_gguf_f32.path, ecfg)
+        gen = GenerationConfig(max_new_tokens=16, greedy=True)
+        pa, pb = [1, 7, 20, 3, 1, 7, 20, 3], [2, 9, 4, 2, 9, 4]
+        want_a = eng.generate(pa, gen).token_ids
+        want_b = eng.generate(pb, gen).token_ids
+
+        s = ContinuousBatchingScheduler(cfg, params, tok, ecfg,
+                                        num_slots=2, speculative_k=4)
+        try:
+            a = s.submit(pa, gen)
+            b = s.submit(pb, gen)
+            ta, _ = collect(s, a)
+            tb, _ = collect(s, b)
+            assert ta == want_a and tb == want_b
+            # both slots advanced through shared verify dispatches:
+            # strictly fewer dispatches than tokens generated
+            assert s.stats["decode_steps"] < len(ta) + len(tb)
+        finally:
+            s.shutdown()
