@@ -23,6 +23,9 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tokenizer", help="tokenizer.json path (optional)")
     p.add_argument("--prompt", "-p", default="Hello")
     p.add_argument("--max-new-tokens", "-n", type=int, default=128)
+    p.add_argument("--min-new-tokens", type=int, default=0,
+                   help="suppress EOS/stop triggers until this many "
+                        "tokens are emitted (vLLM min_tokens)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
@@ -145,6 +148,7 @@ def _gen_config(args, extra_stops=()):
 
     return GenerationConfig(
         max_new_tokens=args.max_new_tokens,
+        min_new_tokens=getattr(args, "min_new_tokens", 0),
         temperature=args.temperature,
         top_k=args.top_k,
         top_p=args.top_p,

@@ -136,6 +136,9 @@ class GenerationConfig:
     """
 
     max_new_tokens: int = 128
+    # suppress EOS / stop triggers (and ban the EOS logit) until this
+    # many tokens are emitted (vLLM min_tokens)
+    min_new_tokens: int = 0
     temperature: float = 1.0
     top_k: int = 0                 # 0 = disabled
     top_p: float = 1.0             # 1.0 = disabled
@@ -168,6 +171,11 @@ class GenerationConfig:
     def __post_init__(self) -> None:
         if self.max_new_tokens <= 0:
             raise ConfigError("max_new_tokens must be positive")
+        if not isinstance(self.min_new_tokens, int) \
+                or isinstance(self.min_new_tokens, bool) \
+                or not (0 <= self.min_new_tokens <= self.max_new_tokens):
+            raise ConfigError(
+                "min_new_tokens must be an int in [0, max_new_tokens]")
         if self.temperature < 0.0:
             raise ConfigError("temperature must be >= 0")
         if not (0.0 <= self.top_p <= 1.0):

@@ -453,7 +453,22 @@ class InferenceEngine:
             eos_token_id=eos_id,
             stop_token_ids=frozenset(gen_cfg.stop_token_ids),
             stop_sequences=tuple(gen_cfg.stop_sequences),
+            min_new_tokens=gen_cfg.min_new_tokens,
         )
+        # min_new_tokens: EOS rides the logit-bias machinery so device
+        # sampling stays exact — a second compiled chain with EOS banned
+        # is used while generated < min (vLLM min_tokens semantics)
+        sampler_ban = None
+        if gen_cfg.min_new_tokens > 0:
+            d = dict(gen_cfg.logit_bias)
+            if eos_id is not None:
+                d[int(eos_id)] = -1e30
+            for t in gen_cfg.stop_token_ids:     # vLLM bans these too
+                d[int(t)] = -1e30
+            if d != dict(gen_cfg.logit_bias):
+                sampler_ban = self._get_sampler(gen_cfg.replace(
+                    logit_bias=tuple(sorted(d.items())),
+                    min_new_tokens=0))
         self._last_stop_reason = StopReason.MAX_TOKENS
 
         seed = gen_cfg.seed if gen_cfg.seed is not None else (
@@ -515,7 +530,8 @@ class InferenceEngine:
                 self._last_stop_reason = StopReason.CONTEXT_FULL
                 break
             remaining = gen_cfg.max_new_tokens - generated
-            if K > 1 and remaining >= K and pos + K <= S:
+            in_min = generated < gen_cfg.min_new_tokens
+            if K > 1 and remaining >= K and pos + K <= S and not in_min:
                 seg = self._get_segment(gen_cfg, K)
                 toks, logits, self.cache, _pos_dev, history_dev, key = seg(
                     self.params, logits, self.cache,
@@ -528,7 +544,13 @@ class InferenceEngine:
                 step_logits = logits
                 if grammar is not None:
                     mask = grammar.allowed_mask()
-                    if not mask.any():
+                    stoppable = mask
+                    if in_min and eos_id is not None and mask.any():
+                        # min phase bans EOS: stop NOW if the grammar
+                        # admits nothing else (can't continue)
+                        stoppable = mask.copy()
+                        stoppable[eos_id] = False
+                    if not stoppable.any():
                         # grammar dead end and EOS illegal: stop cleanly
                         self._last_stop_reason = StopReason.EOS
                         self.kernel_recorder.append("grammar_dead_end")
@@ -537,10 +559,17 @@ class InferenceEngine:
                         jnp.asarray(mask)[None, :], logits,
                         jnp.asarray(NEG_INF, logits.dtype))
                 if mirostat is not None:
-                    tok_id = mirostat.sample(step_logits[0], sub)
+                    row = step_logits[0]
+                    if in_min:
+                        for t in ({eos_id} if eos_id is not None
+                                  else set()) | set(gen_cfg.stop_token_ids):
+                            row = row.at[int(t)].set(NEG_INF)
+                    tok_id = mirostat.sample(row, sub)
                     token = jnp.full((B, 1), tok_id, jnp.int32)
                 else:
-                    sampled = sampler(step_logits, history_dev, sub)  # [B]
+                    chain = (sampler_ban if in_min and sampler_ban
+                             is not None else sampler)
+                    sampled = chain(step_logits, history_dev, sub)  # [B]
                     token = sampled[:, None]
                     tok_id = int(sampled[0])
                 if grammar is not None:

@@ -29,6 +29,10 @@ class StopCriteria:
     eos_token_id: int | None = None
     stop_token_ids: frozenset[int] = frozenset()
     stop_sequences: tuple[str, ...] = ()
+    # EOS / stop-token / stop-sequence triggers are suppressed until
+    # this many tokens emitted (vLLM min_tokens semantics; the sampler
+    # additionally bans the EOS logit during this phase)
+    min_new_tokens: int = 0
 
     # rolling state
     _tail: str = field(default="", repr=False)
@@ -45,9 +49,11 @@ class StopCriteria:
         stop-sequences → max tokens.
         """
         self._count += 1
-        if token_id in self.stop_token_ids:
+        armed = self._count > self.min_new_tokens
+        if armed and token_id in self.stop_token_ids:
             return StopReason.STOP_TOKEN
-        if self.eos_token_id is not None and token_id == self.eos_token_id:
+        if armed and self.eos_token_id is not None \
+                and token_id == self.eos_token_id:
             return StopReason.EOS
         if self.stop_sequences:
             self._tail += token_text
@@ -55,9 +61,10 @@ class StopCriteria:
             # keep enough tail to match a sequence straddling a boundary
             if len(self._tail) > 2 * max_len:
                 self._tail = self._tail[-2 * max_len:]
-            for s in self.stop_sequences:
-                if s and s in self._tail:
-                    return StopReason.STOP_SEQUENCE
+            if armed:
+                for s in self.stop_sequences:
+                    if s and s in self._tail:
+                        return StopReason.STOP_SEQUENCE
         if self._count >= self.max_new_tokens:
             return StopReason.MAX_TOKENS
         return None

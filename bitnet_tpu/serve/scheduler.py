@@ -117,6 +117,9 @@ class _Slot:
     # logprob entry of the just-sampled token, appended to req.logprobs
     # by _emit iff the token is actually emitted
     lp_pending: Any = None
+    # min_new_tokens phase: EOS/stop-token logits are banned via the
+    # slot bias row until `generated` reaches stop.min_new_tokens
+    min_ban: bool = False
 
     @property
     def hostside(self) -> bool:
@@ -892,6 +895,7 @@ class ContinuousBatchingScheduler:
                         "stop_token_ids": list(g.stop_token_ids),
                         "grammar": g.grammar,
                         "logprobs": g.logprobs,
+                        "min_new_tokens": g.min_new_tokens,
                     },
                 }, f)
             written.append(path)
@@ -930,6 +934,7 @@ class ContinuousBatchingScheduler:
                         "stop_token_ids": list(g.stop_token_ids),
                         "grammar": g.grammar,
                         "logprobs": g.logprobs,
+                        "min_new_tokens": g.min_new_tokens,
                     },
                 }, f)
             written.append(path)
@@ -973,6 +978,7 @@ class ContinuousBatchingScheduler:
                 stop_token_ids=tuple(g.get("stop_token_ids", ())),
                 grammar=g.get("grammar"),
                 logprobs=g.get("logprobs"),
+                min_new_tokens=int(g.get("min_new_tokens", 0)),
             )
             req = Request(token_ids=state.prompt_ids, gen=gen,
                           id=meta["request_id"],
@@ -1033,6 +1039,8 @@ class ContinuousBatchingScheduler:
                 eos_token_id=eos,
                 stop_token_ids=frozenset(gen.stop_token_ids),
                 stop_sequences=tuple(gen.stop_sequences),
+                min_new_tokens=max(0, gen.min_new_tokens
+                                   - len(state.generated_ids)),
             )
             slot.generated = 0
             slot.pos = state.kv_len
@@ -1068,6 +1076,7 @@ class ContinuousBatchingScheduler:
                 stop_token_ids=tuple(g.get("stop_token_ids", ())),
                 grammar=g.get("grammar"),
                 logprobs=g.get("logprobs"),
+                min_new_tokens=int(g.get("min_new_tokens", 0)),
             )
             restored.append(self.submit(
                 meta["token_ids"], gen,
@@ -1117,7 +1126,7 @@ class ContinuousBatchingScheduler:
 
     def _spec_eligible(self, slot: _Slot) -> bool:
         g = slot.req.gen
-        return (g.is_greedy and not slot.hostside
+        return (g.is_greedy and not slot.hostside and not slot.min_ban
                 and g.repetition_penalty == 1.0
                 and g.frequency_penalty == 0.0
                 and g.presence_penalty == 0.0
@@ -1222,6 +1231,7 @@ class ContinuousBatchingScheduler:
         slot.req = None
         slot.grammar = None
         slot.lp_pending = None
+        slot.min_ban = False
         self._release_slot_pages(worst_i)
         self.pending.put((req.priority, req.submitted_at, req.id, req))
         self.stats["preempted"] = self.stats.get("preempted", 0) + 1
@@ -1309,6 +1319,7 @@ class ContinuousBatchingScheduler:
                 eos_token_id=eos,
                 stop_token_ids=frozenset(req.gen.stop_token_ids),
                 stop_sequences=tuple(req.gen.stop_sequences),
+                min_new_tokens=req.gen.min_new_tokens,
             )
             slot.generated = 0
             slot.pos = T
@@ -1337,6 +1348,15 @@ class ContinuousBatchingScheduler:
                 if self._channel is not None:
                     self._channel.send(
                         ("bias", slot_idx, req.gen.logit_bias))
+            slot.min_ban = False
+            mn = slot.stop.min_new_tokens
+            if mn and slot.generated < mn:
+                ban = self._min_ban_bias(req.gen)
+                if ban != tuple(req.gen.logit_bias):
+                    slot.min_ban = True
+                    self._set_slot_bias(slot_idx, ban)
+                    if self._channel is not None:
+                        self._channel.send(("bias", slot_idx, ban))
             if staged:
                 slot.prefilling = True
                 slot.pf_done = 0
@@ -1675,6 +1695,21 @@ class ContinuousBatchingScheduler:
                            jnp.asarray([T], jnp.int32))
         return np.asarray(h[0, :T], np.float32)
 
+    def _min_ban_bias(self, gen: GenerationConfig) -> tuple:
+        """Request bias merged with −1e30 on EOS + stop-token ids (the
+        min_new_tokens phase; same merge as the engine's sampler_ban)."""
+        d = dict(gen.logit_bias)
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if eos is not None:
+            d[int(eos)] = -1e30
+        for t in gen.stop_token_ids:
+            d[int(t)] = -1e30
+        return tuple(sorted(d.items()))
+
+    def _ban_gen(self, gen: GenerationConfig) -> GenerationConfig:
+        return gen.replace(logit_bias=self._min_ban_bias(gen),
+                           min_new_tokens=0)
+
     def _stash_logprobs(self, slot: _Slot, lg_row, tok: int) -> None:
         """Compute the raw-distribution logprob entry for a just-sampled
         token; _emit appends it to req.logprobs iff the token is emitted."""
@@ -1716,13 +1751,18 @@ class ContinuousBatchingScheduler:
                 return None                        # grammar dead end
             lg = jnp.asarray(masked)
         if slot.mirostat is not None:
-            tok = slot.mirostat.sample(lg[0].astype(jnp.float32), sub)
+            row = lg[0].astype(jnp.float32)
+            if slot.min_ban:
+                for t, _b in self._min_ban_bias(gen):
+                    row = row.at[t].set(NEG_INF)
+            tok = slot.mirostat.sample(row, sub)
         else:
             W = max(1, min(gen.repetition_window, HISTORY_W))
             hist = np.full((1, W), -1, np.int32)
             tail = slot.req.token_ids[-W:]
             hist[0, : len(tail)] = tail
-            chain = SamplerChain(gen)
+            chain = SamplerChain(self._ban_gen(gen) if slot.min_ban
+                                 else gen)
             tok = int(chain.sample(lg.astype(jnp.float32)[:1],
                                    jnp.asarray(hist), sub)[0])
         if slot.grammar is not None:
@@ -1751,6 +1791,7 @@ class ContinuousBatchingScheduler:
         slot.pf_done = 0
         slot.grammar = None
         slot.lp_pending = None
+        slot.min_ban = False
         slot.req = None
         self.stats["completed"] += 1
         self._release_slot_pages(slot_idx)
@@ -1768,6 +1809,12 @@ class ContinuousBatchingScheduler:
         reason = stop.check(tok, text)
         slot.generated += 1
         self.stats["tokens_generated"] += 1
+        if slot.min_ban and slot.generated >= stop.min_new_tokens:
+            # min phase over: restore the request's own bias row
+            slot.min_ban = False
+            self._set_slot_bias(slot_idx, req.gen.logit_bias)
+            if self._channel is not None:
+                self._channel.send(("bias", slot_idx, req.gen.logit_bias))
         lp, slot.lp_pending = slot.lp_pending, None
         if req.logprobs is not None and lp is not None \
                 and reason not in (StopReason.STOP_TOKEN, StopReason.EOS):
@@ -1789,6 +1836,7 @@ class ContinuousBatchingScheduler:
         slot.active = False
         slot.grammar = None
         slot.lp_pending = None
+        slot.min_ban = False
         slot.req = None
         self.stats["completed"] += 1
         self._release_slot_pages(slot_idx)
@@ -1853,7 +1901,8 @@ class ContinuousBatchingScheduler:
         # host-side stateful sampling)
         k_cfg = self.decode_steps_per_dispatch
         any_hostside = any(self.slots[i].hostside for i in active_idx)
-        k_eff = 1 if any_hostside else k_cfg
+        any_minban = any(self.slots[i].min_ban for i in active_idx)
+        k_eff = 1 if (any_hostside or any_minban) else k_cfg
         if self.paged and active_idx:
             active_idx = self._paged_grow(active_idx, k_eff)
         self.stats["active_slots"] = len(active_idx)
@@ -1971,9 +2020,14 @@ class ContinuousBatchingScheduler:
                         self._finish(i, StopReason.EOS)
                         continue
                 if s.mirostat is not None:
+                    if s.min_ban:
+                        lg_row = np.asarray(lg_row, np.float32).copy()
+                        for t, _b in self._min_ban_bias(s.req.gen):
+                            lg_row[t] = NEG_INF
                     tok = s.mirostat.sample(lg_row, subs[i])
                 else:
-                    chain = SamplerChain(s.req.gen)
+                    chain = SamplerChain(self._ban_gen(s.req.gen)
+                                         if s.min_ban else s.req.gen)
                     tok = int(chain.sample(
                         jnp.asarray(lg_row, jnp.float32)[None],
                         jnp.asarray(self._slot_history(s)[None]),

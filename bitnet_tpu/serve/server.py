@@ -103,6 +103,13 @@ def _validate_body(body: dict) -> str | None:
             if tok < 0 or not isinstance(v, (int, float)):
                 return "logit_bias keys must be token ids >= 0 with " \
                        "numeric values"
+    mint = body.get("min_new_tokens", body.get("min_tokens"))
+    if mint is not None and (isinstance(mint, bool)
+                             or not isinstance(mint, int)
+                             or not (0 <= mint <= 65536)):
+        return "min_new_tokens must be an int in [0, 65536]"
+    if isinstance(mint, int) and isinstance(mnt, int) and mint > mnt:
+        return "min_new_tokens must be <= max_new_tokens"
     sp = body.get("stop")
     if sp is not None and not (
             isinstance(sp, str)
@@ -198,6 +205,8 @@ def _gen_config_from_body(body: dict) -> GenerationConfig:
         mnt = _num(body, "max_tokens", 128)
     return GenerationConfig(
         max_new_tokens=int(mnt),
+        min_new_tokens=int(_num(body, "min_new_tokens",
+                                _num(body, "min_tokens", 0))),
         temperature=float(_num(body, "temperature", 1.0)),
         top_k=int(_num(body, "top_k", 0)),
         top_p=float(_num(body, "top_p", 1.0)),

@@ -245,3 +245,78 @@ class TestSchedulerEmbeddings:
                 s.embed_ids(list(range(ECFG.max_seq_len + 1)))
         finally:
             s.shutdown()
+
+
+# -------------------------------------------------------- min_new_tokens
+class TestMinNewTokens:
+    """vLLM min_tokens semantics: EOS/stop triggers suppressed (and the
+    EOS/stop logits banned) until N tokens are emitted."""
+
+    def test_config_validation(self):
+        GenerationConfig(max_new_tokens=8, min_new_tokens=8)
+        with pytest.raises(ConfigError):
+            GenerationConfig(max_new_tokens=4, min_new_tokens=5)
+        with pytest.raises(ConfigError):
+            GenerationConfig(min_new_tokens=-1)
+
+    def test_stop_criteria_gating(self):
+        from bitnet_tpu.engine.stop import StopCriteria, StopReason
+
+        st = StopCriteria(max_new_tokens=10, eos_token_id=2,
+                          stop_token_ids=frozenset({5}),
+                          stop_sequences=("ab",), min_new_tokens=3)
+        assert st.check(2, "x") is None          # EOS suppressed (1)
+        assert st.check(5, "a") is None          # stop id suppressed (2)
+        assert st.check(7, "b") is None          # 'ab' straddle suppressed (3)
+        assert st.check(2, "y") == StopReason.EOS  # armed at 4
+
+    def test_engine_forces_minimum(self, engine):
+        """EOS-biased generation must still emit >= min tokens."""
+        eos = engine.tokenizer.eos_token_id
+        # bias every step hard toward EOS: without min the run stops at
+        # once; with min it must push through N tokens first
+        gen0 = GenerationConfig(max_new_tokens=12, greedy=True,
+                                logit_bias=((eos, 1000.0),))
+        r0 = engine.generate(PROMPT, gen0)
+        assert len(r0.token_ids) == 0            # instant EOS
+        from bitnet_tpu.engine.stop import StopReason
+
+        gen = gen0.replace(min_new_tokens=5)
+        r = engine.generate(PROMPT, gen)
+        assert len(r.token_ids) >= 5
+        assert eos not in r.token_ids[:5]
+        assert r.stop_reason == StopReason.EOS   # fires right after min
+
+    def test_scheduler_engine_parity(self, engine, mini_gguf_f32):
+        from bitnet_tpu.models import load_model
+        from bitnet_tpu.serve.scheduler import ContinuousBatchingScheduler
+        from bitnet_tpu.tokenizer import load_tokenizer
+
+        eos = engine.tokenizer.eos_token_id
+        cfg, params, _ = load_model(mini_gguf_f32.path,
+                                    param_dtype=jnp.float32)
+        tok = load_tokenizer(mini_gguf_f32.path)
+        for gen in (
+            GenerationConfig(max_new_tokens=10, greedy=True,
+                             min_new_tokens=4,
+                             logit_bias=((eos, 1000.0),)),
+            GenerationConfig(max_new_tokens=10, temperature=0.9, seed=3,
+                             min_new_tokens=6),
+        ):
+            want = engine.generate(PROMPT, gen)
+            s = ContinuousBatchingScheduler(cfg, params, tok, ECFG,
+                                            num_slots=2,
+                                            decode_steps_per_dispatch=4)
+            try:
+                req = s.submit(PROMPT, gen)
+                toks = []
+                while True:
+                    t, _x, done, r = req.out.get(timeout=120)
+                    if t is not None:
+                        toks.append(t)
+                    if done:
+                        break
+                assert toks == want.token_ids, gen
+                assert len(toks) >= gen.min_new_tokens
+            finally:
+                s.shutdown()
