@@ -148,16 +148,29 @@ class _GrammarDFA:
         if cached is not None:
             return cached
 
-        cur = np.where(self.valid, sid, _DEAD).astype(np.int32)
+        # compacting run: tokens leave the working set as soon as their
+        # piece ends (admissible) or their state dies, so later steps
+        # index ever-smaller arrays (numbers/keywords kill most of a
+        # 128k vocab at the first character)
+        mask = np.zeros(self.valid.size, dtype=bool)
+        idx = np.flatnonzero(self.valid)
+        st = np.full(idx.size, sid, np.int32)
         for i in range(self.pcls.shape[1]):
-            c = self.pcls[:, i]
-            act = (c >= 0) & (cur >= 0)
-            if not act.any():
+            c = self.pcls[idx, i]
+            ended = c < 0
+            if ended.any():
+                mask[idx[ended]] = True            # piece fully consumed
+                keep = ~ended
+                idx, st, c = idx[keep], st[keep], c[keep]
+            if idx.size == 0:
                 break
-            for s in np.unique(cur[act]):
+            for s in np.unique(st):
                 self._fill_row(int(s))
-            cur[act] = self._T[cur[act], c[act]]
-        mask = cur >= 0
+            st = self._T[st, c]
+            alive = st >= 0
+            if not alive.all():
+                idx, st = idx[alive], st[alive]
+        mask[idx] = True                           # ran to Lmax, alive
         if can_complete and self.eos_token_id is not None:
             mask = mask.copy()
             mask[self.eos_token_id] = True
