@@ -970,9 +970,17 @@ class BitNetServer:
     async def handle_models(self, request):
         from aiohttp import web
 
+        models = self.manager.list()
         return web.json_response({
-            "models": self.manager.list(),
+            "models": models,
             "default": self.manager.default_name,
+            # OpenAI list-models wire shape alongside the native one,
+            # so openai-client model discovery works against this server
+            "object": "list",
+            "data": [{"id": m.get("name", "bitnet-tpu"),
+                      "object": "model",
+                      "created": int(START_TIME),
+                      "owned_by": "bitnet-tpu"} for m in models],
         })
 
     async def handle_model_get(self, request):

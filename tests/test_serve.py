@@ -120,6 +120,9 @@ class TestHTTPServer:
                 r = await c.get("/v1/models")
                 body = await r.json()
                 assert body["models"][0]["architecture"]
+                # OpenAI wire shape coexists with the native one
+                assert body["object"] == "list"
+                assert body["data"][0]["object"] == "model"
 
                 r = await c.post("/v1/inference", json={
                     "prompt": "ab", "max_new_tokens": 3, "greedy": True})
