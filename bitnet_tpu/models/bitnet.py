@@ -126,7 +126,26 @@ def fuse_block_params(blocks: BlockParams) -> BlockParams:
         return blocks
     return dataclasses.replace(blocks, wqkv=wqkv, w_gateup=w_gateup,
                                wq=None, wk=None, wv=None,
-                               w_gate=None, w_up=None)
+                               w_gate=None, w_up=None,
+                               wo=_colvec_scales(blocks.wo),
+                               w_down=_colvec_scales(blocks.w_down))
+
+
+def _colvec_scales(lin: TernaryLinear) -> TernaryLinear:
+    """Stacked qk256 scalar-per-layer scales → per-column ``[L, 1, Np]``
+    vectors, fixed at fuse (load) time.  concat_linears already produces
+    this form for wqkv/w_gateup; normalizing wo/w_down too makes the
+    decode/prefill scale-vector prep (_scale_vec) a free reshape of a
+    parameter instead of a per-step broadcast materialized as a fresh
+    pallas operand."""
+    s = lin.scales
+    if (lin.kind != "qk256" or lin.packed is None or lin.packed.ndim != 3
+            or s is None or jnp.ndim(s) != 1):
+        return lin
+    L, Np = lin.packed.shape[0], lin.packed.shape[2]
+    vec = jnp.broadcast_to(
+        jnp.asarray(s, jnp.float32).reshape(L, 1, 1), (L, 1, Np))
+    return dataclasses.replace(lin, scales=vec)
 
 
 def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:

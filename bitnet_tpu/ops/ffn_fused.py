@@ -77,7 +77,7 @@ def _ffn_kernel(xq_ref, sumq_ref, sx_ref, wg_ref, wu_ref, sg_ref, su_ref,
     wd = jnp.concatenate(wd_tiles, axis=0)                # [bf, Hp] i8
     dacc = jnp.dot(aq, wd, preferred_element_type=jnp.int32)
     acc_ref[:] += ((dacc - 2 * sq2).astype(jnp.float32)
-                   * sa * sd_ref[0, 0])
+                   * sa * sd_ref[0, :][None, :])
 
     @pl.when(f == n_f - 1)
     def _():
@@ -108,7 +108,7 @@ def ffn_w2a8_fused(
     gu_packed: jnp.ndarray,    # [Kp/16, 2Fp] int32 (fused gate|up)
     gu_scales: jnp.ndarray,    # [..., 1, 2Fp] per-column scales
     d_packed: jnp.ndarray,     # [Fp/16, Hp] int32
-    d_scale: jnp.ndarray,      # scalar per-tensor scale
+    d_scale: jnp.ndarray,      # scalar or [..., 1, Hp] per-column scales
     k_dim: int,
     f_dim: int,
     n_dim: int,
@@ -137,6 +137,12 @@ def ffn_w2a8_fused(
         sx = jnp.pad(sx, ((0, Mp - M), (0, 0)), constant_values=1.0)
 
     sg = jnp.asarray(gu_scales, jnp.float32).reshape(1, -1)
+    sd = jnp.asarray(d_scale, jnp.float32).reshape(1, -1)
+    if sd.shape[1] == 1:          # scalar per-tensor scale
+        sd = jnp.broadcast_to(sd, (1, Hp))
+    elif sd.shape[1] != Hp:       # lane padding
+        sd = jnp.pad(sd, ((0, 0), (0, Hp - sd.shape[1])),
+                     constant_values=1.0)
 
     col = pl.BlockSpec((bm, 1), lambda f: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -159,8 +165,8 @@ def ffn_w2a8_fused(
                          memory_space=pltpu.VMEM),            # up scales
             pl.BlockSpec((bf // 16, Hp), lambda f: (f, 0),
                          memory_space=pltpu.VMEM),            # W_down tile
-            pl.BlockSpec((1, 1), lambda f: (0, 0),
-                         memory_space=pltpu.SMEM),            # down scale
+            pl.BlockSpec((1, Hp), lambda f: (0, 0),
+                         memory_space=pltpu.VMEM),            # down scales
         ],
         out_specs=pl.BlockSpec((bm, Hp), lambda f: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -175,6 +181,5 @@ def ffn_w2a8_fused(
         interpret=interpret,
     )(xq, sumq, sx, gu_packed,
       gu_packed, sg, sg,
-      d_packed,
-      jnp.asarray(d_scale, jnp.float32).reshape(1, 1))
+      d_packed, sd)
     return out[:M, :n_dim]

@@ -47,8 +47,19 @@ def _lin_specs(template: TernaryLinear, col_parallel: bool,
         mat = P(*lead, MODEL_AXIS, None)
     scales = None
     if template.scales is not None:
-        # qk256 per-tensor scales are scalars → replicate
-        scales = mat if template.scales.ndim >= (2 + len(lead)) else P()
+        if template.scales.ndim >= (2 + len(lead)):
+            if template.scales.shape[-2] == 1:
+                # qk256 per-COLUMN vectors [.., 1, N] (concat_linears /
+                # _colvec_scales): follow the N shard for col-parallel;
+                # replicate for row-parallel (their rows don't shard)
+                scales = (P(*lead, None, MODEL_AXIS) if col_parallel
+                          else P(*lead, None, None))
+            else:
+                # per-K-BLOCK scales [.., K/32, N] follow the weight shard
+                scales = mat
+        else:
+            # per-layer scalars → replicate
+            scales = P()
     return dataclasses.replace(
         template,
         weight=mat if template.weight is not None else None,

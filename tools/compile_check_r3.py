@@ -104,6 +104,21 @@ def main():
     check("ternary_matmul_stacked_tl (decode M=16)", lambda: tm.
           ternary_matmul_stacked_tl(jnp.int32(0), x16, packed, scales_tl,
                                     k_dim=K2, n_dim=N2))
+
+    # fused-FFN with per-column down scales (VMEM [1, Hp] replaced the
+    # SMEM scalar — revalidate Mosaic accepts the new operand)
+    from bitnet_tpu.ops.ffn_fused import ffn_w2a8_fused
+
+    F2 = 512
+    gu_codes = rng.integers(0, 4, (K2, 2 * F2)).astype(np.uint8)
+    d_codes = rng.integers(0, 4, (F2, N2)).astype(np.uint8)
+    gu_pk = jnp.asarray(_repack_words(gu_codes))
+    d_pk = jnp.asarray(_repack_words(d_codes))
+    x1 = jnp.asarray(rng.standard_normal((1, K2)), jnp.float32)
+    check("ffn_w2a8_fused (per-column down scales)", lambda: ffn_w2a8_fused(
+        x1, gu_pk, jnp.ones((1, 2 * F2), jnp.float32), d_pk,
+        jnp.full((1, d_pk.shape[1]), 0.5, jnp.float32),
+        k_dim=K2, f_dim=F2, n_dim=N2))
     print("DONE", flush=True)
 
 
