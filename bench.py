@@ -34,19 +34,47 @@ import numpy as np
 
 REFERENCE_BASELINE_TOK_S = 55.0  # RTX 4090 measured (BASELINE.md)
 
-# v5e HBM ≈ 819 GB/s; per-token decode bytes at S=1024:
-#   packed ternary weights  (2.08 G params / 4/byte)   ≈ 521 MB
-#   int8 embedding read for tied logits (32000×2560)   ≈  82 MB
-#   KV cache read+write (30L × 1024 × 5KV × 128 × 2B×2×2)  ≈ 79 MB
+# v5e HBM ≈ 819 GB/s. Per-token decode bytes (the B=1 roofline) are
+# computed from the model config by _decode_bytes(): packed ternary
+# weight stream + int8 tied-logits head read + KV cache read/write.
+# For 2B-4T at S=1024 that is ≈ 521 + 82 + 79 MB.
 _HBM_GBPS = 819.0
-_DECODE_BYTES = 521e6 + 82e6 + 79e6
+
+# Synthetic model parameterizations (no checkpoints in this environment;
+# the compute/memory profile is exact). "2b" = bitnet-b1.58-2B-4T
+# (driver configs #1-#4); "8b" = Llama-3-8B-1.58 shapes (config #5's
+# 8B-class model — ~2 GB packed, single-chip resident; multi-host
+# sharding of the same config is exercised by __graft_entry__.py).
+_SHAPES = {
+    "2b": dict(vocab_size=32000, hidden_size=2560, intermediate_size=6912,
+               num_layers=30, num_heads=20, num_kv_heads=5, head_dim=128),
+    "8b": dict(vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+               num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128),
+}
+
+
+def _decode_bytes(cfg, S: int = 1024) -> float:
+    """HBM bytes one B=1 decode step must move (roofline denominator)."""
+    H, F = cfg.hidden_size, cfg.intermediate_size
+    qkvo = H * (cfg.num_heads * cfg.head_dim) * 2 \
+        + H * (cfg.num_kv_heads * cfg.head_dim) * 2
+    ffn = 3 * H * F
+    weights = cfg.num_layers * (qkvo + ffn) / 4.0     # 2-bit packed
+    head = cfg.vocab_size * H                          # int8 tied logits
+    # K+V bf16 full-cache read; the one-row write is negligible
+    kv = cfg.num_layers * S * cfg.num_kv_heads * cfg.head_dim * 2 * 2
+    return weights + head + kv
 
 
 def build_synthetic_2b(seed: int = 0, fuse: bool = True):
-    """bitnet-b1.58-2B-4T-shaped model with random ternary weights.
+    return build_synthetic("2b", seed=seed, fuse=fuse)
+
+
+def build_synthetic(size: str = "2b", seed: int = 0, fuse: bool = True):
+    """BitNet-shaped model with random ternary weights.
 
     No checkpoint is available in this environment; weights are synthetic
-    but the compute/memory profile is exactly the 2B model's.
+    but the compute/memory profile is exactly the real model's.
     """
     import jax.numpy as jnp
 
@@ -60,9 +88,7 @@ def build_synthetic_2b(seed: int = 0, fuse: bool = True):
     from bitnet_tpu.ops.rope import build_rope_tables
 
     cfg = ModelConfig(
-        vocab_size=32000, hidden_size=2560, intermediate_size=6912,
-        num_layers=30, num_heads=20, num_kv_heads=5, head_dim=128,
-        max_seq_len=4096, rope_base=500000.0,
+        max_seq_len=4096, rope_base=500000.0, **_SHAPES[size],
     )
     rng = np.random.default_rng(seed)
     L, H, F, V = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
@@ -248,8 +274,9 @@ def main() -> None:
     backend = jax.default_backend()
     armed.clear()   # backend answered — disarm the watchdog
     kernel_path = "w2a8" if backend == "tpu" else "xla"
+    size = os.environ.get("BITNET_BENCH_MODEL", "2b").lower()
     t0 = time.time()
-    cfg, params = build_synthetic_2b(fuse=True)
+    cfg, params = build_synthetic(size, fuse=True)
     if kernel_path == "w2a8":
         # int8 tied-logits head (EngineConfig logits_dtype='int8'): halves
         # the dominant [V, H] HBM read of the LM head
@@ -264,7 +291,7 @@ def main() -> None:
 
     dt_decode = bench_decode(cfg, params, kernel_path, B=1)
     tok_s = 1.0 / dt_decode
-    roofline_ms = _DECODE_BYTES / (_HBM_GBPS * 1e9) * 1e3
+    roofline_ms = _decode_bytes(cfg) / (_HBM_GBPS * 1e9) * 1e3
     roofline_pct = roofline_ms / (dt_decode * 1e3) * 100.0
     print(f"# decode B=1: {dt_decode*1e3:.2f} ms/token → {tok_s:.1f} tok/s "
           f"({roofline_pct:.0f}% of ~{roofline_ms:.2f} ms HBM roofline)",
@@ -289,8 +316,9 @@ def main() -> None:
         print(f"# prefill bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "bitnet-2B decode tokens/s/chip (QK256 fused Pallas W2A8, "
-                  "fused projections, synthetic weights, B=1, S=1024)",
+        "metric": f"bitnet-{size.upper()} decode tokens/s/chip "
+                  "(QK256 fused Pallas W2A8, fused projections, "
+                  "synthetic weights, B=1, S=1024)",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / REFERENCE_BASELINE_TOK_S, 2),
