@@ -36,6 +36,10 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--logit-bias", default=None,
                    help="comma-separated token_id:bias pairs, e.g. "
                         "'128001:-100,42:5' (<= -100 bans the token)")
+    p.add_argument("--stop", "--stop-sequence", action="append",
+                   default=[], metavar="SEQ",
+                   help="stop sequence (repeatable; adds to the "
+                        "template's own stops)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--deterministic", action="store_true")
@@ -159,7 +163,8 @@ def _gen_config(args, extra_stops=()):
         logit_bias=_parse_logit_bias(args.logit_bias),
         seed=args.seed if not args.deterministic else (args.seed or 42),
         greedy=args.greedy or args.deterministic,
-        stop_sequences=tuple(extra_stops),
+        stop_sequences=tuple(extra_stops) + tuple(
+            getattr(args, "stop", ()) or ()),
         grammar=_resolve_cli_grammar(args),
         logprobs=getattr(args, "logprobs", None),
     )

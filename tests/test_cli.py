@@ -35,6 +35,21 @@ class TestCLI:
         ])
         assert rc == 0
 
+    def test_run_stop_sequence(self, mini_gguf_f32, capsys):
+        """--stop truncates generation (reference main.rs --stop alias
+        family); the stopped run must be a strict prefix of the base."""
+        args = ["run", "--model", mini_gguf_f32.path, "--prompt", "hi",
+                "--max-new-tokens", "8", "--greedy", "--no-stream",
+                "--max-seq-len", "64", "--compute-dtype", "f32",
+                "--prompt-template", "raw"]
+        assert main(args) == 0
+        base = capsys.readouterr().out.rstrip("\n")
+        stop = base[:2]
+        assert main(args + ["--stop", stop]) == 0
+        stopped = capsys.readouterr().out.rstrip("\n")
+        assert len(stopped) < len(base)
+        assert base.startswith(stopped)
+
     def test_run_with_receipt(self, mini_gguf_f32, tmp_path, capsys):
         rp = str(tmp_path / "receipt.json")
         rc = main([
