@@ -53,13 +53,17 @@ _SHAPES = {
 }
 
 
-def _decode_bytes(cfg, S: int = 1024) -> float:
+def _decode_bytes(cfg, S: int = 1024, kind: str = "qk256") -> float:
     """HBM bytes one B=1 decode step must move (roofline denominator)."""
     H, F = cfg.hidden_size, cfg.intermediate_size
     qkvo = H * (cfg.num_heads * cfg.head_dim) * 2 \
         + H * (cfg.num_kv_heads * cfg.head_dim) * 2
     ffn = 3 * H * F
-    weights = cfg.num_layers * (qkvo + ffn) / 4.0     # 2-bit packed
+    elems = cfg.num_layers * (qkvo + ffn)
+    weights = elems / 4.0                              # 2-bit packed
+    if kind in ("tl", "bitnet32"):
+        # per-32-row-block f32 scale planes stream alongside the codes
+        weights += elems / 32.0 * 4.0
     head = cfg.vocab_size * H                          # int8 tied logits
     # K+V bf16 full-cache read; the one-row write is negligible
     kv = cfg.num_layers * S * cfg.num_kv_heads * cfg.head_dim * 2 * 2
@@ -70,11 +74,17 @@ def build_synthetic_2b(seed: int = 0, fuse: bool = True):
     return build_synthetic("2b", seed=seed, fuse=fuse)
 
 
-def build_synthetic(size: str = "2b", seed: int = 0, fuse: bool = True):
+def build_synthetic(size: str = "2b", seed: int = 0, fuse: bool = True,
+                    kind: str = "qk256"):
     """BitNet-shaped model with random ternary weights.
 
     No checkpoint is available in this environment; weights are synthetic
     but the compute/memory profile is exactly the real model's.
+    ``kind`` selects the quant format the stacks are built in: ``qk256``
+    (per-tensor scalar scales — the 2B-4T GGUF flavor) or ``tl`` /
+    ``bitnet32`` (per-32-row-block f32 scale planes — BASELINE config #3's
+    TL1/TL2 table-lookup parameterization; rides the same stacked decode
+    loop via ``ternary_matmul_stacked_tl``).
     """
     import jax.numpy as jnp
 
@@ -103,6 +113,14 @@ def build_synthetic(size: str = "2b", seed: int = 0, fuse: bool = True):
         packed = jnp.asarray(rng.integers(
             np.iinfo(np.int32).min, np.iinfo(np.int32).max,
             size=(L, kp // 16, npad), dtype=np.int32))
+        if kind in ("tl", "bitnet32"):
+            # per-32-row-block scale planes (the real TL/bitnet32 layout;
+            # they stream from HBM with the codes, so the profile is exact)
+            scales = jnp.asarray(rng.uniform(
+                0.5 * scale, 1.5 * scale,
+                size=(L, kp // 32, npad)).astype(np.float32))
+            return TernaryLinear(kind=kind, k=k, n=n, packed=packed,
+                                 scales=scales)
         return TernaryLinear(kind="qk256", k=k, n=n, packed=packed,
                              scales=jnp.full((L,), scale, jnp.float32))
 
@@ -275,8 +293,9 @@ def main() -> None:
     armed.clear()   # backend answered — disarm the watchdog
     kernel_path = "w2a8" if backend == "tpu" else "xla"
     size = os.environ.get("BITNET_BENCH_MODEL", "2b").lower()
+    qkind = os.environ.get("BITNET_BENCH_KIND", "qk256").lower()
     t0 = time.time()
-    cfg, params = build_synthetic(size, fuse=True)
+    cfg, params = build_synthetic(size, fuse=True, kind=qkind)
     if kernel_path == "w2a8":
         # int8 tied-logits head (EngineConfig logits_dtype='int8'): halves
         # the dominant [V, H] HBM read of the LM head
@@ -291,7 +310,7 @@ def main() -> None:
 
     dt_decode = bench_decode(cfg, params, kernel_path, B=1)
     tok_s = 1.0 / dt_decode
-    roofline_ms = _decode_bytes(cfg) / (_HBM_GBPS * 1e9) * 1e3
+    roofline_ms = _decode_bytes(cfg, kind=qkind) / (_HBM_GBPS * 1e9) * 1e3
     roofline_pct = roofline_ms / (dt_decode * 1e3) * 100.0
     print(f"# decode B=1: {dt_decode*1e3:.2f} ms/token → {tok_s:.1f} tok/s "
           f"({roofline_pct:.0f}% of ~{roofline_ms:.2f} ms HBM roofline)",
@@ -317,8 +336,9 @@ def main() -> None:
 
     print(json.dumps({
         "metric": f"bitnet-{size.upper()} decode tokens/s/chip "
-                  "(QK256 fused Pallas W2A8, fused projections, "
-                  "synthetic weights, B=1, S=1024)",
+                  f"({qkind.upper()} fused Pallas "
+                  f"{'W2A8' if qkind == 'qk256' else 'stacked-TL'}, "
+                  "fused projections, synthetic weights, B=1, S=1024)",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / REFERENCE_BASELINE_TOK_S, 2),
