@@ -235,7 +235,11 @@ class EngineConfig:
 
     max_seq_len: int = 2048          # KV-cache capacity (static shape)
     max_batch_size: int = 1
-    kv_cache_dtype: str = "bf16"     # 'bf16' | 'int8' | 'fp8'
+    # 'auto' = int8 at long contexts (measured v5e crossover: the in-kernel
+    # int8 stream wins 12% at S=4096 but loses 14% at S=1024 — the fixed
+    # quantize/scale overhead only amortizes once the KV read dominates),
+    # bf16 otherwise.
+    kv_cache_dtype: str = "bf16"     # 'auto' | 'bf16' | 'int8' | 'fp8'
     # 'auto' picks fused Pallas kernels on TPU, XLA dequant elsewhere.
     kernel_path: str = "auto"        # 'auto' | 'w2a8' | 'pallas' | 'xla'
     # dtype used for dequantized weights on the XLA fallback path
@@ -264,8 +268,18 @@ class EngineConfig:
     context_overflow: str = "shift"
     strict: StrictMode = field(default_factory=StrictMode)
 
+    def resolve_kv_cache_dtype(self) -> str:
+        """'auto' → int8 when the KV read dominates the decode step
+        (exp_round3b on-chip A/B: S=4096 int8 2.89 vs bf16 3.27 ms/token;
+        S=1024 int8 1.65 vs bf16 1.45 — crossover sits between, gated
+        conservatively at the measured winning point)."""
+        if self.kv_cache_dtype != "auto":
+            return self.kv_cache_dtype
+        return "int8" if self.max_seq_len >= 4096 else "bf16"
+
     def __post_init__(self) -> None:
-        if self.kv_cache_dtype not in ("bf16", "f32", "int8", "fp8"):
+        if self.kv_cache_dtype not in ("auto", "bf16", "f32", "int8",
+                                       "fp8"):
             raise ConfigError(f"bad kv_cache_dtype {self.kv_cache_dtype!r}")
         if self.context_overflow not in ("shift", "stop"):
             raise ConfigError(

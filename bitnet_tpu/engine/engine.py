@@ -154,7 +154,7 @@ class InferenceEngine:
         self._sample_jit = {}
         self.cache = allocate_cache(
             cfg, self.engine_cfg.max_batch_size, self.engine_cfg.max_seq_len,
-            self.engine_cfg.kv_cache_dtype,
+            self.engine_cfg.resolve_kv_cache_dtype(),
         )
         self.kernel_recorder: list[str] = []
         if tl_quantized:

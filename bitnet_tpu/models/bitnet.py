@@ -278,10 +278,15 @@ def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
 def _stacked_prefill_ok(cfg: ModelConfig, params: BitNetParams, T: int,
                         kv_positions, window, write_slots,
                         kernel_path: str) -> bool:
-    """Trace-time eligibility for the stacked prefill (T>1) path."""
+    """Trace-time eligibility for the stacked prefill (T>1) path.
+
+    Default ON since the round-3 on-chip A/B (exp_round3b P vs X,
+    back-to-back: 12.52 vs 13.08 ms for T=512 — the stacked
+    scalar-prefetch matmuls beat the per-layer scan slices by ~4.5%);
+    BITNET_STACKED_PREFILL=0 restores the generic path."""
     import os as _os
 
-    if _os.environ.get("BITNET_STACKED_PREFILL", "0") != "1":
+    if _os.environ.get("BITNET_STACKED_PREFILL", "1") != "1":
         return False
     if not (T > 1 and kernel_path == "w2a8"):
         return False

@@ -59,9 +59,10 @@ def estimate_memory(
     param_bytes = matrix_bytes + embed_bytes + norm_bytes
 
     S, B = e.max_seq_len, e.max_batch_size
-    kvb = _KV_BYTES[e.kv_cache_dtype]
+    kv_dtype = e.resolve_kv_cache_dtype()
+    kvb = _KV_BYTES[kv_dtype]
     kv_cache_bytes = 2 * L * B * S * nkv * D * kvb
-    if e.kv_cache_dtype in ("int8", "fp8"):
+    if kv_dtype in ("int8", "fp8"):
         kv_cache_bytes += 2 * L * B * S * nkv * 4   # f32 scales
 
     # activations: a few [B, S, max(H, F)] f32 buffers during prefill

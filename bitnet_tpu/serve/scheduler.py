@@ -237,10 +237,11 @@ class ContinuousBatchingScheduler:
             from ..models.bitnet import quantize_head
 
             self.params = quantize_head(self.params)
+        kv_dtype = self.engine_cfg.resolve_kv_cache_dtype()
         if paged:
             from ..engine.paged_cache import allocate_paged_cache
 
-            if self.engine_cfg.kv_cache_dtype not in ("bf16", "f32"):
+            if kv_dtype not in ("bf16", "f32"):
                 raise InferenceError(
                     "paged scheduler: quantized KV pages not supported")
             nb = -(-self.S // page_size)
@@ -255,11 +256,11 @@ class ContinuousBatchingScheduler:
                 self.params = shard_params(mesh, cfg, self.params)
                 self.cache, self.pool = allocate_sharded_paged_cache(
                     mesh, cfg, self.B, num_pages or self.B * nb,
-                    page_size, nb, self.engine_cfg.kv_cache_dtype)
+                    page_size, nb, kv_dtype)
             else:
                 self.cache, self.pool = allocate_paged_cache(
                     cfg, self.B, num_pages or self.B * nb, page_size, nb,
-                    self.engine_cfg.kv_cache_dtype)
+                    kv_dtype)
             self.S_view = nb * page_size
         elif mesh is not None:
             from ..parallel.sharding import (
@@ -273,10 +274,9 @@ class ContinuousBatchingScheduler:
             # allocate WITH shardings: a big pool must never land whole
             # on one device first
             self.cache = allocate_sharded_cache(
-                mesh, cfg, self.B, self.S, self.engine_cfg.kv_cache_dtype)
+                mesh, cfg, self.B, self.S, kv_dtype)
         else:
-            self.cache = allocate_cache(cfg, self.B, self.S,
-                                        self.engine_cfg.kv_cache_dtype)
+            self.cache = allocate_cache(cfg, self.B, self.S, kv_dtype)
         self.slots = [_Slot() for _ in range(self.B)]
         self.pending: "queue.PriorityQueue[tuple[int, float, int, Request]]" \
             = queue.PriorityQueue()

@@ -38,7 +38,7 @@ def main():
     mode = os.environ.get("MODE", "profile")
 
     if mode == "profile":
-        B, S = 1, 1024
+        B, S = 1, int(os.environ.get("S", "1024"))
         kc0 = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads,
                          cfg.head_dim), jnp.bfloat16)
 

@@ -89,6 +89,22 @@ class TestMemoryEstimate:
         int8 = estimate_memory(cfg, EngineConfig(kv_cache_dtype="int8"))
         assert int8.kv_cache_bytes < bf16.kv_cache_bytes
 
+    def test_kv_dtype_auto_resolves_by_context_length(self):
+        """'auto' = int8 only once the KV read dominates (measured v5e
+        crossover — exp_round3b: int8 wins at S=4096, loses at S=1024)."""
+        short = EngineConfig(kv_cache_dtype="auto", max_seq_len=1024)
+        long = EngineConfig(kv_cache_dtype="auto", max_seq_len=4096)
+        assert short.resolve_kv_cache_dtype() == "bf16"
+        assert long.resolve_kv_cache_dtype() == "int8"
+        explicit = EngineConfig(kv_cache_dtype="fp8", max_seq_len=8192)
+        assert explicit.resolve_kv_cache_dtype() == "fp8"
+        # memory estimate follows the resolved dtype
+        cfg = ModelConfig()
+        est_auto = estimate_memory(cfg, long)
+        est_int8 = estimate_memory(cfg, EngineConfig(
+            kv_cache_dtype="int8", max_seq_len=4096))
+        assert est_auto.kv_cache_bytes == est_int8.kv_cache_bytes
+
     def test_strict_validation_raises(self):
         cfg = ModelConfig()
         with pytest.raises(ModelError, match="HBM"):
