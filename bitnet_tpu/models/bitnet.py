@@ -468,6 +468,10 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
             # the per-layer restack, which rows mode no longer does).
             # With an int8 cache the kernel also quantizes the new rows
             # in-VMEM and streams the cache as int8 (half the HBM read).
+            # Flat xs (kc.ndim == 3, [B, S, KV*D]) skip the wrapper's 5D→
+            # 3D reshape — the XLA-level reshape forced per-step
+            # whole-cache relayout copies (HLO copy.44/45).
+            nkv_kw = {"n_kv": nkv} if kc.ndim == 3 else {}
             if quantized:
                 from ..ops.decode_attention import decode_attention_qkv_quant
 
@@ -476,7 +480,10 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
                     decode_attention_qkv_quant(
                         qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
                         kc, vc, ks, vs, pre_len, n_heads=nh,
-                        interpret=interp))
+                        interpret=interp, **nkv_kw))
+                if kc.ndim == 3:
+                    k_row = k_row.reshape(B, nkv * D)
+                    v_row = v_row.reshape(B, nkv * D)
                 ys = (k_row[:, None], v_row[:, None],
                       ks_row[:, None], vs_row[:, None])
             else:
@@ -485,7 +492,11 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
                 qkv = mm(l, h, "wqkv", b.attn_norm)
                 attn1, k_row, v_row = decode_attention_qkv(
                     qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
-                    kc, vc, pre_len, n_heads=nh, interpret=interp)
+                    kc, vc, pre_len, n_heads=nh, interpret=interp,
+                    **nkv_kw)
+                if kc.ndim == 3:
+                    k_row = k_row.reshape(B, nkv * D)
+                    v_row = v_row.reshape(B, nkv * D)
                 zs = jnp.zeros((B, 1, 1), jnp.float32)
                 ys = (k_row[:, None], v_row[:, None], zs, zs)
             h = mm(l, attn1.reshape(B, nh * D), "wo", b.attn_sub_norm,
@@ -638,14 +649,28 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         return h, (kc, vc, ks, vs)
 
     if rows_mode:
+        # FLAT xs (default for the rope-fused plans): thread the caches
+        # through the scan as [L, B, S, KV*D] so the kernel wrapper never
+        # reshapes at the XLA level — the 5D→3D reshape inside the scan
+        # made layout assignment flip the whole cache's layout, inserting
+        # TWO full-cache relayout copies per step at the scan boundary
+        # (S=4096 profile: copy.44/45 ≈ 625 µs EACH) plus per-layer
+        # [B,S,KV*D] copies (copy.46/47).  The 5D↔flat reshapes here sit
+        # OUTSIDE the scan on default layouts (bitcasts).
+        # BITNET_CACHE_FLAT=0 restores 5D xs for A/B.
+        flat = (plan in ("qkv", "qkv_quant")
+                and _os.environ.get("BITNET_CACHE_FLAT", "1") == "1")
+        KVD = k_cache.shape[3] * k_cache.shape[4]
+        kx = k_cache.reshape(L, B, S, KVD) if flat else k_cache
+        vx = v_cache.reshape(L, B, S, KVD) if flat else v_cache
         if quantized:
-            xs = (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache,
+            xs = (jnp.arange(L, dtype=jnp.int32), kx, vx,
                   k_scale, v_scale)
         else:
             # no dummy scale xs: slicing even a tiny constant per scan
             # step costs ~2.5 µs/layer of XLA fusions (profiled ~80
             # µs/step at L=30)
-            xs = (jnp.arange(L, dtype=jnp.int32), k_cache, v_cache)
+            xs = (jnp.arange(L, dtype=jnp.int32), kx, vx)
 
         def body_rows_plain(h, xs3):
             l, kc, vc = xs3
@@ -653,43 +678,78 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
 
         x2, (k_rows, v_rows, ks_rows, vs_rows) = jax.lax.scan(
             body_rows if quantized else body_rows_plain, x[:, 0, :], xs)
+        if flat:
+            k_rows = k_rows.reshape(L, B, 1, nkv, D)
+            v_rows = v_rows.reshape(L, B, 1, nkv, D)
+            k_cache = kx.reshape(L, B, S, nkv, D)
+            v_cache = vx.reshape(L, B, S, nkv, D)
         # ONE write of all L new rows at the query position.  Per-batch
         # unrolled dynamic_update_slice (B ≤ 16 here) instead of a
         # gather-indexed scatter: XLA updates the donated cache IN PLACE
         # (the scatter materialized a full-cache copy — profiled ~160
-        # µs/step).  DUS clamps instead of dropping, so padded rows
-        # (slot == S) write back the row they clamped onto (read-select-
-        # write: a [L, KV, D] row read is noise).
-        z = jnp.int32(0)
-        for b in range(B):
-            p = jnp.minimum(q_positions[b, 0], S - 1)
-            ok = (q_positions[b, 0] < S)[None, None, None, None, None]
-
-            def wr(cache, rows):
-                old = jax.lax.dynamic_slice(
-                    cache, (z, jnp.int32(b), p, z, z),
-                    (L, 1, 1, cache.shape[3], cache.shape[4]))
-                new = jnp.where(ok, rows[:, b:b + 1, :, :, :][:, :, :1],
-                                old)
-                return jax.lax.dynamic_update_slice(
-                    cache, new.astype(cache.dtype),
-                    (z, jnp.int32(b), p, z, z))
-
-            k_cache = wr(k_cache, k_rows)
-            v_cache = wr(v_cache, v_rows)
+        # µs/step).
+        #
+        # The write is a PURE clamped DUS — no old-row read, no select.
+        # The S=4096 profile caught the guarded read-select-write variant
+        # (dynamic_slice old + where(ok) + DUS) forcing TWO full-cache
+        # copies per step (copy.38/39, ~625 µs each): the extra read of
+        # the operand at the write location defeats XLA's in-place
+        # DUS-fusion share analysis.  Clamping instead means a padded slot
+        # (q_position == S, i.e. an EMPTY pool slot) clobbers row S-1 of
+        # its OWN batch slot with the garbage row the kernels computed —
+        # safe because (a) rows past a sequence's valid length are masked
+        # by pre_len and never read, and (b) any row is rewritten at its
+        # true position before that position becomes valid, so a
+        # continuation that reaches S-1 overwrites it first.
+        # BITNET_ROWS_WRITE=guarded restores the read-select-write for
+        # A/B; =scatter uses .at[].set(mode="drop").
+        wmode = _os.environ.get("BITNET_ROWS_WRITE", "clamped")
+        if wmode == "scatter":
+            li = jnp.arange(L, dtype=jnp.int32)[:, None, None]
+            bi = jnp.arange(B, dtype=jnp.int32)[None, :, None]
+            pi = q_positions[None, :, :]  # [1, B, 1]
+            k_cache = k_cache.at[li, bi, pi].set(
+                k_rows.astype(k_cache.dtype), mode="drop")
+            v_cache = v_cache.at[li, bi, pi].set(
+                v_rows.astype(v_cache.dtype), mode="drop")
             if quantized:
-                ok3 = ok[..., 0, 0]
+                k_scale = k_scale.at[li, bi, pi].set(ks_rows, mode="drop")
+                v_scale = v_scale.at[li, bi, pi].set(vs_rows, mode="drop")
+        else:
+            guarded = wmode == "guarded"
+            z = jnp.int32(0)
+            for b in range(B):
+                p = jnp.minimum(q_positions[b, 0], S - 1)
+                ok = (q_positions[b, 0] < S)[None, None, None, None, None]
 
-                def wrs(sc, rows):
-                    old = jax.lax.dynamic_slice(
-                        sc, (z, jnp.int32(b), p, z),
-                        (L, 1, 1, sc.shape[3]))
-                    new = jnp.where(ok3, rows[:, b:b + 1, :1], old)
+                def wr(cache, rows):
+                    new = rows[:, b:b + 1, :, :, :][:, :, :1]
+                    if guarded:
+                        old = jax.lax.dynamic_slice(
+                            cache, (z, jnp.int32(b), p, z, z),
+                            (L, 1, 1, cache.shape[3], cache.shape[4]))
+                        new = jnp.where(ok, new, old)
                     return jax.lax.dynamic_update_slice(
-                        sc, new, (z, jnp.int32(b), p, z))
+                        cache, new.astype(cache.dtype),
+                        (z, jnp.int32(b), p, z, z))
 
-                k_scale = wrs(k_scale, ks_rows)
-                v_scale = wrs(v_scale, vs_rows)
+                k_cache = wr(k_cache, k_rows)
+                v_cache = wr(v_cache, v_rows)
+                if quantized:
+                    ok3 = ok[..., 0, 0]
+
+                    def wrs(sc, rows):
+                        new = rows[:, b:b + 1, :1]
+                        if guarded:
+                            old = jax.lax.dynamic_slice(
+                                sc, (z, jnp.int32(b), p, z),
+                                (L, 1, 1, sc.shape[3]))
+                            new = jnp.where(ok3, new, old)
+                        return jax.lax.dynamic_update_slice(
+                            sc, new, (z, jnp.int32(b), p, z))
+
+                    k_scale = wrs(k_scale, ks_rows)
+                    v_scale = wrs(v_scale, vs_rows)
     else:
         if not quantized:
             # dummy tiny xs keep ONE scan body for both modes

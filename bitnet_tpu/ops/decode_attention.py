@@ -435,32 +435,45 @@ def _decode_attn_qkv_kernel(pos_ref, qkv_ref, sin_ref, cos_ref, k_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_heads", "interpret", "chunk"))
+                   static_argnames=("n_heads", "interpret", "chunk",
+                                    "n_kv"))
 def decode_attention_qkv(
     qkv: jnp.ndarray,       # [B, H+2*KV, D] RAW fused projection (no rope)
     sin_row: jnp.ndarray,   # [B, D//2] rope row at the query position
     cos_row: jnp.ndarray,   # [B, D//2]
-    k_cache: jnp.ndarray,   # [B, S, KV, D]  (PRE-write)
-    v_cache: jnp.ndarray,   # [B, S, KV, D]
+    k_cache: jnp.ndarray,   # [B, S, KV, D] or pre-flat [B, S, KV*D]
+    v_cache: jnp.ndarray,   # (PRE-write)
     pos: jnp.ndarray,       # [B] int32
     n_heads: int,
     interpret: bool = False,
     chunk: int | None = None,
+    n_kv: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rope-fused decode attention over the raw q|k|v row.
 
     Returns (attn [B, n_heads, D], k_roped [B, KV, D] in cache dtype,
     v_row [B, KV, D] in cache dtype) — the caller scatters the k/v rows
     into the cache at the write slot.
+
+    A 3-D ``k_cache`` is the PRE-FLATTENED [B, S, KV*D] form (pass
+    ``n_kv``): the rows-mode scan threads flat xs so this wrapper adds NO
+    XLA reshape on the cache — the 5-D→3-D reshape here was what forced
+    whole-cache relayout copies per decode step (profiled copy.44/45,
+    ~625 µs each at S=4096).
     """
     B = qkv.shape[0]
-    S, KV, D = k_cache.shape[1], k_cache.shape[2], k_cache.shape[3]
+    if k_cache.ndim == 4:
+        S, KV, D = k_cache.shape[1], k_cache.shape[2], k_cache.shape[3]
+        kcv = k_cache.reshape(B, S, KV * D)
+        vcv = v_cache.reshape(B, S, KV * D)
+    else:
+        S, KV = k_cache.shape[1], n_kv
+        D = k_cache.shape[2] // KV
+        kcv, vcv = k_cache, v_cache
     H = n_heads
     G = H // KV
     dt = k_cache.dtype
     qkv = qkv.reshape(B, H + 2 * KV, D)
-    kcv = k_cache.reshape(B, S, KV * D)
-    vcv = v_cache.reshape(B, S, KV * D)
     pos2 = pos.reshape(B, 1).astype(jnp.int32)
     half = D // 2
 
@@ -790,34 +803,44 @@ def _decode_attn_qkv_quant_kernel(pos_ref, qkv_ref, sin_ref, cos_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_heads", "interpret", "chunk"))
+                   static_argnames=("n_heads", "interpret", "chunk",
+                                    "n_kv"))
 def decode_attention_qkv_quant(
     qkv: jnp.ndarray,       # [B, H+2*KV, D] RAW fused projection (no rope)
     sin_row: jnp.ndarray,   # [B, D//2] rope row at the query position
     cos_row: jnp.ndarray,   # [B, D//2]
-    k_cache: jnp.ndarray,   # [B, S, KV, D] int8 (PRE-write)
-    v_cache: jnp.ndarray,   # [B, S, KV, D] int8
+    k_cache: jnp.ndarray,   # [B, S, KV, D] int8 or pre-flat [B, S, KV*D]
+    v_cache: jnp.ndarray,   # (PRE-write)
     k_scale: jnp.ndarray,   # [B, S, KV] f32 per-vector scales
     v_scale: jnp.ndarray,   # [B, S, KV]
     pos: jnp.ndarray,       # [B] int32
     n_heads: int,
     interpret: bool = False,
     chunk: int | None = None,
+    n_kv: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rope-fused decode attention over the raw q|k|v row with an int8
     quantized cache; rope, row quantization, and cache dequant all happen
     in VMEM.  Returns (attn [B, n_heads, D], k_q [B, KV, D] int8,
     v_q [B, KV, D] int8, k_s [B, KV] f32, v_s [B, KV] f32) — the caller
     scatters the rows + scales into the cache at the write slot.
+
+    3-D caches are the pre-flattened rows-mode form (see
+    :func:`decode_attention_qkv`); pass ``n_kv``.
     """
     B = qkv.shape[0]
-    S, KV, D = k_cache.shape[1], k_cache.shape[2], k_cache.shape[3]
+    if k_cache.ndim == 4:
+        S, KV, D = k_cache.shape[1], k_cache.shape[2], k_cache.shape[3]
+        kcv = k_cache.reshape(B, S, KV * D)
+        vcv = v_cache.reshape(B, S, KV * D)
+    else:
+        S, KV = k_cache.shape[1], n_kv
+        D = k_cache.shape[2] // KV
+        kcv, vcv = k_cache, v_cache
     H = n_heads
     G = H // KV
     dt = k_cache.dtype
     qkv = qkv.reshape(B, H + 2 * KV, D)
-    kcv = k_cache.reshape(B, S, KV * D)
-    vcv = v_cache.reshape(B, S, KV * D)
     # transposed scale planes: per-head rows broadcast on sublanes
     kst = jnp.swapaxes(k_scale.astype(jnp.float32), 1, 2)   # [B, KV, S]
     vst = jnp.swapaxes(v_scale.astype(jnp.float32), 1, 2)
