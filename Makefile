@@ -16,6 +16,11 @@ test-fast:
 test-par:
 	$(PY) -m pytest tests/ -q -m "not slow" -n auto
 
+# randomized suite order (order-dependence hunter); seed printed for
+# reproduction, override with BITNET_TEST_SHUFFLE=<seed>
+test-shuffled:
+	BITNET_TEST_SHUFFLE=$${BITNET_TEST_SHUFFLE:-random} $(PY) -m pytest tests/ -q
+
 bench:
 	$(PY) bench.py
 

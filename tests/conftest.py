@@ -64,6 +64,28 @@ def pytest_collection_modifyitems(config, items):
         if (mod.removesuffix(".py") in _SLOW_MODULES
                 or any(pat in it.nodeid for pat in _SLOW_TESTS)):
             it.add_marker(pytest.mark.slow)
+    # Suite-order shuffle lane (make test-shuffled): order-dependent
+    # leaks must not hide behind the default file ordering.  Shuffles at
+    # MODULE granularity (session fixtures stay shared within a module;
+    # intra-module order is also shuffled) with a printed seed so any
+    # failure reproduces with BITNET_TEST_SHUFFLE=<seed>.
+    seed_env = os.environ.get("BITNET_TEST_SHUFFLE")
+    if seed_env:
+        import random as _random
+        import time as _time
+
+        seed = (int(seed_env) if seed_env not in ("1", "random")
+                else int(_time.time()) % 100000)
+        rnd = _random.Random(seed)
+        by_mod: dict[str, list] = {}
+        for it in items:
+            by_mod.setdefault(it.nodeid.split("::", 1)[0], []).append(it)
+        mods = list(by_mod)
+        rnd.shuffle(mods)
+        items[:] = [it for m in mods
+                    for it in rnd.sample(by_mod[m], len(by_mod[m]))]
+        print(f"\n# suite order shuffled with seed {seed} "
+              f"(BITNET_TEST_SHUFFLE={seed} reproduces)")
 
 
 @pytest.fixture()
