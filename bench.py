@@ -308,7 +308,16 @@ def main() -> None:
           f"logits_dtype={'int8' if kernel_path == 'w2a8' else 'bf16'}",
           file=sys.stderr)
 
-    dt_decode = bench_decode(cfg, params, kernel_path, B=1)
+    # repeat the headline measurement and keep the MIN: the relay's
+    # documented 15-50% drift only ever ADDS time, so the fastest sample
+    # is the closest to the chip (VERDICT r3 weak #7 — single samples made
+    # round-over-round deltas noise).  Spread is recorded in the JSON.
+    n_rep = int(os.environ.get("BITNET_BENCH_REPEATS", "3"))
+    b1_samples = [bench_decode(cfg, params, kernel_path, B=1)
+                  for _ in range(n_rep)]
+    dt_decode = min(b1_samples)
+    b1_spread_pct = ((max(b1_samples) - dt_decode) / dt_decode * 100.0
+                     if len(b1_samples) > 1 else 0.0)
     tok_s = 1.0 / dt_decode
     roofline_ms = _decode_bytes(cfg, kind=qkind) / (_HBM_GBPS * 1e9) * 1e3
     roofline_pct = roofline_ms / (dt_decode * 1e3) * 100.0
@@ -318,7 +327,8 @@ def main() -> None:
 
     b8_tok_s = None
     try:
-        dt_b8 = bench_decode(cfg, params, kernel_path, B=8)
+        dt_b8 = min(bench_decode(cfg, params, kernel_path, B=8)
+                    for _ in range(max(1, n_rep - 1)))
         b8_tok_s = 8.0 / dt_b8
         print(f"# decode B=8: {dt_b8*1e3:.2f} ms/step → "
               f"{b8_tok_s:.0f} tok/s aggregate", file=sys.stderr)
@@ -343,6 +353,8 @@ def main() -> None:
         "unit": "tok/s",
         "vs_baseline": round(tok_s / REFERENCE_BASELINE_TOK_S, 2),
         "decode_ms_per_token_b1": round(dt_decode * 1e3, 3),
+        "b1_samples_ms": [round(s * 1e3, 3) for s in b1_samples],
+        "b1_spread_pct": round(b1_spread_pct, 1),
         "roofline_pct": round(roofline_pct, 1),
         "decode_tok_s_b8": None if b8_tok_s is None else round(b8_tok_s, 1),
         "prefill_tok_s": (None if prefill_tok_s is None

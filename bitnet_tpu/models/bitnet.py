@@ -305,17 +305,24 @@ def decode_attn_plan(B: int, kv_dtype=None) -> str:
 
     ``kv_dtype``: the quantized cache dtype (jnp.int8 / float8_e4m3fn)
     or None for dense bf16/f32 caches.  Returns one of:
-      qkv_batched / qkv_quant_batched   rope-fused whole-batch kernels
+      qkv_batched_v2 / qkv_quant_batched_v2  rope-fused whole-batch v2
+      qkv_batched / qkv_quant_batched   rope-fused whole-batch v1
       qkv / qkv_quant                   rope-fused per-b kernels (B≤2)
       flash / flash_quant               plain flash-decode (B≤ max_b)
-      batched / quant_batched           whole-batch, rope in XLA
+      batched / quant_batched           whole-batch, rope in XLA (v1)
       einsum                            XLA einsum attention fallback
 
     Gating (v5e measurements in README / docs/perf):
     - rope fusion defaults ON in rows mode (1.29 vs 1.46 ms/token B=1);
+    - B≤2 defaults to the stacked rope-fused v2 kernels
+      (ops/decode_attention_v2.py): 1.27 vs the v1 kernels' 1.48
+      ms/step B=1 on-chip; BITNET_B1_ATTN=v1 restores v1;
+    - B>2 pools default to XLA einsum: the v2 whole-batch kernel wins
+      the isolated per-layer scan (59 vs einsum's 63 µs/layer bf16
+      B=8, v1's 82) but still loses in-model (4.3+ vs 3.0 ms/step —
+      cache-layout copies, see _decode_stacked); BITNET_BATCHED_ATTN=
+      v2 / v2qkv / 1 opt into the pallas whole-batch paths;
     - the per-b kernel grid loses to einsum above max_b (default 2);
-    - whole-batch kernels (BITNET_BATCHED_ATTN=1) amortize the per-b
-      fixed cost for B>2 pools;
     - quantized caches ride the quant kernels when the dtype is int8
       (fp8 behind BITNET_FP8_KERNEL until Mosaic-cast-verified).
     """
@@ -326,17 +333,32 @@ def decode_attn_plan(B: int, kv_dtype=None) -> str:
     rope_fused = _os.environ.get(
         "BITNET_ROPE_FUSED", "1" if rows_mode else "0") == "1"
     fp8_kernel = _os.environ.get("BITNET_FP8_KERNEL", "0") == "1"
-    batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "0") == "1"
+    batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "0")
     attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
     dt_ok = (not quantized or kv_dtype == jnp.int8
              or (fp8_kernel and kv_dtype == jnp.float8_e4m3fn))
-    if rope_fused and batched_env and B > 2 and dt_ok:
+    if rope_fused and batched_env == "v2qkv" and B > 2 and dt_ok:
+        return "qkv_quant_batched_v2" if quantized else "qkv_batched_v2"
+    if rope_fused and batched_env == "1" and B > 2 and dt_ok:
         return "qkv_quant_batched" if quantized else "qkv_batched"
     if rope_fused and B <= 2 and dt_ok:
+        # v2s (default): rope-fused v2 body over the FULL stacked cache
+        # via scalar prefetch — no per-layer xs slice for XLA to copy
+        # and ~3x fewer per-chunk VPU ops than v1 (round-4 microbench:
+        # 1.8 vs 5.5 µs/layer at B=1).  BITNET_B1_ATTN=v1 restores the
+        # xs-threaded v1 kernels.
+        if _os.environ.get("BITNET_B1_ATTN", "v2s") == "v2s":
+            return "qkv_quant_v2s" if quantized else "qkv_v2s"
         return "qkv_quant" if quantized else "qkv"
     if B <= attn_max_b and dt_ok:
         return "flash_quant" if quantized else "flash"
-    if batched_env and dt_ok:
+    if batched_env == "v2" and dt_ok:
+        # opt-in for B>2 pools: plain v2 whole-batch kernel, rope in
+        # XLA — the rope-fused per-b preamble costs ~17 µs/layer at B=8
+        # (76.5 vs 59.0 µs/layer microbench) while the XLA rope glue
+        # amortizes over the batch
+        return "quant_batched_v2" if quantized else "batched_v2"
+    if batched_env not in ("0", "") and dt_ok:
         return "quant_batched" if quantized else "batched"
     return "einsum"
 
@@ -427,33 +449,53 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         the new (quantized) k/v rows + scales as ys for the post-scan
         scatter."""
         l, kc, vc, ks, vs = xs                  # h [B, H]; kc [B,S,KV,D]
-        if plan in ("qkv_batched", "qkv_quant_batched"):
+        if plan in ("qkv_batched", "qkv_quant_batched",
+                    "qkv_batched_v2", "qkv_quant_batched_v2"):
             # whole-batch rope-fused kernels: B>2 pools get the full
             # fusion win (no q/k/v slicing, no XLA rope pair, pre-write
             # cache read) with the batch amortizing the program count;
             # quantized caches also quantize the new rows in-VMEM and
-            # stream at half the bytes
+            # stream at half the bytes.  v2 = the round-4 low-op-count
+            # body (ops/decode_attention_v2.py).  Flat xs (kc.ndim == 3)
+            # skip the wrapper's per-layer 5D→3D reshape.
+            nkv_kw = {"n_kv": nkv} if kc.ndim == 3 else {}
             qkv = mm(l, h, "wqkv", b.attn_norm)
             if quantized:
-                from ..ops.decode_attention import (
-                    decode_attention_qkv_quant_batched,
-                )
+                if plan.endswith("_v2"):
+                    from ..ops.decode_attention_v2 import (
+                        decode_attention_qkv_quant_batched_v2 as _fq,
+                    )
+                else:
+                    from ..ops.decode_attention import (
+                        decode_attention_qkv_quant_batched as _fq,
+                    )
 
-                attn1, k_row, v_row, ks_row, vs_row = (
-                    decode_attention_qkv_quant_batched(
-                        qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
-                        kc, vc, ks, vs, pre_len, n_heads=nh,
-                        interpret=interp))
+                attn1, k_row, v_row, ks_row, vs_row = _fq(
+                    qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
+                    kc, vc, ks, vs, pre_len, n_heads=nh,
+                    interpret=interp, **nkv_kw)
+                if kc.ndim == 3:
+                    k_row = k_row.reshape(B, nkv * D)
+                    v_row = v_row.reshape(B, nkv * D)
                 ys = (k_row[:, None], v_row[:, None],
                       ks_row[:, None], vs_row[:, None])
             else:
-                from ..ops.decode_attention import (
-                    decode_attention_qkv_batched,
-                )
+                if plan.endswith("_v2"):
+                    from ..ops.decode_attention_v2 import (
+                        decode_attention_qkv_batched_v2 as _fb,
+                    )
+                else:
+                    from ..ops.decode_attention import (
+                        decode_attention_qkv_batched as _fb,
+                    )
 
-                attn1, k_row, v_row = decode_attention_qkv_batched(
+                attn1, k_row, v_row = _fb(
                     qkv, rope_sin[:, 0, 0, :], rope_cos[:, 0, 0, :],
-                    kc, vc, pre_len, n_heads=nh, interpret=interp)
+                    kc, vc, pre_len, n_heads=nh, interpret=interp,
+                    **nkv_kw)
+                if kc.ndim == 3:
+                    k_row = k_row.reshape(B, nkv * D)
+                    v_row = v_row.reshape(B, nkv * D)
                 zs = jnp.zeros((B, 1, 1), jnp.float32)
                 ys = (k_row[:, None], v_row[:, None], zs, zs)
             h = mm(l, attn1.reshape(B, nh * D), "wo", b.attn_sub_norm,
@@ -539,26 +581,44 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
                 attn = decode_attention(
                     q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc, pre_len,
                     interpret=interp)
-        elif plan in ("batched", "quant_batched"):
+        elif plan in ("batched", "quant_batched",
+                      "batched_v2", "quant_batched_v2"):
             # whole-batch-per-grid-step kernels: amortize the fixed cost
             # the per-b grid paid B times (which made pallas lose to XLA
             # einsum at B=8) and read the PRE-write cache, skipping the
             # post-write slice copy below (int8 caches additionally
-            # stream at half the bytes with in-VMEM scale dequant)
+            # stream at half the bytes with in-VMEM scale dequant).
+            # v2 (the B>2 DEFAULT) = the round-4 low-op-count body; flat
+            # xs (kc.ndim == 3) skip the wrapper's per-layer 5D→3D
+            # reshape.
+            nkv_kw = ({"n_kv": nkv}
+                      if plan.endswith("_v2") and kc.ndim == 3 else {})
             if quantized:
-                from ..ops.decode_attention import (
-                    decode_attention_quant_batched,
-                )
+                if plan.endswith("_v2"):
+                    from ..ops.decode_attention_v2 import (
+                        decode_attention_quant_batched_v2 as _fq,
+                    )
+                else:
+                    from ..ops.decode_attention import (
+                        decode_attention_quant_batched as _fq,
+                    )
 
-                attn = decode_attention_quant_batched(
+                attn = _fq(
                     q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc, ks, vs,
-                    pre_len, interpret=interp)
+                    pre_len, interpret=interp, **nkv_kw)
             else:
-                from ..ops.decode_attention import decode_attention_batched
+                if plan.endswith("_v2"):
+                    from ..ops.decode_attention_v2 import (
+                        decode_attention_batched_v2 as _fb,
+                    )
+                else:
+                    from ..ops.decode_attention import (
+                        decode_attention_batched as _fb,
+                    )
 
-                attn = decode_attention_batched(
+                attn = _fb(
                     q[:, 0], kn_in[:, 0], vn_in[:, 0], kc, vc, pre_len,
-                    interpret=interp)
+                    interpret=interp, **nkv_kw)
         else:
             # XLA einsum attention needs the POST-write cache view; the
             # written slice copy feeds only this read (the canonical
@@ -583,6 +643,11 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         h = mm(l, a2, "wo", b.attn_sub_norm, resid=h)
         gu = mm(l, h, "w_gateup", b.ffn_norm)
         h = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True, resid=h)
+        if kc.ndim == 3:
+            # flat xs: emit flat rows so the post-scan scatter shapes line
+            # up ([L, B, 1, KV*D] ys → reshaped back to 5D after the scan)
+            kq = kq.reshape(B, 1, nkv * D)
+            vq = vq.reshape(B, 1, nkv * D)
         return h, (kq, vq, ksr, vsr)
 
     def body(h, xs):
@@ -658,26 +723,143 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         # [B,S,KV*D] copies (copy.46/47).  The 5D↔flat reshapes here sit
         # OUTSIDE the scan on default layouts (bitcasts).
         # BITNET_CACHE_FLAT=0 restores 5D xs for A/B.
-        flat = (plan in ("qkv", "qkv_quant")
+        flat = (plan in ("qkv", "qkv_quant",
+                         "qkv_batched_v2", "qkv_quant_batched_v2",
+                         "batched_v2", "quant_batched_v2",
+                         "qkv_v2s", "qkv_quant_v2s")
                 and _os.environ.get("BITNET_CACHE_FLAT", "1") == "1")
         KVD = k_cache.shape[3] * k_cache.shape[4]
         kx = k_cache.reshape(L, B, S, KVD) if flat else k_cache
         vx = v_cache.reshape(L, B, S, KVD) if flat else v_cache
-        if quantized:
-            xs = (jnp.arange(L, dtype=jnp.int32), kx, vx,
-                  k_scale, v_scale)
+        # Stacked attention (default for the batched v2 plans): the
+        # caches do NOT ride the scan as xs at all — the kernel
+        # block-indexes the FULL stack via scalar prefetch.  A per-layer
+        # xs slice feeding a pallas operand is a materialized copy, and
+        # the round-4 B=8 HLO showed layout assignment turning it into a
+        # RELAYOUT copy pair (2 x 10.5 MB per layer, ~1.3 ms/step).
+        # BITNET_ATTN_STACKED=0 restores xs threading for A/B.
+        stacked_attn = (plan in ("batched_v2", "quant_batched_v2",
+                                 "qkv_v2s", "qkv_quant_v2s")
+                        and _os.environ.get("BITNET_ATTN_STACKED",
+                                            "1") == "1")
+        if stacked_attn:
+            from ..ops.decode_attention_v2 import (
+                decode_attention_batched_v2_stacked,
+                decode_attention_qkv_quant_v2_stacked,
+                decode_attention_qkv_v2_stacked,
+                decode_attention_quant_batched_v2_stacked,
+            )
+
+            nkv_kw = {"n_kv": nkv} if flat else {}
+            if quantized:
+                ks_t = jnp.swapaxes(k_scale, 2, 3)    # [L, B, KV, S]
+                vs_t = jnp.swapaxes(v_scale, 2, 3)
+
+            def body_rows_sa(h, l):
+                qkv = mm(l, h, "wqkv", b.attn_norm)
+                if plan.startswith("qkv"):
+                    # rope-fused stacked kernels (B≤2 default): RoPE,
+                    # row quantization, attention all in ONE kernel
+                    if quantized:
+                        attn, kq, vq, ksr2, vsr2 = (
+                            decode_attention_qkv_quant_v2_stacked(
+                                l, qkv, rope_sin[:, 0, 0, :],
+                                rope_cos[:, 0, 0, :], kx, vx, ks_t, vs_t,
+                                pre_len, n_heads=nh, interpret=interp,
+                                **nkv_kw))
+                        ksr = ksr2[:, None]
+                        vsr = vsr2[:, None]
+                    else:
+                        attn, kq, vq = decode_attention_qkv_v2_stacked(
+                            l, qkv, rope_sin[:, 0, 0, :],
+                            rope_cos[:, 0, 0, :], kx, vx, pre_len,
+                            n_heads=nh, interpret=interp, **nkv_kw)
+                        ksr = vsr = jnp.zeros((B, 1, 1), jnp.float32)
+                    kq = kq[:, None]               # [B, 1, KV, D]
+                    vq = vq[:, None]
+                else:
+                    q = qkv[:, : nh * D].reshape(B, 1, nh, D)
+                    kn = qkv[:, nh * D: (nh + nkv) * D].reshape(
+                        B, 1, nkv, D)
+                    vn = qkv[:, (nh + nkv) * D:].reshape(B, 1, nkv, D)
+                    q = apply_rope(q, rope_sin, rope_cos, q_positions)
+                    kn = apply_rope(kn, rope_sin, rope_cos, q_positions)
+                    if quantized:
+                        kq, ksr = _quantize_kv(kn, kx.dtype)
+                        vq, vsr = _quantize_kv(vn, vx.dtype)
+                        kn_in = (kq.astype(jnp.float32)
+                                 * ksr[..., None]).astype(x.dtype)
+                        vn_in = (vq.astype(jnp.float32)
+                                 * vsr[..., None]).astype(x.dtype)
+                        attn = decode_attention_quant_batched_v2_stacked(
+                            l, q[:, 0], kn_in[:, 0], vn_in[:, 0], kx, vx,
+                            ks_t, vs_t, pre_len, interpret=interp,
+                            **nkv_kw)
+                    else:
+                        kq, vq = kn, vn
+                        ksr = vsr = jnp.zeros((B, 1, 1), jnp.float32)
+                        attn = decode_attention_batched_v2_stacked(
+                            l, q[:, 0], kn[:, 0], vn[:, 0], kx, vx,
+                            pre_len, interpret=interp, **nkv_kw)
+                h2 = mm(l, attn.reshape(B, nh * D), "wo", b.attn_sub_norm,
+                        resid=h)
+                gu = mm(l, h2, "w_gateup", b.ffn_norm)
+                h2 = mm(l, gu, "w_down", b.ffn_sub_norm, glu=True,
+                        resid=h2)
+                if flat:
+                    kq = kq.reshape(B, 1, nkv * D)
+                    vq = vq.reshape(B, 1, nkv * D)
+                return h2, (kq, vq, ksr, vsr)
+
+            x2, (k_rows, v_rows, ks_rows, vs_rows) = jax.lax.scan(
+                body_rows_sa, x[:, 0, :],
+                jnp.arange(L, dtype=jnp.int32))
         else:
-            # no dummy scale xs: slicing even a tiny constant per scan
-            # step costs ~2.5 µs/layer of XLA fusions (profiled ~80
-            # µs/step at L=30)
-            xs = (jnp.arange(L, dtype=jnp.int32), kx, vx)
+            if quantized:
+                xs = (jnp.arange(L, dtype=jnp.int32), kx, vx,
+                      k_scale, v_scale)
+            else:
+                # no dummy scale xs: slicing even a tiny constant per
+                # scan step costs ~2.5 µs/layer of XLA fusions
+                # (profiled ~80 µs/step at L=30)
+                xs = (jnp.arange(L, dtype=jnp.int32), kx, vx)
 
-        def body_rows_plain(h, xs3):
-            l, kc, vc = xs3
-            return body_rows(h, (l, kc, vc, None, None))
+            def body_rows_plain(h, xs3):
+                l, kc, vc = xs3
+                return body_rows(h, (l, kc, vc, None, None))
 
-        x2, (k_rows, v_rows, ks_rows, vs_rows) = jax.lax.scan(
-            body_rows if quantized else body_rows_plain, x[:, 0, :], xs)
+            x2, (k_rows, v_rows, ks_rows, vs_rows) = jax.lax.scan(
+                body_rows if quantized else body_rows_plain,
+                x[:, 0, :], xs)
+        if stacked_attn and _os.environ.get(
+                "BITNET_ROWS_WRITE", "pallas") == "pallas":
+            # Pallas row scatter (aliased, scalar-prefetch index map):
+            # with the attention custom call layout-constraining the
+            # cache, leaving the writes to XLA DUS made layout
+            # assignment pick an S-minor in-loop layout and relayout-copy
+            # the WHOLE cache every step (copy.76/77, ~0.77 ms at B=8).
+            # All-pallas consumers pin the layout; the buffers pass
+            # through untouched.
+            from ..ops.decode_attention_v2 import scatter_kv_rows
+
+            kx, vx = scatter_kv_rows(
+                kx, vx, k_rows, v_rows, q_positions[:, 0],
+                interpret=interp)
+            k_cache = kx.reshape(L, B, S, nkv, D) if flat else kx
+            v_cache = vx.reshape(L, B, S, nkv, D) if flat else vx
+            if quantized:
+                z = jnp.int32(0)
+                for bb in range(B):
+                    p = jnp.minimum(q_positions[bb, 0], S - 1)
+                    k_scale = jax.lax.dynamic_update_slice(
+                        k_scale, ks_rows[:, bb:bb + 1, :1],
+                        (z, jnp.int32(bb), p, z))
+                    v_scale = jax.lax.dynamic_update_slice(
+                        v_scale, vs_rows[:, bb:bb + 1, :1],
+                        (z, jnp.int32(bb), p, z))
+            if not quantized:
+                k_scale = v_scale = None
+            return x2[:, None, :], k_cache, v_cache, k_scale, v_scale
         if flat:
             k_rows = k_rows.reshape(L, B, 1, nkv, D)
             v_rows = v_rows.reshape(L, B, 1, nkv, D)

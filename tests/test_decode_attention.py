@@ -567,16 +567,200 @@ class TestBatchedRopeFused:
         assert agree >= 3, (base, got)
 
 
+class TestBatchedV2:
+    """Round-4 whole-batch v2 kernels (ops/decode_attention_v2.py) — the
+    B>2 default: low per-chunk instruction count (q_wide scratch, wide
+    context accumulator, MXU scale expand).  Must match the v1 per-b
+    kernels at the same chunking."""
+
+    def test_batched_v2_matches_per_b(self):
+        from bitnet_tpu.ops.decode_attention import decode_attention
+        from bitnet_tpu.ops.decode_attention_v2 import (
+            decode_attention_batched_v2,
+        )
+
+        rng = np.random.default_rng(23)
+        B, H, KV, D, S = 6, 4, 2, 64, 64
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        ref = decode_attention(q, kn, vn, kc, vc, pos, interpret=True,
+                               chunk=32)
+        got = decode_attention_batched_v2(q, kn, vn, kc, vc, pos,
+                                          interpret=True, chunk=32)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_quant_batched_v2_matches_per_b(self):
+        from bitnet_tpu.models.bitnet import _quantize_kv
+        from bitnet_tpu.ops.decode_attention import decode_attention_quant
+        from bitnet_tpu.ops.decode_attention_v2 import (
+            decode_attention_quant_batched_v2,
+        )
+
+        rng = np.random.default_rng(29)
+        B, H, KV, D, S = 5, 4, 2, 64, 64
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kf = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        vf = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        kc, ks = _quantize_kv(kf, jnp.int8)
+        vc, vs = _quantize_kv(vf, jnp.int8)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        ref = decode_attention_quant(q, kn, vn, kc, vc, ks, vs, pos,
+                                     interpret=True, chunk=32)
+        got = decode_attention_quant_batched_v2(
+            q, kn, vn, kc, vc, ks, vs, pos, interpret=True, chunk=32)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_qkv_batched_v2_matches_per_b(self):
+        from bitnet_tpu.ops.decode_attention import decode_attention_qkv
+        from bitnet_tpu.ops.decode_attention_v2 import (
+            decode_attention_qkv_batched_v2,
+        )
+        from bitnet_tpu.ops.rope import build_rope_tables
+
+        rng = np.random.default_rng(31)
+        B, H, KV, D, S = 6, 4, 2, 64, 64
+        QR = H + 2 * KV
+        qkv = jnp.asarray(rng.standard_normal((B, QR * D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        sin, cos = build_rope_tables(D, S, 10000.0)
+        sin, cos = jnp.asarray(sin)[pos], jnp.asarray(cos)[pos]
+        ref_a, ref_k, ref_v = decode_attention_qkv(
+            qkv, sin, cos, kc, vc, pos, n_heads=H, interpret=True,
+            chunk=32)
+        got_a, got_k, got_v = decode_attention_qkv_batched_v2(
+            qkv, sin, cos, kc, vc, pos, n_heads=H, interpret=True,
+            chunk=32)
+        np.testing.assert_allclose(np.asarray(got_a, np.float32),
+                                   np.asarray(ref_a, np.float32),
+                                   atol=2e-3, rtol=2e-3)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+    def test_qkv_quant_batched_v2_matches_per_b(self):
+        from bitnet_tpu.models.bitnet import _quantize_kv
+        from bitnet_tpu.ops.decode_attention import (
+            decode_attention_qkv_quant,
+        )
+        from bitnet_tpu.ops.decode_attention_v2 import (
+            decode_attention_qkv_quant_batched_v2,
+        )
+        from bitnet_tpu.ops.rope import build_rope_tables
+
+        rng = np.random.default_rng(37)
+        B, H, KV, D, S = 5, 4, 2, 64, 64
+        QR = H + 2 * KV
+        qkv = jnp.asarray(rng.standard_normal((B, QR * D)), jnp.float32)
+        kf = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        vf = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        kc, ks = _quantize_kv(kf, jnp.int8)
+        vc, vs = _quantize_kv(vf, jnp.int8)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        sin, cos = build_rope_tables(D, S, 10000.0)
+        sin, cos = jnp.asarray(sin)[pos], jnp.asarray(cos)[pos]
+        ref = decode_attention_qkv_quant(
+            qkv, sin, cos, kc, vc, ks, vs, pos, n_heads=H,
+            interpret=True, chunk=32)
+        got = decode_attention_qkv_quant_batched_v2(
+            qkv, sin, cos, kc, vc, ks, vs, pos, n_heads=H,
+            interpret=True, chunk=32)
+        np.testing.assert_allclose(np.asarray(got[0], np.float32),
+                                   np.asarray(ref[0], np.float32),
+                                   atol=2e-3, rtol=2e-3)
+        for r, g in zip(ref[1:], got[1:]):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+    def test_v2_default_engine_tokens(self, mini_gguf_qk256, monkeypatch):
+        """The B=4 DEFAULT plan is now qkv_batched_v2 — tokens must match
+        the einsum path (BITNET_BATCHED_ATTN=0)."""
+        import jax.numpy as jnp
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.models.loader import load_model
+
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[2, 7, 11], [3, 5, 8, 12, 30], [40, 41], [9]]
+
+        def run(flag):
+            if flag is None:
+                monkeypatch.delenv("BITNET_BATCHED_ATTN", raising=False)
+            else:
+                monkeypatch.setenv("BITNET_BATCHED_ATTN", flag)
+            eng = InferenceEngine(
+                cfg, params,
+                EngineConfig(max_seq_len=64, max_batch_size=4,
+                             kv_cache_dtype="f32", compute_dtype="f32",
+                             kernel_path="w2a8"))
+            return [r.token_ids for r in eng.generate_batch(prompts, gen)]
+
+        base = run("0")
+        got = run(None)
+        agree = sum(a == b for a, b in zip(base, got))
+        assert agree >= 3, (base, got)
+
+    def test_v2_default_int8_engine_tokens(self, mini_gguf_qk256,
+                                           monkeypatch):
+        import jax.numpy as jnp
+        from bitnet_tpu.config import EngineConfig, GenerationConfig
+        from bitnet_tpu.engine import InferenceEngine
+        from bitnet_tpu.models.loader import load_model
+
+        cfg, params, _ = load_model(mini_gguf_qk256.path,
+                                    param_dtype=jnp.float32)
+        gen = GenerationConfig(max_new_tokens=6, greedy=True)
+        prompts = [[2, 7, 11], [3, 5, 8, 12, 30], [40, 41], [9]]
+
+        def run(flag):
+            if flag is None:
+                monkeypatch.delenv("BITNET_BATCHED_ATTN", raising=False)
+            else:
+                monkeypatch.setenv("BITNET_BATCHED_ATTN", flag)
+            eng = InferenceEngine(
+                cfg, params,
+                EngineConfig(max_seq_len=64, max_batch_size=4,
+                             kv_cache_dtype="int8", compute_dtype="f32",
+                             kernel_path="w2a8"))
+            return [r.token_ids for r in eng.generate_batch(prompts, gen)]
+
+        base = run("0")
+        got = run(None)
+        agree = sum(a == b for a, b in zip(base, got))
+        assert agree >= 3, (base, got)
+
+
 class TestDecodeAttnPlan:
     """decode_attn_plan is the single source of truth for rows-mode
     kernel selection — pin its gating table."""
 
     @pytest.mark.parametrize("B,dt,env,want", [
-        (1, None, {}, "qkv"),
-        (2, "int8", {}, "qkv_quant"),
+        (1, None, {}, "qkv_v2s"),                      # round-4 default
+        (2, "int8", {}, "qkv_quant_v2s"),
+        (1, None, {"BITNET_B1_ATTN": "v1"}, "qkv"),
+        (2, "int8", {"BITNET_B1_ATTN": "v1"}, "qkv_quant"),
         (1, "fp8", {}, "einsum"),                      # fp8 gated off
-        (1, "fp8", {"BITNET_FP8_KERNEL": "1"}, "qkv_quant"),
-        (8, None, {}, "einsum"),
+        (1, "fp8", {"BITNET_FP8_KERNEL": "1"}, "qkv_quant_v2s"),
+        (8, None, {}, "einsum"),                       # B>2 default
+        (8, "int8", {}, "einsum"),
+        (8, None, {"BITNET_BATCHED_ATTN": "v2"}, "batched_v2"),
+        (8, "int8", {"BITNET_BATCHED_ATTN": "v2"}, "quant_batched_v2"),
+        (8, None, {"BITNET_BATCHED_ATTN": "v2qkv"}, "qkv_batched_v2"),
+        (8, "int8", {"BITNET_BATCHED_ATTN": "v2qkv"},
+         "qkv_quant_batched_v2"),
+        (8, None, {"BITNET_BATCHED_ATTN": "0"}, "einsum"),
+        (8, "int8", {"BITNET_BATCHED_ATTN": "0"}, "einsum"),
         (8, None, {"BITNET_BATCHED_ATTN": "1"}, "qkv_batched"),
         (8, "int8", {"BITNET_BATCHED_ATTN": "1"}, "qkv_quant_batched"),
         (8, None, {"BITNET_BATCHED_ATTN": "1", "BITNET_ROPE_FUSED": "0"},
@@ -587,14 +771,13 @@ class TestDecodeAttnPlan:
         (1, "int8", {"BITNET_ROPE_FUSED": "0"}, "flash_quant"),
         (8, None, {"BITNET_DECODE_ATTN_MAX_B": "16",
                    "BITNET_ROPE_FUSED": "0"}, "flash"),
-        (8, "int8", {}, "einsum"),
     ])
     def test_plan_table(self, B, dt, env, want, monkeypatch):
         from bitnet_tpu.models.bitnet import decode_attn_plan
 
         for k in ("BITNET_BATCHED_ATTN", "BITNET_ROPE_FUSED",
                   "BITNET_FP8_KERNEL", "BITNET_DECODE_ATTN_MAX_B",
-                  "BITNET_CACHE_YS"):
+                  "BITNET_CACHE_YS", "BITNET_B1_ATTN"):
             monkeypatch.delenv(k, raising=False)
         for k, v in env.items():
             monkeypatch.setenv(k, v)
