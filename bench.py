@@ -158,11 +158,20 @@ def bench_decode(cfg, params, kernel_path: str, B: int = 1, S: int = 1024,
     import jax
     import jax.numpy as jnp
 
+    from bitnet_tpu.engine.cache import decode_cache_layout
     from bitnet_tpu.models.bitnet import forward, logits as model_logits
     from bitnet_tpu.obs.timing import chain_timer
 
-    kc0 = jnp.zeros((cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim),
-                    jnp.bfloat16)
+    # flat [L, B, S, KV*D] when the decode plan rides the stacked pallas
+    # kernels (round-4: the 5D carry forced S-minor relayout copies)
+    if decode_cache_layout(B, "bf16") == "flat":
+        kc0 = jnp.zeros(
+            (cfg.num_layers, B, S, cfg.num_kv_heads * cfg.head_dim),
+            jnp.bfloat16)
+    else:
+        kc0 = jnp.zeros(
+            (cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim),
+            jnp.bfloat16)
 
     def step(prm, carry):
         tok, pos, kc, vc = carry

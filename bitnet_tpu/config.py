@@ -269,12 +269,17 @@ class EngineConfig:
     strict: StrictMode = field(default_factory=StrictMode)
 
     def resolve_kv_cache_dtype(self) -> str:
-        """'auto' → int8 when the KV read dominates the decode step
-        (exp_round3b on-chip A/B: S=4096 int8 2.89 vs bf16 3.27 ms/token;
-        S=1024 int8 1.65 vs bf16 1.45 — crossover sits between, gated
-        conservatively at the measured winning point)."""
+        """'auto' → int8 when the KV read dominates the decode step.
+
+        On-chip A/B: B=1 S=4096 int8 2.89 vs bf16 3.27 ms/token but
+        B=1 S=1024 int8 1.61 vs bf16 1.19 (exp_round3b / exp_r4) —
+        crossover gated at the measured winning point.  Batched pools
+        (B>2) ride the flat-cache whole-batch v2 kernels where int8
+        wins already at S=1024 (1.72 vs 2.00 ms/step at B=8, round 4)."""
         if self.kv_cache_dtype != "auto":
             return self.kv_cache_dtype
+        if self.max_batch_size > 2:
+            return "int8"
         return "int8" if self.max_seq_len >= 4096 else "bf16"
 
     def __post_init__(self) -> None:

@@ -58,14 +58,51 @@ class KVCache:
         return self.k.shape[1]
 
 
+# plans whose kernels consume the flat [L, B, S, KV*D] cache natively
+# (models/bitnet._decode_stacked flat_in) — for these the flat layout is
+# strictly better: a 5D [.., KV, D] while-loop carry makes XLA layout
+# assignment pick an S-minor layout (the KV=5 face wastes 3/8 sublanes
+# under (8,128) tiling) and relayout-copy the FULL cache every decode
+# step (round-4 profile: 4 x ~1 ms/step at B=8 S=1024)
+_FLAT_PLANS = frozenset((
+    "qkv", "qkv_quant", "qkv_v2s", "qkv_quant_v2s",
+    "batched_v2", "quant_batched_v2",
+    "qkv_batched_v2", "qkv_quant_batched_v2",
+))
+
+
+def decode_cache_layout(batch_size: int, dtype: str = "bf16") -> str:
+    """'flat' ([L, B, S, KV*D]) when the decode-attention plan for this
+    (B, kv dtype) rides kernels that accept it natively, else '5d'.
+    BITNET_CACHE_LAYOUT=flat|5d overrides."""
+    import os
+
+    from ..models.bitnet import decode_attn_plan
+
+    env = os.environ.get("BITNET_CACHE_LAYOUT", "auto")
+    if env in ("flat", "5d"):
+        return env
+    kv_dtype = _DTYPES[dtype] if dtype in ("int8", "fp8") else None
+    # ask what plan WOULD run on a flat cache; allocate flat if that
+    # plan consumes it natively
+    plan = decode_attn_plan(batch_size, kv_dtype, flat=True)
+    return "flat" if plan in _FLAT_PLANS else "5d"
+
+
 def allocate_cache(
     cfg: ModelConfig,
     batch_size: int,
     max_seq_len: int,
     dtype: str = "bf16",
+    layout: str = "5d",
 ) -> KVCache:
     L, KV, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
-    shape = (L, batch_size, max_seq_len, KV, D)
+    if layout == "auto":
+        layout = decode_cache_layout(batch_size, dtype)
+    if layout == "flat":
+        shape = (L, batch_size, max_seq_len, KV * D)
+    else:
+        shape = (L, batch_size, max_seq_len, KV, D)
     jdtype = _DTYPES[dtype]
     quantized = dtype in ("int8", "fp8")
     zeros = jnp.zeros(shape, jdtype)

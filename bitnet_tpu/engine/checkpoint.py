@@ -57,13 +57,21 @@ def capture(engine, prompt_ids: list[int], generated_ids: list[int],
     if engine.cache.k_scale is not None:
         ks = np.asarray(engine.cache.k_scale[:, 0, :kv_len])
         vs = np.asarray(engine.cache.v_scale[:, 0, :kv_len])
+    # checkpoint format is the canonical [L, kv_len, KV, D] regardless
+    # of the engine's cache layout (flat engines reshape on the way out)
+    ksnap = np.asarray(engine.cache.k[:, 0, :kv_len])
+    vsnap = np.asarray(engine.cache.v[:, 0, :kv_len])
+    if ksnap.ndim == 3:
+        KV, D = engine.cfg.num_kv_heads, engine.cfg.head_dim
+        ksnap = ksnap.reshape(ksnap.shape[0], kv_len, KV, D)
+        vsnap = vsnap.reshape(vsnap.shape[0], kv_len, KV, D)
     return DecodeState(
         prompt_ids=list(prompt_ids),
         generated_ids=list(generated_ids),
         rng_key=None if rng_key is None else np.asarray(rng_key),
         kv_len=kv_len,
-        k=np.asarray(engine.cache.k[:, 0, :kv_len]),
-        v=np.asarray(engine.cache.v[:, 0, :kv_len]),
+        k=ksnap,
+        v=vsnap,
         k_scale=ks,
         v_scale=vs,
     )

@@ -154,7 +154,7 @@ class InferenceEngine:
         self._sample_jit = {}
         self.cache = allocate_cache(
             cfg, self.engine_cfg.max_batch_size, self.engine_cfg.max_seq_len,
-            self.engine_cfg.resolve_kv_cache_dtype(),
+            self.engine_cfg.resolve_kv_cache_dtype(), layout="auto",
         )
         self.kernel_recorder: list[str] = []
         if tl_quantized:
@@ -288,9 +288,18 @@ class InferenceEngine:
             def _restore(cache, k_snap, v_snap, ks_snap, vs_snap, m):
                 import jax.lax as lax
 
-                zeros5 = (0, 0, 0, 0, 0)
-                k = lax.dynamic_update_slice(cache.k, k_snap[:, None], zeros5)
-                v = lax.dynamic_update_slice(cache.v, v_snap[:, None], zeros5)
+                # snaps arrive canonical [L, Mp, KV, D]; flat caches
+                # take them as [L, 1, Mp, KV*D]
+                if cache.k.ndim == 4:
+                    Ls, Ms = k_snap.shape[0], k_snap.shape[1]
+                    ksn = k_snap.reshape(Ls, 1, Ms, -1)
+                    vsn = v_snap.reshape(Ls, 1, Ms, -1)
+                    zeros5 = (0, 0, 0, 0)
+                else:
+                    ksn, vsn = k_snap[:, None], v_snap[:, None]
+                    zeros5 = (0, 0, 0, 0, 0)
+                k = lax.dynamic_update_slice(cache.k, ksn, zeros5)
+                v = lax.dynamic_update_slice(cache.v, vsn, zeros5)
                 ks, vs = cache.k_scale, cache.v_scale
                 if ks is not None:
                     z4 = (0, 0, 0, 0)
@@ -373,7 +382,8 @@ class InferenceEngine:
             from .prefix_cache import snapshot_from_cache
 
             self.prefix_cache.insert(
-                list(token_ids), snapshot_from_cache(self.cache, T))
+                list(token_ids), snapshot_from_cache(
+                    self.cache, T, kv_heads=self.cfg.num_kv_heads))
         return lg
 
     def _relogit_last(self, token_ids: list[int]) -> jnp.ndarray:
@@ -647,7 +657,7 @@ class InferenceEngine:
         if stacked:
             plan = decode_attn_plan(
                 B, self.cache.k.dtype if self.cache.k_scale is not None
-                else None)
+                else None, flat=self.cache.k.ndim == 4)
             self.kernel_recorder.append(
                 f"decode_{self._kernel_path}_attn_{plan}_x{generated}")
         else:
@@ -854,6 +864,16 @@ class InferenceEngine:
         validate_mesh_for(self.cfg, self.engine_cfg.max_batch_size, mesh,
                           self.params)
         self.params = shard_params(mesh, self.cfg, self.params)
+        if self.cache.k.ndim == 4:
+            # TP shards the KV-heads axis — the flat single-chip layout
+            # merges it away, so sharded engines run the 5D cache (the
+            # sharded decode plan is einsum, which wants 5D anyway)
+            L, B2, S2 = self.cache.k.shape[:3]
+            KV, D = self.cfg.num_kv_heads, self.cfg.head_dim
+            self.cache = dataclasses.replace(
+                self.cache,
+                k=self.cache.k.reshape(L, B2, S2, KV, D),
+                v=self.cache.v.reshape(L, B2, S2, KV, D))
         self.cache = shard_cache(mesh, self.cache)
         self.mesh = mesh
         # drop compiled programs traced with unsharded inputs

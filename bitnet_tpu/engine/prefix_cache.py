@@ -142,10 +142,20 @@ class PrefixCache:
         }
 
 
-def snapshot_from_cache(cache, length: int, slot: int = 0) -> PrefixSnapshot:
-    """Extract a host snapshot of ``cache`` (engine KVCache) for one slot."""
+def snapshot_from_cache(cache, length: int, slot: int = 0,
+                        kv_heads: int | None = None) -> PrefixSnapshot:
+    """Extract a host snapshot of ``cache`` (engine KVCache) for one slot.
+    Snapshots are canonical [L, length, KV, D] even for flat-layout
+    ([L, B, S, KV*D]) engine caches — pass ``kv_heads`` (cfg.num_kv_heads)
+    when the cache may be flat."""
     k = np.asarray(cache.k[:, slot, :length])
     v = np.asarray(cache.v[:, slot, :length])
+    if k.ndim == 3:
+        KV = (kv_heads if kv_heads is not None
+              else cache.k_scale.shape[3] if cache.k_scale is not None
+              else 1)
+        k = k.reshape(k.shape[0], length, KV, -1)
+        v = v.reshape(v.shape[0], length, KV, -1)
     ks = vs = None
     if cache.k_scale is not None:
         ks = np.asarray(cache.k_scale[:, slot, :length])

@@ -297,7 +297,7 @@ def _stacked_prefill_ok(cfg: ModelConfig, params: BitNetParams, T: int,
     return _stacked_weights_ok(cfg, params.blocks)
 
 
-def decode_attn_plan(B: int, kv_dtype=None) -> str:
+def decode_attn_plan(B: int, kv_dtype=None, flat: bool = False) -> str:
     """Trace-time decode-attention kernel selection for the rows-mode
     stacked loop — the ONE source of truth shared by ``_decode_stacked``
     and honest-compute receipts (the engine records the plan name so a
@@ -315,13 +315,15 @@ def decode_attn_plan(B: int, kv_dtype=None) -> str:
     Gating (v5e measurements in README / docs/perf):
     - rope fusion defaults ON in rows mode (1.29 vs 1.46 ms/token B=1);
     - B≤2 defaults to the stacked rope-fused v2 kernels
-      (ops/decode_attention_v2.py): 1.27 vs the v1 kernels' 1.48
-      ms/step B=1 on-chip; BITNET_B1_ATTN=v1 restores v1;
-    - B>2 pools default to XLA einsum: the v2 whole-batch kernel wins
-      the isolated per-layer scan (59 vs einsum's 63 µs/layer bf16
-      B=8, v1's 82) but still loses in-model (4.3+ vs 3.0 ms/step —
-      cache-layout copies, see _decode_stacked); BITNET_BATCHED_ATTN=
-      v2 / v2qkv / 1 opt into the pallas whole-batch paths;
+      (ops/decode_attention_v2.py): 1.19 (flat cache) vs the v1
+      kernels' 1.48 ms/step B=1 on-chip; BITNET_B1_ATTN=v1 restores v1;
+    - B>2 pools default to the v2 whole-batch kernels with the stacked
+      full-cache read + pallas row scatter — WITH the flat [L,B,S,KV*D]
+      cache layout (engine cache_layout() allocates it) they beat
+      einsum 2.00 vs 2.78 ms/step at B=8 bf16 (4004 vs 2878 tok/s) and
+      1.72 with int8 KV; BITNET_BATCHED_ATTN=0 restores einsum, =1 the
+      v1 kernels, =v2qkv the rope-fused whole-batch variant (loses at
+      B=8: the per-b rope preamble costs more than the XLA rope glue);
     - the per-b kernel grid loses to einsum above max_b (default 2);
     - quantized caches ride the quant kernels when the dtype is int8
       (fp8 behind BITNET_FP8_KERNEL until Mosaic-cast-verified).
@@ -333,7 +335,7 @@ def decode_attn_plan(B: int, kv_dtype=None) -> str:
     rope_fused = _os.environ.get(
         "BITNET_ROPE_FUSED", "1" if rows_mode else "0") == "1"
     fp8_kernel = _os.environ.get("BITNET_FP8_KERNEL", "0") == "1"
-    batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "0")
+    batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "v2")
     attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
     dt_ok = (not quantized or kv_dtype == jnp.int8
              or (fp8_kernel and kv_dtype == jnp.float8_e4m3fn))
@@ -352,13 +354,17 @@ def decode_attn_plan(B: int, kv_dtype=None) -> str:
         return "qkv_quant" if quantized else "qkv"
     if B <= attn_max_b and dt_ok:
         return "flash_quant" if quantized else "flash"
-    if batched_env == "v2" and dt_ok:
-        # opt-in for B>2 pools: plain v2 whole-batch kernel, rope in
-        # XLA — the rope-fused per-b preamble costs ~17 µs/layer at B=8
-        # (76.5 vs 59.0 µs/layer microbench) while the XLA rope glue
-        # amortizes over the batch
+    if batched_env == "v2" and dt_ok and flat:
+        # DEFAULT for B>2 pools WITH a flat-layout cache: plain v2
+        # whole-batch kernel, rope in XLA — the rope-fused per-b
+        # preamble costs ~17 µs/layer at B=8 (76.5 vs 59.0 µs/layer
+        # microbench) while the XLA rope glue amortizes over the batch.
+        # 5D callers stay on einsum: a 5D while-carry + pallas operands
+        # forces the S-minor relayout copy storm (4 x ~1 ms/step at
+        # B=8) that makes this path LOSE — allocate flat
+        # (engine.cache.decode_cache_layout) to get the win.
         return "quant_batched_v2" if quantized else "batched_v2"
-    if batched_env not in ("0", "") and dt_ok:
+    if batched_env not in ("0", "", "v2") and dt_ok:
         return "quant_batched" if quantized else "batched"
     return "einsum"
 
@@ -394,6 +400,12 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     interp = jax.default_backend() != "tpu"
     kind = b.wqkv.kind
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    # caller-side flat cache [L, B, S, KV*D] (engine cache_layout()):
+    # the decode carry stays flat end-to-end so XLA's while-loop layout
+    # heuristic never sees the sublane-padded 5D [.., KV, D] shape (the
+    # round-4 copy storm, see the flat block below).  Whatever path runs,
+    # the caches are returned in the caller's layout.
+    flat_in = k_cache.ndim == 4
 
     if kind == "qk256":
         sv = {n: _scale_vec(getattr(b, n))
@@ -405,13 +417,32 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
                 l, h, lin.packed, sv[name], gamma, k_dim=lin.k,
                 n_dim=lin.n, eps=eps, interpret=interp, **kw)
     else:
-        # TL/bitnet32: bf16 kernel with per-K-block scales; norm, SwiGLU
-        # and the residual stay in XLA (TL is a compat format — launch
-        # overhead is acceptable; the weight-copy elimination is not)
-        from ..ops.ternary_matmul import ternary_matmul_stacked_tl
+        # TL/bitnet32: per-K-block-scale kernels.  Default is the FUSED
+        # kernel (norm + SwiGLU + residual ride the matmul, unbiased
+        # (v-2)*s32 weights kill the XLA correction matmul) — the same
+        # treatment qk256 gets, per VERDICT r3 #3 (the reference calls
+        # BitNet32 its fast flavor, README.md:44).  Requires K == Kp
+        # (in-kernel norm can't see column padding); unaligned widths
+        # and BITNET_TL_FUSED=0 fall back to the unfused kernel with
+        # norm/SwiGLU/residual in XLA.
+        import os as _os
+
+        from ..ops.ternary_matmul import (
+            ternary_matmul_stacked_tl,
+            ternary_matmul_stacked_tl_fused,
+        )
+
+        tl_fused = (_os.environ.get("BITNET_TL_FUSED", "1") == "1"
+                    and all(getattr(b, n).k % 256 == 0
+                            for n in ("wqkv", "wo", "w_gateup", "w_down")))
 
         def mm(l, h, name, gamma, glu=False, resid=None):
             lin = getattr(b, name)
+            if tl_fused:
+                return ternary_matmul_stacked_tl_fused(
+                    l, h, lin.packed, lin.scales, gamma, k_dim=lin.k,
+                    n_dim=lin.n, eps=eps, glu=glu, resid=resid,
+                    lut_bias=kind == "bitnet32", interpret=interp)
             x2 = h
             if glu:
                 K2 = x2.shape[1] // 2
@@ -442,7 +473,8 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
     quantized = k_scale is not None
     import os as _os
     rows_mode = _os.environ.get("BITNET_CACHE_YS", "0") != "1"
-    plan = decode_attn_plan(B, k_cache.dtype if quantized else None)
+    plan = decode_attn_plan(B, k_cache.dtype if quantized else None,
+                            flat=flat_in)
 
     def body_rows(h, xs):
         """Rows mode: xs caches are PRE-write read-only slices; returns
@@ -723,14 +755,36 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         # [B,S,KV*D] copies (copy.46/47).  The 5D↔flat reshapes here sit
         # OUTSIDE the scan on default layouts (bitcasts).
         # BITNET_CACHE_FLAT=0 restores 5D xs for A/B.
+        #
+        # flat_in (k_cache.ndim == 4): the CALLER already stores the
+        # cache flat [L, B, S, KV*D] across decode steps.  This is the
+        # whole fix for the round-4 B=8 copy storm: a 5D cache carry has
+        # minor dims [KV=5, D=128], and XLA's (8,128) tiling wastes 3/8
+        # sublanes on the KV=5 face — so layout assignment gives the
+        # decode while-loop carry an S-minor layout ({2,4,3,1,0}) and
+        # relayout-copies the FULL cache 4x per step (copy.54/55/58/59,
+        # ~1 ms EACH at B=8 S=1024) to feed the row-major pallas
+        # operands.  A flat [.., 1024, 640] carry tiles perfectly in
+        # row-major, so nothing gets copied.  The engine/bench allocate
+        # flat when the plan rides the stacked kernels (cache_layout()).
         flat = (plan in ("qkv", "qkv_quant",
                          "qkv_batched_v2", "qkv_quant_batched_v2",
                          "batched_v2", "quant_batched_v2",
                          "qkv_v2s", "qkv_quant_v2s")
                 and _os.environ.get("BITNET_CACHE_FLAT", "1") == "1")
-        KVD = k_cache.shape[3] * k_cache.shape[4]
-        kx = k_cache.reshape(L, B, S, KVD) if flat else k_cache
-        vx = v_cache.reshape(L, B, S, KVD) if flat else v_cache
+        if flat_in and not flat:
+            # caller stores flat but the selected plan wants 5D views —
+            # convert here (a bitcast outside the scan) and restore at
+            # the shared exit below
+            k_cache = k_cache.reshape(L, B, S, nkv, D)
+            v_cache = v_cache.reshape(L, B, S, nkv, D)
+        if flat_in and flat:
+            KVD = k_cache.shape[3]
+            kx, vx = k_cache, v_cache
+        else:
+            KVD = k_cache.shape[3] * k_cache.shape[4]
+            kx = k_cache.reshape(L, B, S, KVD) if flat else k_cache
+            vx = v_cache.reshape(L, B, S, KVD) if flat else v_cache
         # Stacked attention (default for the batched v2 plans): the
         # caches do NOT ride the scan as xs at all — the kernel
         # block-indexes the FULL stack via scalar prefetch.  A per-layer
@@ -845,8 +899,14 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
             kx, vx = scatter_kv_rows(
                 kx, vx, k_rows, v_rows, q_positions[:, 0],
                 interpret=interp)
-            k_cache = kx.reshape(L, B, S, nkv, D) if flat else kx
-            v_cache = vx.reshape(L, B, S, nkv, D) if flat else vx
+            if flat_in:                            # caller keeps flat
+                k_cache = kx if kx.ndim == 4 else kx.reshape(
+                    L, B, S, nkv * D)
+                v_cache = vx if vx.ndim == 4 else vx.reshape(
+                    L, B, S, nkv * D)
+            else:
+                k_cache = kx.reshape(L, B, S, nkv, D) if flat else kx
+                v_cache = vx.reshape(L, B, S, nkv, D) if flat else vx
             if quantized:
                 z = jnp.int32(0)
                 for bb in range(B):
@@ -933,6 +993,9 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
                     k_scale = wrs(k_scale, ks_rows)
                     v_scale = wrs(v_scale, vs_rows)
     else:
+        if flat_in:
+            k_cache = k_cache.reshape(L, B, S, nkv, D)
+            v_cache = v_cache.reshape(L, B, S, nkv, D)
         if not quantized:
             # dummy tiny xs keep ONE scan body for both modes
             k_scale = jnp.zeros((L, B, 1, 1), jnp.float32)
@@ -943,6 +1006,9 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
              k_scale, v_scale))
     if not quantized:
         k_scale = v_scale = None
+    if flat_in and k_cache.ndim == 5:
+        k_cache = k_cache.reshape(L, B, S, nkv * D)
+        v_cache = v_cache.reshape(L, B, S, nkv * D)
     return x2[:, None, :], k_cache, v_cache, k_scale, v_scale
 
 
@@ -1303,11 +1369,29 @@ def forward(
 
     if _stacked_decode_ok(cfg, params, T, B, k_scale, kv_positions,
                           window, write_slots, kernel_path):
+        # _decode_stacked accepts flat [L, B, S, KV*D] caches natively
+        # (and returns them in the caller's layout)
         h, k_cache, v_cache, k_scale, v_scale = _decode_stacked(
             cfg, params, x, q_positions, k_cache, v_cache, _pre_len,
             rope_sin, rope_cos, k_scale, v_scale)
         h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
         return h, k_cache, v_cache, k_scale, v_scale
+
+    # prefill / generic paths run on 5D caches; a flat caller gets its
+    # layout back on return (outside any loop these reshapes are
+    # bitcasts on row-major layouts)
+    flat_in = k_cache is not None and k_cache.ndim == 4
+    if flat_in:
+        Lc, Bc, Sc = k_cache.shape[0], k_cache.shape[1], k_cache.shape[2]
+        k_cache = k_cache.reshape(Lc, Bc, Sc, cfg.num_kv_heads,
+                                  cfg.head_dim)
+        v_cache = v_cache.reshape(Lc, Bc, Sc, cfg.num_kv_heads,
+                                  cfg.head_dim)
+
+    def _restore(kc, vc):
+        if flat_in:
+            return (kc.reshape(Lc, Bc, Sc, -1), vc.reshape(Lc, Bc, Sc, -1))
+        return kc, vc
 
     if _stacked_prefill_ok(cfg, params, T, kv_positions, window,
                            write_slots, kernel_path):
@@ -1315,6 +1399,7 @@ def forward(
             cfg, params, x, q_positions, k_cache, v_cache, _pre_len,
             rope_sin, rope_cos, k_scale, v_scale)
         h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
+        k_cache, v_cache = _restore(k_cache, v_cache)
         return h, k_cache, v_cache, k_scale, v_scale
 
     def body(carry, xs):
@@ -1331,6 +1416,7 @@ def forward(
         body, x, (params.blocks, k_cache, v_cache, k_scale, v_scale)
     )
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    k_cache, v_cache = _restore(k_cache, v_cache)
     return x, k_cache, v_cache, k_scale, v_scale
 
 

@@ -548,6 +548,186 @@ def ternary_matmul_stacked_tl(
     return out[:M, :n_dim]
 
 
+def _bitnet32_fused_kernel(x_ref, g_ref, w_ref, s_ref, *rest,
+                           n_k: int, bkt: int, eps: float, has_norm: bool,
+                           glu: bool, has_resid: bool, lut_bias: bool,
+                           interpret: bool):
+    """bitnet32/TL decode kernel with the RMSNorm (+SwiGLU, +residual)
+    fused in — the TL counterpart of `_qk256_w2a8_normed_kernel`.
+
+    Activations stay bf16 (there is no W2A8 recipe for per-32-row scales:
+    the int8 MXU dot cannot absorb a scale that varies along K at
+    granularity 32), but the weights go UNBIASED in-kernel — the unpack
+    produces biased codes, and ``(v − 2) · s32`` folds the zero-point
+    removal into the scale multiply that already exists.  That deletes
+    the separate XLA ``2·(sum32 @ scales[l])`` HIGHEST-precision
+    correction matmul AND its corr operand stream (`_bitnet32_kernel`),
+    and the norm/SwiGLU/residual stop being standalone XLA fusions
+    between matmuls (~6 µs of fixed cost per matmul at B=1,
+    experiments/exp_fixed_ops.py).
+
+    Caller guarantees decode shapes: one M block, K == Kp (the in-kernel
+    norm means column padding cannot be folded into the operand).
+    Reference behavior: the BitNet32-F16 / TL1 / TL2 flavors of
+    crates/bitnet-quantization/src/{i2s.rs:27-50,tl1.rs:49-82} — the
+    reference calls BitNet32 its fast flavor (README.md:44); this gives
+    it the same fused treatment as QK256 on TPU.
+    """
+    if has_resid:
+        resid_ref, out_ref, acc_ref, xb_scr = rest
+    else:
+        out_ref, acc_ref, xb_scr = rest
+        resid_ref = None
+    n = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when((n == 0) & (k == 0))
+    def _():
+        xf = x_ref[:].astype(jnp.float32)              # [M, Kp] / [M, 2Kp]
+        if glu:
+            Kp = xf.shape[1] // 2
+            gate = xf[:, :Kp]
+            xf = gate * jax.lax.logistic(gate) * xf[:, Kp:]   # silu(g)·up
+        if has_norm:
+            var = jnp.mean(xf * xf, axis=1, keepdims=True)
+            xf = xf * jax.lax.rsqrt(var + jnp.float32(eps))
+            xf = xf * g_ref[:].astype(jnp.float32)     # [1, Kp] broadcast
+        M = xf.shape[0]
+        xb_scr[0:M, :] = xf.astype(jnp.bfloat16)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    base = k * bkt * KT
+    for t in range(bkt):
+        p32 = w_ref[pl.ds(t * (KT // 16), KT // 16), :]
+        v = _unpack_words_biased_i8(p32, interpret, lut_bias).astype(
+            jnp.float32)                                # {0,1,3,4} / {0..3}
+        s = s_ref[pl.ds(t * (KT // 32), KT // 32), :]   # [KT/32, bn] f32
+        s32 = jnp.broadcast_to(
+            s[:, None, :], (s.shape[0], 32, s.shape[1])
+        ).reshape(s.shape[0] * 32, s.shape[1])
+        w = ((v - 2.0) * s32).astype(jnp.bfloat16)      # UNBIASED, scaled
+        acc_ref[:] += jnp.dot(
+            xb_scr[:, pl.ds(base + t * KT, KT)], w,
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        if has_resid:
+            M = resid_ref.shape[0]
+            out_ref[0:M, :] = (
+                acc_ref[0:M, :] + resid_ref[:].astype(jnp.float32)
+            ).astype(out_ref.dtype)
+        else:
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _bitnet32_fused_stacked_kernel(l_ref, x_ref, g_ref, w_ref, s_ref,
+                                   *rest, n_k: int, bkt: int, eps: float,
+                                   has_norm: bool, glu: bool,
+                                   has_resid: bool, lut_bias: bool,
+                                   interpret: bool):
+    """Stacked-layer wrapper of `_bitnet32_fused_kernel` (weights + scale
+    planes as full [L, ...] stacks indexed via scalar prefetch)."""
+    del l_ref  # consumed by the BlockSpec index maps
+    _bitnet32_fused_kernel(
+        x_ref, g_ref.at[0], w_ref.at[0], s_ref.at[0], *rest,
+        n_k=n_k, bkt=bkt, eps=eps, has_norm=has_norm, glu=glu,
+        has_resid=has_resid, lut_bias=lut_bias, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_dim", "n_dim", "eps", "glu", "lut_bias",
+                     "interpret", "blocks"),
+)
+def ternary_matmul_stacked_tl_fused(
+    l: jnp.ndarray,            # [] / [1] int32 layer index (traced)
+    x: jnp.ndarray,            # [M, K] raw (or [M, 2K] when glu)
+    packed: jnp.ndarray,       # [L, Kp/16, Np] stacked int32 words
+    scales: jnp.ndarray,       # [L, Kp/32, Np] f32 per-32-row scales
+    gamma: jnp.ndarray | None, # [L, Kp] RMSNorm weights (None = no norm)
+    k_dim: int,
+    n_dim: int,
+    eps: float = 1e-5,
+    glu: bool = False,
+    resid: jnp.ndarray | None = None,   # [M, n_dim]
+    lut_bias: bool = False,    # True: bitnet32 LUT {-2,-1,1,2}; False: TL
+    interpret: bool = False,
+    blocks: tuple[int, int, int] | None = None,
+) -> jnp.ndarray:
+    """Decode-shaped fused bitnet32/TL matmul over one layer of stacked
+    weight + scale arrays (see `_bitnet32_fused_kernel`).  Caller
+    guarantees K == Kp (k_dim % 256 == 0), one M block."""
+    M = x.shape[0]
+    Kp = packed.shape[1] * 16
+    Np = packed.shape[2]
+    if k_dim != Kp:
+        raise KernelError(
+            f"fused TL kernel needs k_dim == Kp ({k_dim} != {Kp}); "
+            "use ternary_matmul_stacked_tl")
+    bm, bn, bkt = blocks or _pick_blocks_stacked(M, Kp, Np)
+    bk = bkt * KT
+    n_k = Kp // bk
+    grid = (1, Np // bn, n_k)
+
+    s = jnp.asarray(scales, jnp.float32)
+    if s.shape[1] * 32 != Kp or s.shape[2] != Np:
+        s = jnp.pad(s, ((0, 0), (0, Kp // 32 - s.shape[1]),
+                        (0, Np - s.shape[2])))
+
+    has_norm = gamma is not None
+    g = (gamma.reshape(-1, 1, Kp).astype(jnp.float32) if has_norm
+         else jnp.ones((1, 1, Kp), jnp.float32))
+    g_map = ((lambda m, n, k, lr: (lr[0], 0, 0)) if has_norm
+             else (lambda m, n, k, lr: (0, 0, 0)))
+    in_specs = [
+        pl.BlockSpec((M, x.shape[1]), lambda m, n, k, lr: (0, 0)),
+        pl.BlockSpec((1, 1, Kp), g_map),
+        pl.BlockSpec((1, bk // 16, bn), lambda m, n, k, lr: (lr[0], k, n)),
+        pl.BlockSpec((1, bk // 32, bn), lambda m, n, k, lr: (lr[0], k, n)),
+    ]
+    operands = [x, g, packed, s]
+    has_resid = resid is not None
+    if has_resid:
+        if resid.shape[1] != Np:
+            resid = jnp.pad(resid, ((0, 0), (0, Np - resid.shape[1])))
+        in_specs.append(pl.BlockSpec((M, bn), lambda m, n, k, lr: (0, n)))
+        operands.append(resid)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, lr: (m, n)),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),      # accumulator
+            pltpu.VMEM((bm, Kp), jnp.bfloat16),     # normed activations
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _bitnet32_fused_stacked_kernel, n_k=n_k, bkt=bkt, eps=eps,
+            has_norm=has_norm, glu=glu, has_resid=has_resid,
+            lut_bias=lut_bias, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((bm, Np), x.dtype),
+        grid_spec=gs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * Kp * Np,
+            bytes_accessed=(Kp // 4) * Np + (Kp // 32) * Np * 4
+            + bm * Np * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), *operands)
+    return out[:M, :n_dim]
+
+
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     size = x.shape[axis]
     target = -(-size // mult) * mult

@@ -13,8 +13,8 @@ sys.path.insert(0, "/root/repo")
 ONLY = os.environ.get("ONLY", "V8")
 ENV = {
     "E8": {"BITNET_BATCHED_ATTN": "0"},
-    "V8": {},
-    "VQ8": {},
+    "V8": {"BITNET_BATCHED_ATTN": "v2"},
+    "VQ8": {"BITNET_BATCHED_ATTN": "v2"},
     "K8": {"BITNET_BATCHED_ATTN": "v2qkv"},
     "R1": {},
     "Q1": {},
@@ -47,7 +47,11 @@ def main():
     def bench_decode(n_hi=48, n_lo=12):
         L = cfg.num_layers
         dt = jnp.int8 if quant else jnp.bfloat16
-        kc0 = jnp.zeros((L, B, S, cfg.num_kv_heads, cfg.head_dim), dt)
+        if os.environ.get("CACHE", "flat") == "flat":
+            kc0 = jnp.zeros(
+                (L, B, S, cfg.num_kv_heads * cfg.head_dim), dt)
+        else:
+            kc0 = jnp.zeros((L, B, S, cfg.num_kv_heads, cfg.head_dim), dt)
         ks0 = (jnp.zeros((L, B, S, cfg.num_kv_heads), jnp.float32)
                if quant else None)
 

@@ -752,10 +752,16 @@ class TestDecodeAttnPlan:
         (2, "int8", {"BITNET_B1_ATTN": "v1"}, "qkv_quant"),
         (1, "fp8", {}, "einsum"),                      # fp8 gated off
         (1, "fp8", {"BITNET_FP8_KERNEL": "1"}, "qkv_quant_v2s"),
-        (8, None, {}, "einsum"),                       # B>2 default
+        # B>2 default: the v2 whole-batch kernels on FLAT caches, einsum
+        # on 5D (where the pallas path pays the relayout copy storm)
+        (8, None, {"_flat": "1"}, "batched_v2"),
+        (8, "int8", {"_flat": "1"}, "quant_batched_v2"),
+        (8, None, {}, "einsum"),
         (8, "int8", {}, "einsum"),
-        (8, None, {"BITNET_BATCHED_ATTN": "v2"}, "batched_v2"),
-        (8, "int8", {"BITNET_BATCHED_ATTN": "v2"}, "quant_batched_v2"),
+        (8, None, {"BITNET_BATCHED_ATTN": "v2", "_flat": "1"},
+         "batched_v2"),
+        (8, "int8", {"BITNET_BATCHED_ATTN": "v2", "_flat": "1"},
+         "quant_batched_v2"),
         (8, None, {"BITNET_BATCHED_ATTN": "v2qkv"}, "qkv_batched_v2"),
         (8, "int8", {"BITNET_BATCHED_ATTN": "v2qkv"},
          "qkv_quant_batched_v2"),
@@ -779,8 +785,10 @@ class TestDecodeAttnPlan:
                   "BITNET_FP8_KERNEL", "BITNET_DECODE_ATTN_MAX_B",
                   "BITNET_CACHE_YS", "BITNET_B1_ATTN"):
             monkeypatch.delenv(k, raising=False)
+        env = dict(env)
+        flat = env.pop("_flat", None) == "1"
         for k, v in env.items():
             monkeypatch.setenv(k, v)
         dtype = {None: None, "int8": jnp.int8,
                  "fp8": jnp.float8_e4m3fn}[dt]
-        assert decode_attn_plan(B, dtype) == want
+        assert decode_attn_plan(B, dtype, flat=flat) == want

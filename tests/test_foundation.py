@@ -96,6 +96,11 @@ class TestMemoryEstimate:
         long = EngineConfig(kv_cache_dtype="auto", max_seq_len=4096)
         assert short.resolve_kv_cache_dtype() == "bf16"
         assert long.resolve_kv_cache_dtype() == "int8"
+        # batched pools: int8 wins already at S=1024 on the flat-cache
+        # whole-batch v2 kernels (round-4 on-chip: 1.72 vs 2.00 ms/step)
+        pool = EngineConfig(kv_cache_dtype="auto", max_seq_len=1024,
+                            max_batch_size=8)
+        assert pool.resolve_kv_cache_dtype() == "int8"
         explicit = EngineConfig(kv_cache_dtype="fp8", max_seq_len=8192)
         assert explicit.resolve_kv_cache_dtype() == "fp8"
         # memory estimate follows the resolved dtype

@@ -199,3 +199,109 @@ class TestInt8Head:
                                       ).GenerationConfig(
                                max_new_tokens=3, greedy=True))
         assert len(out.token_ids) >= 1
+
+
+class TestFlatCacheLayout:
+    """Round-4: the decode cache can be stored FLAT [L, B, S, KV*D] by
+    the caller — the 5D [.., KV, D] while-carry made XLA pick an S-minor
+    layout (sublane padding on KV=5) and relayout-copy the full cache 4x
+    per step at B=8.  forward() must accept either layout on every plan
+    and return the caller's layout with identical numerics."""
+
+    # loose=True marks pairs where the two layouts legitimately select
+    # DIFFERENT plans (5D -> einsum, flat -> pallas batched_v2): numerics
+    # then differ at bf16 level, not bitwise
+    @pytest.mark.parametrize("B,quant,env,loose", [
+        (1, False, {}, False),
+        (1, True, {}, False),
+        (8, False, {"BITNET_BATCHED_ATTN": "0"}, False),  # einsum both
+        (8, True, {"BITNET_BATCHED_ATTN": "0"}, False),
+        (8, False, {}, True),                 # einsum-5D vs pallas-flat
+        (8, True, {}, True),
+        (8, False, {"BITNET_BATCHED_ATTN": "v2qkv"}, False),
+    ])
+    def test_flat_matches_5d(self, mini_gguf_qk256, B, quant, env, loose,
+                             monkeypatch):
+        import dataclasses
+
+        from bitnet_tpu.models.bitnet import fuse_block_params
+
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        cfg, params, _ = load_model(mini_gguf_qk256.path)
+        params = dataclasses.replace(
+            params, blocks=fuse_block_params(params.blocks))
+        L, KV, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+        S = 32
+        dt = jnp.int8 if quant else jnp.bfloat16
+        rng = np.random.default_rng(7)
+        kc5 = jnp.zeros((L, B, S, KV, D), dt)
+        ks = jnp.zeros((L, B, S, KV), jnp.float32) if quant else None
+        vs = jnp.zeros_like(ks) if quant else None
+        tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 1)),
+                          jnp.int32)
+        pos = jnp.asarray(rng.integers(0, 3, (B, 1)), jnp.int32)
+        vl = pos[:, 0]
+        h5, k5, v5, ks5, _ = forward(
+            cfg, params, tok, pos, kc5, jnp.zeros_like(kc5), vl, 1,
+            "w2a8", ks, vs)
+        kcf = kc5.reshape(L, B, S, KV * D)
+        hf, kf, vf, ksf, _ = forward(
+            cfg, params, tok, pos, kcf, jnp.zeros_like(kcf), vl, 1,
+            "w2a8", ks, vs)
+        assert kf.ndim == 4 and vf.ndim == 4
+        if loose:
+            a = np.asarray(hf, np.float64).reshape(B, -1)
+            r = np.asarray(h5, np.float64).reshape(B, -1)
+            for bb in range(B):
+                cos = float(a[bb] @ r[bb] / (np.linalg.norm(a[bb])
+                                             * np.linalg.norm(r[bb])
+                                             + 1e-12))
+                assert cos > 0.999, (bb, cos)
+            np.testing.assert_allclose(a, r, atol=2e-1)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(hf, np.float32), np.asarray(h5, np.float32),
+                atol=1e-5)
+        if loose:
+            # deeper layers' rows inherit the hidden-state drift between
+            # the two plans (bf16 kernel vs f32 einsum) — same loose
+            # gate; quantized codes are only comparable scale-applied
+            kff = np.asarray(kf, np.float32)
+            k5f = np.asarray(k5.reshape(L, B, S, KV * D), np.float32)
+            if quant:
+                kff = kff * np.repeat(np.asarray(ksf, np.float32),
+                                      D, axis=-1)
+                k5f = k5f * np.repeat(np.asarray(ks5, np.float32),
+                                      D, axis=-1)
+            np.testing.assert_allclose(kff, k5f, atol=2e-1)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(kf), np.asarray(k5.reshape(L, B, S, KV * D)))
+            np.testing.assert_array_equal(
+                np.asarray(vf), np.asarray(v5.reshape(L, B, S, KV * D)))
+        if quant and not loose:
+            np.testing.assert_array_equal(np.asarray(ksf),
+                                          np.asarray(ks5))
+
+    def test_flat_prefill_roundtrip(self, mini_gguf_qk256):
+        """T>1 (prefill path) with a flat caller cache: layout restored,
+        numerics match the 5D call."""
+        cfg, params, _ = load_model(mini_gguf_qk256.path)
+        L, KV, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+        B, S, T = 1, 32, 3
+        kc5 = jnp.zeros((L, B, S, KV, D), jnp.bfloat16)
+        tok = jnp.asarray([[5, 9, 2]], jnp.int32)
+        pos = jnp.asarray([[0, 1, 2]], jnp.int32)
+        vl = jnp.zeros((B,), jnp.int32)
+        h5, k5, v5, *_ = forward(cfg, params, tok, pos, kc5,
+                                 jnp.zeros_like(kc5), vl, T, "w2a8")
+        kcf = kc5.reshape(L, B, S, KV * D)
+        hf, kf, vf, *_ = forward(cfg, params, tok, pos, kcf,
+                                 jnp.zeros_like(kcf), vl, T, "w2a8")
+        assert kf.shape == kcf.shape
+        np.testing.assert_allclose(
+            np.asarray(hf, np.float32), np.asarray(h5, np.float32),
+            atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(kf), np.asarray(k5.reshape(L, B, S, KV * D)))

@@ -25,7 +25,10 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module")
-def payload(rng):
+def payload():
+    # own rng: the shared `rng` fixture is function-scoped (round-3
+    # flake fix) and can't feed a module-scoped fixture
+    rng = np.random.default_rng(0xB17)
     w = rng.normal(size=(16, 512)).astype(np.float32) * 1.2
     return w, np.frombuffer(quantize_qk256(w), np.uint8)
 

@@ -182,6 +182,79 @@ class TestTLStackedDecode:
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=2e-2, atol=2e-2)
 
+    @pytest.mark.parametrize("lut_bias", [False, True])
+    @pytest.mark.parametrize("mode", ["norm", "nonorm", "glu_resid"])
+    def test_fused_tl_kernel_matches_unfused(self, lut_bias, mode):
+        """The round-4 fused TL kernel (in-kernel norm/SwiGLU/residual,
+        unbiased (v-2)*s32 weights, no XLA correction matmul) must match
+        XLA prep + ternary_matmul_stacked_tl."""
+        import jax
+
+        from bitnet_tpu.models.bitnet import rms_norm
+        from bitnet_tpu.ops.linear import _repack_words
+        from bitnet_tpu.ops.ternary_matmul import (
+            ternary_matmul_stacked_tl,
+            ternary_matmul_stacked_tl_fused,
+        )
+
+        rng = np.random.default_rng(11 + int(lut_bias))
+        L, M, K, N = 3, 2, 256, 256
+        glu = mode == "glu_resid"
+        packs, scs = [], []
+        for _ in range(L):
+            codes = rng.integers(0, 4, (K, N)).astype(np.uint8)
+            packs.append(_repack_words(codes))
+            scs.append(rng.uniform(0.5, 1.5, (K // 32, N)).astype(
+                np.float32))
+        packed = jnp.stack([jnp.asarray(p) for p in packs])
+        scales = jnp.stack([jnp.asarray(s) for s in scs])
+        gamma = (None if mode == "nonorm" else jnp.asarray(
+            rng.uniform(0.5, 1.5, (L, K)), jnp.float32))
+        x = jnp.asarray(rng.standard_normal((M, 2 * K if glu else K)),
+                        jnp.float32)
+        resid = (jnp.asarray(rng.standard_normal((M, N)), jnp.float32)
+                 if glu else None)
+        eps = 1e-5
+        for li in range(L):
+            x2 = x
+            if glu:
+                x2 = jax.nn.silu(x2[:, :K]) * x2[:, K:]
+            if gamma is not None:
+                x2 = rms_norm(x2, gamma[li], eps)
+            ref = ternary_matmul_stacked_tl(
+                jnp.int32(li), x2, packed, scales, k_dim=K, n_dim=N,
+                lut_bias=lut_bias, interpret=True, blocks=(16, 128, 1))
+            if resid is not None:
+                ref = ref + resid
+            got = ternary_matmul_stacked_tl_fused(
+                jnp.int32(li), x, packed, scales, gamma, k_dim=K,
+                n_dim=N, eps=eps, glu=glu, resid=resid,
+                lut_bias=lut_bias, interpret=True, blocks=(16, 128, 1))
+            g = np.asarray(got, np.float64)
+            r = np.asarray(ref, np.float64)
+            # bf16 rounding paths differ (fused rounds (v-2)*s32 once;
+            # unfused rounds v*s32 then subtracts an f32 correction) —
+            # gate on magnitude-relative error + cosine, not elementwise
+            atol = 0.02 * np.abs(r).max()
+            np.testing.assert_allclose(g, r, atol=atol)
+            cos = float((g * r).sum()
+                        / (np.linalg.norm(g) * np.linalg.norm(r) + 1e-12))
+            assert cos > 0.9999, cos
+
+    def test_fused_tl_rejects_unaligned_k(self):
+        from bitnet_tpu.errors import KernelError
+        from bitnet_tpu.ops.ternary_matmul import (
+            ternary_matmul_stacked_tl_fused,
+        )
+
+        packed = jnp.zeros((1, 16, 128), jnp.int32)   # Kp = 256
+        scales = jnp.ones((1, 8, 128), jnp.float32)
+        x = jnp.zeros((1, 200), jnp.float32)
+        with pytest.raises(KernelError):
+            ternary_matmul_stacked_tl_fused(
+                jnp.int32(0), x, packed, scales, None, k_dim=200,
+                n_dim=128, interpret=True)
+
     def test_tl_w2a8_engine_matches_xla(self, mini_gguf_qk256):
         """TL decode through the stacked loop (kernel_path w2a8) must
         agree with the XLA TL path on logits cosine and a greedy prefix."""
