@@ -33,6 +33,12 @@ preflight:
 gate:
 	$(PY) -m bitnet_tpu.cli gate --require-native
 
+# full-width 2B readiness rehearsal: synthetic 2B GGUF → CLI load →
+# generate+receipt → cosine+ppl crossval vs the C++ AND numpy goldens.
+# One JSON verdict line; < 10 min (first run generates the GGUF).
+gate-2b:
+	$(PY) tools/gate_2b.py
+
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	  $(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
@@ -41,4 +47,4 @@ clean:
 	$(MAKE) -C native clean
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
 
-.PHONY: test test-fast bench native preflight gate dryrun clean
+.PHONY: test test-fast bench native preflight gate gate-2b dryrun clean

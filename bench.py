@@ -50,6 +50,10 @@ _SHAPES = {
                num_layers=30, num_heads=20, num_kv_heads=5, head_dim=128),
     "8b": dict(vocab_size=128256, hidden_size=4096, intermediate_size=14336,
                num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128),
+    # CPU-smoke shape for the --mesh scaling harness (tp≤2 shards the
+    # 2 kv heads; virtual-device runs are indicative only)
+    "mini": dict(vocab_size=512, hidden_size=256, intermediate_size=512,
+                 num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64),
 }
 
 
@@ -260,6 +264,78 @@ def _wait_for_relay() -> bool:
         time.sleep(min(60.0, max(1.0, deadline - time.time())))
 
 
+def bench_sharded(cfg, params, kernel_path: str, dp: int, tp: int,
+                  S: int = 1024, n_hi: int = 24, n_lo: int = 6) -> dict:
+    """Sharded decode-step benchmark over a dp×tp mesh on whatever
+    devices exist (virtual CPU today, chips tomorrow) — VERDICT r3 #9:
+    the scaling row mirrors `xtask benchmark` determinism
+    (/root/reference/xtask/src/main.rs:740-743).
+
+    Weak scaling: the mesh runs B = dp sequences (one per data shard)
+    against a single-device B=1 run of the same step; efficiency =
+    (B / t_mesh) / (n_dev · (1 / t_single))."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitnet_tpu.engine.cache import allocate_cache
+    from bitnet_tpu.models.bitnet import forward, logits as model_logits
+    from bitnet_tpu.obs.timing import chain_timer
+    from bitnet_tpu.parallel import make_mesh, shard_cache, shard_params
+
+    n_dev = dp * tp
+    mesh = make_mesh(dp=dp, tp=tp)
+    B = dp
+
+    def step_fn(prm, carry):
+        tok, pos, kc, vc = carry
+        h, kc, vc, _, _ = forward(
+            cfg, prm, tok[:, None], jnp.minimum(pos, S - 1)[:, None],
+            kc, vc, jnp.minimum(pos, S - 1), 1, kernel_path)
+        lg = model_logits(cfg, prm, h, kernel_path)[:, 0, :]
+        nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+        return nxt, pos + 1, kc, vc
+
+    # single-device reference (B=1, unsharded, 5D cache to match the
+    # sharded run's plan — einsum — so efficiency isolates SCALING)
+    kc1 = jnp.zeros((cfg.num_layers, 1, S, cfg.num_kv_heads,
+                     cfg.head_dim), jnp.bfloat16)
+
+    def mk1(i):
+        return (jnp.full((1,), (i * 7) % cfg.vocab_size, jnp.int32),
+                jnp.zeros((1,), jnp.int32), kc1, jnp.zeros_like(kc1))
+
+    t_single = chain_timer(step_fn, mk1, n_hi, n_lo, pairs=2,
+                           const_arg=params)
+
+    params_s = shard_params(mesh, cfg, params)
+    cache = shard_cache(mesh, allocate_cache(cfg, B, S, "bf16"))
+
+    def mkm(i):
+        return (jnp.full((B,), (i * 7) % cfg.vocab_size, jnp.int32),
+                jnp.zeros((B,), jnp.int32), cache.k, cache.v)
+
+    t_mesh = chain_timer(step_fn, mkm, n_hi, n_lo, pairs=2,
+                         const_arg=params_s)
+    eff = (B / t_mesh) / (n_dev * (1.0 / t_single)) * 100.0
+    # on a virtual (time-shared) mesh the honest yardstick is the
+    # SERIALIZED time: n_dev devices' work on one host — ideal t_mesh =
+    # n_dev * t_single there, not t_single
+    eff_serial = (n_dev * t_single) / t_mesh * 100.0
+    return {
+        "scaling_efficiency_vs_serialized_pct": round(eff_serial, 1),
+        "metric": "bitnet-2B sharded decode scaling "
+                  f"(dp={dp} tp={tp}, weak scaling vs 1 device)",
+        "value": round(B / t_mesh, 2),
+        "unit": "tok/s",
+        "mesh": f"dp{dp}xtp{tp}",
+        "n_devices": n_dev,
+        "decode_ms_per_step": round(t_mesh * 1e3, 3),
+        "single_device_ms_per_step": round(t_single * 1e3, 3),
+        "scaling_efficiency_pct": round(eff, 1),
+        "vs_baseline": round(eff / 80.0, 2),   # BASELINE: ≥80% 1→8 chips
+    }
+
+
 def main() -> None:
     if not _wait_for_relay():
         _fail_json("TPU relay unreachable (probes failed for "
@@ -316,6 +392,32 @@ def main() -> None:
           f"kernel_path={kernel_path} fused_projections=True "
           f"logits_dtype={'int8' if kernel_path == 'w2a8' else 'bf16'}",
           file=sys.stderr)
+
+    # --mesh DPxTP: sharded scaling row instead of the standard bench
+    # (virtual CPU mesh today: set JAX_PLATFORMS=cpu XLA_FLAGS=
+    # --xla_force_host_platform_device_count=N; real chips tomorrow)
+    mesh_arg = None
+    for i, a in enumerate(sys.argv[1:], 1):
+        if a == "--mesh" and i < len(sys.argv) - 0:
+            mesh_arg = sys.argv[i + 1] if i + 1 < len(sys.argv) else None
+        elif a.startswith("--mesh="):
+            mesh_arg = a.split("=", 1)[1]
+    if mesh_arg:
+        dp, tp = (int(x) for x in mesh_arg.lower().split("x"))
+        import jax as _jax
+
+        need = dp * tp
+        have = len(_jax.devices())
+        if have < need:
+            _fail_json(f"--mesh {mesh_arg} needs {need} devices, "
+                       f"have {have}")
+            sys.exit(3)
+        row = bench_sharded(cfg, params, kernel_path, dp, tp)
+        row["backend"] = backend
+        if backend != "tpu":
+            row["note"] = "virtual CPU mesh — scaling indicative only"
+        print(json.dumps(row))
+        return
 
     # repeat the headline measurement and keep the MIN: the relay's
     # documented 15-50% drift only ever ADDS time, so the fastest sample

@@ -276,7 +276,11 @@ class ContinuousBatchingScheduler:
             self.cache = allocate_sharded_cache(
                 mesh, cfg, self.B, self.S, kv_dtype)
         else:
-            self.cache = allocate_cache(cfg, self.B, self.S, kv_dtype)
+            # layout='auto' -> flat [L,B,S,KV*D] when the pool's
+            # decode plan rides the whole-batch v2 kernels (round 4:
+            # B=8 2.00 vs einsum's 2.78 ms/step; int8 1.72)
+            self.cache = allocate_cache(cfg, self.B, self.S, kv_dtype,
+                                        layout="auto")
         self.slots = [_Slot() for _ in range(self.B)]
         self.pending: "queue.PriorityQueue[tuple[int, float, int, Request]]" \
             = queue.PriorityQueue()
@@ -605,9 +609,18 @@ class ContinuousBatchingScheduler:
             @jax.jit
             def prefill(params, tokens, positions, n_real, last_idx):
                 B1, S = 1, self.S
-                kc = jnp.zeros(
-                    (cfg.num_layers, B1, S, cfg.num_kv_heads, cfg.head_dim),
-                    self.cache.k.dtype)
+                # staging cache matches the POOL layout so splice is a
+                # straight dynamic_update_slice either way
+                if self.cache.k.ndim == 4:
+                    kc = jnp.zeros(
+                        (cfg.num_layers, B1, S,
+                         cfg.num_kv_heads * cfg.head_dim),
+                        self.cache.k.dtype)
+                else:
+                    kc = jnp.zeros(
+                        (cfg.num_layers, B1, S, cfg.num_kv_heads,
+                         cfg.head_dim),
+                        self.cache.k.dtype)
                 vc = jnp.zeros_like(kc)
                 ks = vs = None
                 if self.cache.k_scale is not None:
@@ -645,12 +658,14 @@ class ContinuousBatchingScheduler:
 
         @partial(jax.jit, donate_argnums=(0,))
         def splice(cache: KVCache, kc, vc, ks, vs, slot, length):
-            """Insert a prefilled B=1 sequence into pool slot ``slot``."""
+            """Insert a prefilled B=1 sequence into pool slot ``slot``
+            (kc/vc arrive in the pool's layout, 5D or flat)."""
+            at = ((0, slot, 0, 0) if cache.k.ndim == 4
+                  else (0, slot, 0, 0, 0))
             k = jax.lax.dynamic_update_slice(
-                cache.k, kc.astype(cache.k.dtype),
-                (0, slot, 0, 0, 0))
+                cache.k, kc.astype(cache.k.dtype), at)
             v = jax.lax.dynamic_update_slice(
-                cache.v, vc.astype(cache.v.dtype), (0, slot, 0, 0, 0))
+                cache.v, vc.astype(cache.v.dtype), at)
             new = dataclasses.replace(
                 cache, k=k, v=v,
                 lengths=jax.lax.dynamic_update_slice(
@@ -864,6 +879,13 @@ class ContinuousBatchingScheduler:
             else:
                 kr = np.asarray(self.cache.k[:, i, :kv_len])
                 vr = np.asarray(self.cache.v[:, i, :kv_len])
+                if kr.ndim == 3:    # flat pool -> canonical snapshot
+                    kr = kr.reshape(self.cfg.num_layers, kv_len,
+                                    self.cfg.num_kv_heads,
+                                    self.cfg.head_dim)
+                    vr = vr.reshape(self.cfg.num_layers, kv_len,
+                                    self.cfg.num_kv_heads,
+                                    self.cfg.head_dim)
                 ks = (np.asarray(self.cache.k_scale[:, i, :kv_len])
                       if self.cache.k_scale is not None else None)
                 vs = (np.asarray(self.cache.v_scale[:, i, :kv_len])
@@ -1014,10 +1036,18 @@ class ContinuousBatchingScheduler:
                     lengths=self.cache.lengths.at[slot_idx].set(
                         state.kv_len))
             else:
-                kc = np.zeros((L, 1, self.S, KV, D), kd)
-                vc = np.zeros_like(kc)
-                kc[:, 0, : state.kv_len] = state.k
-                vc[:, 0, : state.kv_len] = state.v
+                if self.cache.k.ndim == 4:
+                    kc = np.zeros((L, 1, self.S, KV * D), kd)
+                    vc = np.zeros_like(kc)
+                    kc[:, 0, : state.kv_len] = state.k.reshape(
+                        L, state.kv_len, KV * D)
+                    vc[:, 0, : state.kv_len] = state.v.reshape(
+                        L, state.kv_len, KV * D)
+                else:
+                    kc = np.zeros((L, 1, self.S, KV, D), kd)
+                    vc = np.zeros_like(kc)
+                    kc[:, 0, : state.kv_len] = state.k
+                    vc[:, 0, : state.kv_len] = state.v
                 ks = vs = None
                 if self.cache.k_scale is not None:
                     ks = np.ones((L, 1, self.S, KV), np.float32)

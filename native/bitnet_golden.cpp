@@ -664,6 +664,10 @@ std::vector<float> forward(const Model& m, const std::vector<int>& toks) {
 
 }  // namespace
 
+// llamastub (native/llamastub/llama_stub.cpp) #includes this TU to reuse
+// the GGUF parser + forward pass behind a llama.h-compatible C API; it
+// supplies its own entry point.
+#ifndef BITNET_GOLDEN_NO_MAIN
 int main(int argc, char** argv) {
   std::string model_path, tokens_csv, out_path, dump_tensor;
   for (int i = 1; i < argc; ++i) {
@@ -736,3 +740,4 @@ int main(int argc, char** argv) {
                toks.size(), m.V, out_path.c_str());
   return 0;
 }
+#endif  // BITNET_GOLDEN_NO_MAIN
