@@ -71,6 +71,10 @@ def _add_gen_flags(p: argparse.ArgumentParser) -> None:
                    help="decode tokens per host round-trip (K-step "
                         "on-device segments; 0 = auto: 8 on TPU). "
                         "Tokens are bit-identical to K=1.")
+    p.add_argument("--sliding-window", type=int, default=0, metavar="W",
+                   help="sliding-window attention over a ring-buffer KV "
+                        "cache: HBM is O(W) while the stream runs to "
+                        "--max-seq-len (reference sliding_window.rs)")
     p.add_argument("--strict", action="store_true",
                    help="strict mode: no mock tokenizer, no fallback kernels")
     p.add_argument("--no-stream", action="store_true")
@@ -99,6 +103,7 @@ def _build_engine(args):
         compute_dtype=args.compute_dtype,
         weight_quant=getattr(args, "weight_quant", "none"),
         decode_steps_per_dispatch=getattr(args, "decode_steps", 0),
+        sliding_window=getattr(args, "sliding_window", 0),
         strict=strict,
     )
     tokenizer = None
@@ -882,7 +887,9 @@ def cmd_serve(args) -> int:
           paged=args.paged, num_pages=args.num_pages,
           page_size=args.page_size,
           chunked_prefill=args.chunked_prefill,
-          speculative_k=args.speculative)
+          speculative_k=args.speculative,
+          decode_steps_per_dispatch=args.serve_decode_steps,
+          pipeline_depth=args.pipeline_depth)
     return 0
 
 
@@ -948,6 +955,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="prefill long prompts N tokens per scheduler "
                         "step, interleaved with decode (bounds "
                         "inter-token latency of in-flight streams)")
+    p.add_argument("--serve-decode-steps", type=int, default=1,
+                   metavar="K",
+                   help="decode steps per device dispatch in the "
+                        "serving pool (tokens identical to K=1; stop/"
+                        "admission latency bounded by K)")
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   metavar="D",
+                   help="issue up to D decode windows ahead of the "
+                        "reader (device-resident decode state; hides "
+                        "per-dispatch host cost — dense single-host "
+                        "pools)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert", help="SafeTensors → GGUF")

@@ -266,6 +266,13 @@ class EngineConfig:
     # and re-prefills (reference keep-half truncation, engine.rs:1222-1227);
     # 'stop' ends generation with StopReason.CONTEXT_FULL
     context_overflow: str = "shift"
+    # sliding-window attention over a ring-buffer KV cache (reference
+    # WindowedKVCache, bitnet-gpu-hal/src/sliding_window.rs:238-441):
+    # > 0 allocates a [L, B, W, KV, D] ring instead of the [.., S, ..]
+    # dense cache — HBM is O(window) while streams run to max_seq_len
+    # (the rope/position bound).  Each query attends to the last
+    # ``sliding_window`` positions only.  0 = full (dense) attention.
+    sliding_window: int = 0
     strict: StrictMode = field(default_factory=StrictMode)
 
     def resolve_kv_cache_dtype(self) -> str:
@@ -278,6 +285,10 @@ class EngineConfig:
         wins already at S=1024 (1.72 vs 2.00 ms/step at B=8, round 4)."""
         if self.kv_cache_dtype != "auto":
             return self.kv_cache_dtype
+        if self.sliding_window > 0:
+            # the windowed ring rides the generic (einsum) decode path,
+            # where the quantize/dequantize glue never amortizes
+            return "bf16"
         if self.max_batch_size > 2:
             return "int8"
         return "int8" if self.max_seq_len >= 4096 else "bf16"
@@ -293,6 +304,23 @@ class EngineConfig:
             raise ConfigError(f"bad weight_quant {self.weight_quant!r}")
         if self.decode_steps_per_dispatch < 0:
             raise ConfigError("decode_steps_per_dispatch must be >= 0")
+        if self.sliding_window < 0:
+            raise ConfigError("sliding_window must be >= 0")
+        if self.sliding_window > 0:
+            if self.sliding_window < 16:
+                raise ConfigError("sliding_window must be >= 16 tokens")
+            if self.sliding_window > self.max_seq_len:
+                raise ConfigError(
+                    "sliding_window exceeds max_seq_len (a window wider "
+                    "than the stream bound is just a dense cache)")
+            if self.prefix_cache_tokens > 0:
+                raise ConfigError(
+                    "prefix_cache_tokens requires the dense cache "
+                    "(prefix snapshots are position-indexed slices)")
+            if self.kv_cache_dtype in ("int8", "fp8"):
+                raise ConfigError(
+                    "sliding_window supports bf16/f32 KV only (the ring "
+                    "rides the generic attention path)")
         if self.logits_dtype not in ("auto", "bf16", "int8"):
             raise ConfigError(f"bad logits_dtype {self.logits_dtype!r}")
         if self.kernel_path not in ("auto", "w2a8", "pallas", "xla"):

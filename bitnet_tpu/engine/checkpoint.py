@@ -52,19 +52,25 @@ class DecodeState:
 def capture(engine, prompt_ids: list[int], generated_ids: list[int],
             rng_key=None) -> DecodeState:
     """Snapshot the engine's slot-0 decode state to host memory."""
+    if getattr(engine, "windowed", False):
+        from ..errors import InferenceError
+
+        raise InferenceError(
+            "checkpoint capture requires the dense cache (a ring buffer "
+            "holds only the trailing window of KV rows)")
     kv_len = int(engine.cache.lengths[0])
     ks = vs = None
     if engine.cache.k_scale is not None:
         ks = np.asarray(engine.cache.k_scale[:, 0, :kv_len])
         vs = np.asarray(engine.cache.v_scale[:, 0, :kv_len])
     # checkpoint format is the canonical [L, kv_len, KV, D] regardless
-    # of the engine's cache layout (flat engines reshape on the way out)
-    ksnap = np.asarray(engine.cache.k[:, 0, :kv_len])
-    vsnap = np.asarray(engine.cache.v[:, 0, :kv_len])
-    if ksnap.ndim == 3:
-        KV, D = engine.cfg.num_kv_heads, engine.cfg.head_dim
-        ksnap = ksnap.reshape(ksnap.shape[0], kv_len, KV, D)
-        vsnap = vsnap.reshape(vsnap.shape[0], kv_len, KV, D)
+    # of the engine's cache layout (engine/cache.py layout seam)
+    from .cache import canonical_rows
+
+    ksnap = canonical_rows(np.asarray(engine.cache.k[:, 0, :kv_len]),
+                           engine.cfg, engine.cache)
+    vsnap = canonical_rows(np.asarray(engine.cache.v[:, 0, :kv_len]),
+                           engine.cfg, engine.cache)
     return DecodeState(
         prompt_ids=list(prompt_ids),
         generated_ids=list(generated_ids),

@@ -31,7 +31,7 @@ import numpy as np
 from ..config import EngineConfig, GenerationConfig, ModelConfig
 from ..errors import ConfigError, InferenceError
 from ..models.bitnet import BitNetParams, forward, logits as model_logits
-from .cache import KVCache, allocate_cache, reset_cache
+from .cache import KVCache, allocate_cache, is_flat, reset_cache
 from .sampling import NEG_INF, MirostatState, SamplerChain, logprob_entry
 from .stop import StopCriteria, StopReason
 
@@ -148,14 +148,28 @@ class InferenceEngine:
             from ..models.bitnet import quantize_head
 
             self.params = quantize_head(self.params)
-        self._buckets = prefill_buckets(self.engine_cfg.max_seq_len)
+        self.windowed = self.engine_cfg.sliding_window > 0
+        # windowed engines chunk prefill at the ring width (two tokens a
+        # window apart may not scatter to the same slot in one call)
+        self._buckets = prefill_buckets(
+            min(self.engine_cfg.sliding_window, self.engine_cfg.max_seq_len)
+            if self.windowed else self.engine_cfg.max_seq_len)
         self._prefill_jit = {}
         self._decode_jit = None
         self._sample_jit = {}
-        self.cache = allocate_cache(
-            cfg, self.engine_cfg.max_batch_size, self.engine_cfg.max_seq_len,
-            self.engine_cfg.resolve_kv_cache_dtype(), layout="auto",
-        )
+        if self.windowed:
+            from .windowed_cache import allocate_windowed_cache
+
+            self.cache = allocate_windowed_cache(
+                cfg, self.engine_cfg.max_batch_size,
+                self.engine_cfg.sliding_window,
+                self.engine_cfg.resolve_kv_cache_dtype())
+        else:
+            self.cache = allocate_cache(
+                cfg, self.engine_cfg.max_batch_size,
+                self.engine_cfg.max_seq_len,
+                self.engine_cfg.resolve_kv_cache_dtype(), layout="auto",
+            )
         self.kernel_recorder: list[str] = []
         if tl_quantized:
             self.kernel_recorder.append(f"weight_quant_{tl_quantized}")
@@ -186,18 +200,35 @@ class InferenceEngine:
     def _get_prefill(self, T: int) -> Callable:
         if T not in self._prefill_jit:
             kp = self._kernel_path
+            S = self.engine_cfg.max_seq_len
 
-            @partial(jax.jit, donate_argnums=(3,))
-            def _prefill(params, tokens, positions, cache, n_real, last_idx):
-                from ..models.bitnet import forward_cache
+            if self.windowed:
+                @partial(jax.jit, donate_argnums=(3,))
+                def _prefill(params, tokens, positions, cache, n_real,
+                             last_idx):
+                    from .windowed_cache import forward_windowed
 
-                h, cache = forward_cache(
-                    self.cfg, params, tokens, positions, cache, n_real, kp)
-                # last-real-position logits, fused into the compiled program
-                B = h.shape[0]
-                h_last = h[jnp.arange(B), last_idx][:, None, :]  # [B, 1, H]
-                lg = model_logits(self.cfg, params, h_last, kp)[:, 0, :]
-                return lg, h, cache
+                    h, cache = forward_windowed(
+                        self.cfg, params, tokens, positions, cache,
+                        n_real, kp, pad_marker=S)
+                    B = h.shape[0]
+                    h_last = h[jnp.arange(B), last_idx][:, None, :]
+                    lg = model_logits(self.cfg, params, h_last, kp)[:, 0, :]
+                    return lg, h, cache
+            else:
+                @partial(jax.jit, donate_argnums=(3,))
+                def _prefill(params, tokens, positions, cache, n_real,
+                             last_idx):
+                    from ..models.bitnet import forward_cache
+
+                    h, cache = forward_cache(
+                        self.cfg, params, tokens, positions, cache,
+                        n_real, kp)
+                    # last-real-position logits, fused into the program
+                    B = h.shape[0]
+                    h_last = h[jnp.arange(B), last_idx][:, None, :]
+                    lg = model_logits(self.cfg, params, h_last, kp)[:, 0, :]
+                    return lg, h, cache
 
             self._prefill_jit[T] = _prefill
         return self._prefill_jit[T]
@@ -205,15 +236,27 @@ class InferenceEngine:
     def _get_decode(self) -> Callable:
         if self._decode_jit is None:
             kp = self._kernel_path
+            S = self.engine_cfg.max_seq_len
 
-            @partial(jax.jit, donate_argnums=(2,))
-            def _decode(params, token, cache, positions):
-                from ..models.bitnet import forward_cache
+            if self.windowed:
+                @partial(jax.jit, donate_argnums=(2,))
+                def _decode(params, token, cache, positions):
+                    from .windowed_cache import forward_windowed
 
-                h, cache = forward_cache(
-                    self.cfg, params, token, positions, cache, 1, kp)
-                lg = model_logits(self.cfg, params, h, kp)  # [B, 1, V]
-                return lg[:, -1, :], cache
+                    h, cache = forward_windowed(
+                        self.cfg, params, token, positions, cache, 1, kp,
+                        pad_marker=S)
+                    lg = model_logits(self.cfg, params, h, kp)
+                    return lg[:, -1, :], cache
+            else:
+                @partial(jax.jit, donate_argnums=(2,))
+                def _decode(params, token, cache, positions):
+                    from ..models.bitnet import forward_cache
+
+                    h, cache = forward_cache(
+                        self.cfg, params, token, positions, cache, 1, kp)
+                    lg = model_logits(self.cfg, params, h, kp)  # [B, 1, V]
+                    return lg[:, -1, :], cache
 
             self._decode_jit = _decode
         return self._decode_jit
@@ -271,6 +314,15 @@ class InferenceEngine:
         return self._sample_jit[key]
 
     # -- helpers -------------------------------------------------------------
+    def _reset_cache(self):
+        """Logical cache reset, windowed-aware (stale ring positions
+        must go back to -1 — lengths alone don't gate windowed reads)."""
+        if self.windowed:
+            from .windowed_cache import reset_windowed_cache
+
+            return reset_windowed_cache(self.cache)
+        return reset_cache(self.cache)
+
     def _bucket(self, T: int) -> int:
         for b in self._buckets:
             if T <= b:
@@ -288,16 +340,13 @@ class InferenceEngine:
             def _restore(cache, k_snap, v_snap, ks_snap, vs_snap, m):
                 import jax.lax as lax
 
-                # snaps arrive canonical [L, Mp, KV, D]; flat caches
-                # take them as [L, 1, Mp, KV*D]
-                if cache.k.ndim == 4:
-                    Ls, Ms = k_snap.shape[0], k_snap.shape[1]
-                    ksn = k_snap.reshape(Ls, 1, Ms, -1)
-                    vsn = v_snap.reshape(Ls, 1, Ms, -1)
-                    zeros5 = (0, 0, 0, 0)
-                else:
-                    ksn, vsn = k_snap[:, None], v_snap[:, None]
-                    zeros5 = (0, 0, 0, 0, 0)
+                from .cache import pool_rows, splice_origin
+
+                # snaps arrive canonical [L, Mp, KV, D]; the layout seam
+                # maps them into the pool's layout at slot 0
+                ksn = pool_rows(k_snap, cache)[:, None]
+                vsn = pool_rows(v_snap, cache)[:, None]
+                zeros5 = splice_origin(cache, 0)
                 k = lax.dynamic_update_slice(cache.k, ksn, zeros5)
                 v = lax.dynamic_update_slice(cache.v, vsn, zeros5)
                 ks, vs = cache.k_scale, cache.v_scale
@@ -353,7 +402,9 @@ class InferenceEngine:
         S = self.engine_cfg.max_seq_len
         if T > S:
             raise InferenceError(f"prompt {T} tokens > max_seq_len {S}")
-        self.cache = reset_cache(self.cache)
+        if self.windowed:
+            return self._prefill_windowed(token_ids)
+        self.cache = self._reset_cache()
 
         m = 0
         if self.prefix_cache is not None:
@@ -384,6 +435,45 @@ class InferenceEngine:
             self.prefix_cache.insert(
                 list(token_ids), snapshot_from_cache(
                     self.cache, T, kv_heads=self.cfg.num_kv_heads))
+        return lg
+
+    def _prefill_windowed(self, token_ids: list[int]) -> jnp.ndarray:
+        """Ring-buffer prefill: the prompt runs through the model in
+        ≤ window-token chunks (two tokens a window apart would collide
+        on a ring slot inside one call — forward_windowed refuses).
+        Only the trailing ``sliding_window`` positions stay resident;
+        earlier KV rows are overwritten, exactly the sliding-window
+        attention semantics (sliding_window.rs:238-441)."""
+        from .windowed_cache import reset_windowed_cache
+
+        self.cache = reset_windowed_cache(self.cache)
+        T = len(token_ids)
+        S = self.engine_cfg.max_seq_len
+        B = self.engine_cfg.max_batch_size
+        cap = self._buckets[-1]
+        lg = None
+        done = 0
+        n_chunks = 0
+        while done < T:
+            piece = token_ids[done:done + cap]
+            Ts = len(piece)
+            Tp = self._bucket(Ts)
+            toks = np.zeros((B, Tp), np.int32)
+            toks[0, :Ts] = piece
+            pos = np.full((B, Tp), S, np.int32)   # pad_marker → dropped
+            pos[0, :Ts] = np.arange(done, done + Ts)
+            fn = self._get_prefill(Tp)
+            lg, _h, self.cache = fn(
+                self.params, jnp.asarray(toks), jnp.asarray(pos),
+                self.cache,
+                jnp.asarray([Ts] + [0] * (B - 1), jnp.int32),
+                jnp.asarray([Ts - 1] + [0] * (B - 1), jnp.int32),
+            )
+            done += Ts
+            n_chunks += 1
+        self.kernel_recorder.append(
+            f"prefill_windowed_{self._kernel_path}"
+            f"_W{self.engine_cfg.sliding_window}_chunks{n_chunks}")
         return lg
 
     def _relogit_last(self, token_ids: list[int]) -> jnp.ndarray:
@@ -496,6 +586,10 @@ class InferenceEngine:
 
         t0 = time.perf_counter()
         if resume:
+            if self.windowed:
+                raise InferenceError(
+                    "checkpoint resume requires the dense cache "
+                    "(DecodeState snapshots are position-indexed rows)")
             logits = self._relogit_last(token_ids)
         else:
             logits = self.prefill(token_ids)
@@ -522,6 +616,7 @@ class InferenceEngine:
         lp_n = gen_cfg.logprobs
         K = (self._segment_steps()
              if mirostat is None and grammar is None and lp_n is None
+             and not self.windowed
              else 1)
         active = jnp.asarray([True] + [False] * (B - 1))
         stopped = False
@@ -650,14 +745,20 @@ class InferenceEngine:
         from ..models.bitnet import _stacked_decode_ok, decode_attn_plan
 
         stacked = (self._kernel_path == "w2a8"
+                   and not self.windowed
                    and _os.environ.get("BITNET_CACHE_YS", "0") != "1"
                    and _stacked_decode_ok(
                        self.cfg, self.params, 1, B, self.cache.k_scale,
                        None, None, None, self._kernel_path))
-        if stacked:
+        if self.windowed:
+            # ring-buffer decode rides the generic masked-attention path
+            self.kernel_recorder.append(
+                f"decode_{self._kernel_path}_attn_windowed"
+                f"_W{self.engine_cfg.sliding_window}_x{generated}")
+        elif stacked:
             plan = decode_attn_plan(
                 B, self.cache.k.dtype if self.cache.k_scale is not None
-                else None, flat=self.cache.k.ndim == 4)
+                else None, flat=is_flat(self.cache))
             self.kernel_recorder.append(
                 f"decode_{self._kernel_path}_attn_{plan}_x{generated}")
         else:
@@ -753,7 +854,7 @@ class InferenceEngine:
                                  f"max_seq_len {S}")
 
         # --- one prefill over all slots ---
-        self.cache = reset_cache(self.cache)
+        self.cache = self._reset_cache()
         Tp = self._bucket(max(lens))
         toks = np.zeros((B, Tp), np.int32)
         pos = np.full((B, Tp), S, np.int32)
@@ -864,17 +965,12 @@ class InferenceEngine:
         validate_mesh_for(self.cfg, self.engine_cfg.max_batch_size, mesh,
                           self.params)
         self.params = shard_params(mesh, self.cfg, self.params)
-        if self.cache.k.ndim == 4:
-            # TP shards the KV-heads axis — the flat single-chip layout
-            # merges it away, so sharded engines run the 5D cache (the
-            # sharded decode plan is einsum, which wants 5D anyway)
-            L, B2, S2 = self.cache.k.shape[:3]
-            KV, D = self.cfg.num_kv_heads, self.cfg.head_dim
-            self.cache = dataclasses.replace(
-                self.cache,
-                k=self.cache.k.reshape(L, B2, S2, KV, D),
-                v=self.cache.v.reshape(L, B2, S2, KV, D))
-        self.cache = shard_cache(mesh, self.cache)
+        # TP shards the KV-heads axis — the flat single-chip layout
+        # merges it away, so sharded engines run the 5D cache (the
+        # sharded decode plan is einsum, which wants 5D anyway)
+        from .cache import as_5d
+
+        self.cache = shard_cache(mesh, as_5d(self.cache, self.cfg))
         self.mesh = mesh
         # drop compiled programs traced with unsharded inputs
         self._prefill_jit = {}
@@ -888,7 +984,7 @@ class InferenceEngine:
         ``context.get_embeddings``, bitnet-py/src/llama_compat.py:275)."""
         T = len(token_ids)
         S = self.engine_cfg.max_seq_len
-        self.cache = reset_cache(self.cache)
+        self.cache = self._reset_cache()
         B = self.engine_cfg.max_batch_size
         Tp = self._bucket(T)
         toks = np.zeros((B, Tp), np.int32)
@@ -909,7 +1005,7 @@ class InferenceEngine:
         ``eval_ids`` — the crossval entry point). Returns [T, V] float32."""
         T = len(token_ids)
         S = self.engine_cfg.max_seq_len
-        self.cache = reset_cache(self.cache)
+        self.cache = self._reset_cache()
         B = self.engine_cfg.max_batch_size
         Tp = self._bucket(T)
         toks = np.zeros((B, Tp), np.int32)

@@ -148,9 +148,11 @@ def snapshot_from_cache(cache, length: int, slot: int = 0,
     Snapshots are canonical [L, length, KV, D] even for flat-layout
     ([L, B, S, KV*D]) engine caches — pass ``kv_heads`` (cfg.num_kv_heads)
     when the cache may be flat."""
+    from .cache import is_flat
+
     k = np.asarray(cache.k[:, slot, :length])
     v = np.asarray(cache.v[:, slot, :length])
-    if k.ndim == 3:
+    if is_flat(cache):
         KV = (kv_heads if kv_heads is not None
               else cache.k_scale.shape[3] if cache.k_scale is not None
               else 1)

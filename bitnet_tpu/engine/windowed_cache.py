@@ -72,6 +72,17 @@ def allocate_windowed_cache(
     )
 
 
+def reset_windowed_cache(cache: WindowedKVCache) -> WindowedKVCache:
+    """Logical reset: positions back to -1 (attention's slot-validity
+    test is ``positions >= 0``, so stale entries MUST be invalidated —
+    lengths alone don't gate windowed reads) and lengths to 0."""
+    return dataclasses.replace(
+        cache,
+        positions=jnp.full_like(cache.positions, -1),
+        lengths=jnp.zeros_like(cache.lengths),
+    )
+
+
 def forward_windowed(
     cfg: ModelConfig,
     params,

@@ -337,9 +337,15 @@ def decode_attn_plan(B: int, kv_dtype=None, flat: bool = False) -> str:
     fp8_kernel = _os.environ.get("BITNET_FP8_KERNEL", "0") == "1"
     batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "v2")
     attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
+    # whole-batch v2 kernels keep per-slot VMEM scratch (q_wide + wide
+    # ctx ≈ 2·[H, KV·D] f32 ≈ 512 KB/slot at 2B shapes): B=32 blows the
+    # 16 MB scoped-vmem limit (measured round 5) — above this cap pools
+    # fall back to XLA einsum, which tiles freely
+    v2_max_b = int(_os.environ.get("BITNET_V2_WHOLEBATCH_MAX_B", "16"))
     dt_ok = (not quantized or kv_dtype == jnp.int8
              or (fp8_kernel and kv_dtype == jnp.float8_e4m3fn))
-    if rope_fused and batched_env == "v2qkv" and B > 2 and dt_ok:
+    if rope_fused and batched_env == "v2qkv" and 2 < B <= v2_max_b \
+            and dt_ok:
         return "qkv_quant_batched_v2" if quantized else "qkv_batched_v2"
     if rope_fused and batched_env == "1" and B > 2 and dt_ok:
         return "qkv_quant_batched" if quantized else "qkv_batched"
@@ -354,7 +360,7 @@ def decode_attn_plan(B: int, kv_dtype=None, flat: bool = False) -> str:
         return "qkv_quant" if quantized else "qkv"
     if B <= attn_max_b and dt_ok:
         return "flash_quant" if quantized else "flash"
-    if batched_env == "v2" and dt_ok and flat:
+    if batched_env == "v2" and dt_ok and flat and B <= v2_max_b:
         # DEFAULT for B>2 pools WITH a flat-layout cache: plain v2
         # whole-batch kernel, rope in XLA — the rope-fused per-b
         # preamble costs ~17 µs/layer at B=8 (76.5 vs 59.0 µs/layer

@@ -10,12 +10,15 @@ see .claude/skills/verify/SKILL.md):
 Honest recipe: put N iterations of the op in ONE jit via ``lax.fori_loop``
 with a data-dependence chain, fetch a scalar (forces completion), vary the
 inputs for every call, and difference two loop lengths to cancel the fixed
-round-trip + dispatch cost.  Report the median of several pairs.
+round-trip + dispatch cost.  Relay noise is ADDITIVE-ONLY (queueing +
+transport never make a call faster), so the estimator differences the
+MINIMUM observed time at each loop length — the median estimator it
+replaces went negative under relay drift with few pairs (round 5,
+B=16 int8 row: -0.005 ms/step).
 """
 
 from __future__ import annotations
 
-import statistics
 import time
 from functools import partial
 from typing import Callable
@@ -54,13 +57,21 @@ def chain_timer(
     float(chain(const_arg, make_carry(10_001), n_lo))
     float(chain(const_arg, make_carry(10_002), n_hi))
 
-    samples = []
-    for p in range(pairs):
-        t0 = time.perf_counter()
-        float(chain(const_arg, make_carry(2 * p), n_hi))
-        t_hi = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(chain(const_arg, make_carry(2 * p + 1), n_lo))
-        t_lo = time.perf_counter() - t0
-        samples.append((t_hi - t_lo) / (n_hi - n_lo))
-    return statistics.median(samples)
+    def measure(n_hi_m: int, n_pairs: int, salt: int) -> float:
+        his, los = [], []
+        for p in range(n_pairs):
+            t0 = time.perf_counter()
+            float(chain(const_arg, make_carry(salt + 2 * p), n_hi_m))
+            his.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(chain(const_arg, make_carry(salt + 2 * p + 1), n_lo))
+            los.append(time.perf_counter() - t0)
+        return (min(his) - min(los)) / (n_hi_m - n_lo)
+
+    est = measure(n_hi, max(pairs, 3), 0)
+    if est <= 0:
+        # drift swamped the differencing: retry once with a 4x longer
+        # high chain (compile is a one-off; signal grows, noise doesn't)
+        float(chain(const_arg, make_carry(10_003), 4 * n_hi))
+        est = measure(4 * n_hi, max(pairs, 3), 100)
+    return est

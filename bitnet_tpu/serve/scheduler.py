@@ -40,6 +40,7 @@ uses, just T=chunk instead of T=1).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -52,7 +53,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig, GenerationConfig, ModelConfig
-from ..engine.cache import KVCache, allocate_cache
+from ..engine.cache import (KVCache, allocate_cache, canonical_rows,
+                            pool_rows, splice_origin, staging_shape)
 from ..engine.sampling import (NEG_INF, MirostatState, SamplerChain,
                                logprob_entry)
 from ..engine.stop import StopCriteria, StopReason
@@ -120,6 +122,9 @@ class _Slot:
     # min_new_tokens phase: EOS/stop-token logits are banned via the
     # slot bias row until `generated` reaches stop.min_new_tokens
     min_ban: bool = False
+    # occupancy epoch: bumped at every activation so pipelined reads can
+    # discard window tokens that belong to a previous occupant
+    epoch: int = 0
 
     @property
     def hostside(self) -> bool:
@@ -161,6 +166,7 @@ class ContinuousBatchingScheduler:
         decode_steps_per_dispatch: int = 1,
         chunked_prefill: int | None = None,
         speculative_k: int = 0,
+        pipeline_depth: int = 1,
     ):
         """``mesh``: optional (data, model) jax Mesh — the slot pool's
         batch axis shards across ``data`` and attention heads / FFN
@@ -202,6 +208,27 @@ class ContinuousBatchingScheduler:
         # is otherwise one host round-trip per token.  Trade-offs: stop/
         # cancel/admission latency and overshoot are bounded by K.
         self.decode_steps_per_dispatch = max(1, decode_steps_per_dispatch)
+        # >1: pipelined issue-ahead serving (round-5 measurement: the
+        # per-dispatch FIXED host cost through the dev relay is ~250 ms
+        # vs ~2 ms/step device compute — K-step windows alone cannot
+        # amortize that without huge stop-latency K).  The decode state
+        # (tokens/positions/history/keys/params) lives ON DEVICE; the
+        # loop keeps up to ``pipeline_depth`` windows in flight and reads
+        # the oldest, so the fixed cost overlaps device compute.  Slots
+        # that stop mid-pipeline overshoot ≤ depth·K tokens (discarded
+        # via occupancy epochs; the stray cache rows are unreachable
+        # after the next splice).  Sampling-parameter semantics match
+        # the sync path except repetition_window, which is pinned to the
+        # pooled HISTORY_W (device history is never re-truncated).
+        # Dense single-host pools only; hostside samplers (mirostat/
+        # grammar/logprobs) and min_new_tokens phases fall back to the
+        # sync step until those slots finish.
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        if self.pipeline_depth > 1 and (paged or channel is not None
+                                        or speculative_k):
+            raise InferenceError(
+                "pipeline_depth > 1 requires a dense single-host pool "
+                "without serving-level speculation")
         # serving-level speculative decoding (engine/speculative.py's
         # n-gram draft + greedy verify, folded into the pool): k draft
         # tokens verified in ONE forward per eligible slot.  Dense
@@ -302,6 +329,15 @@ class ContinuousBatchingScheduler:
             "decode_steps": 0, "active_slots": 0, "queue_depth": 0,
             "cancelled": 0, "timeouts": 0,
         }
+        # pipelined-mode runtime state (see pipeline_depth above)
+        self._pl_state = None              # device 7-tuple or None
+        self._pl_mirror = [False] * self.B  # device-side active view
+        # occupancy epoch the device state row was admitted with: a slot
+        # freed AND re-admitted between two loop iterations never shows
+        # an inactive interval to the mirror diff — the epoch does
+        self._pl_mirror_epoch = [-1] * self.B
+        self._pl_inflight: collections.deque = collections.deque()
+        self._pl_issued = np.zeros(self.B, np.int64)  # tokens in flight
         self._build_programs()
         self._thread = None
         if start_loop:
@@ -490,6 +526,89 @@ class ContinuousBatchingScheduler:
 
         self._decode_multi = decode_multi
 
+        if self.pipeline_depth > 1:
+            # ---------------------------------------------- pipelined mode
+            # Decode state lives ON DEVICE as a 7-tuple
+            #   (tokens[B]i32, positions[B]i32, history[B,W]i32,
+            #    keys[B,2]u32, active[B]bool, fpar[B,7]f32, ipar[B,1]i32)
+            # chained window→window without host round-trips; the host
+            # touches it only at slot lifecycle events.
+            @partial(jax.jit, donate_argnums=(1, 2),
+                     static_argnames=("use_typical", "use_bias",
+                                      "n_steps"))
+            def decode_window(params, state, cache: KVCache, bias_rows,
+                              use_typical=False, use_bias=False,
+                              n_steps=1):
+                (tokens, positions, history, keys, active, fpar,
+                 ipar) = state
+                temps, top_ps, min_ps, typ_ps, reps, freqs, press = (
+                    fpar[:, 0], fpar[:, 1], fpar[:, 2], fpar[:, 3],
+                    fpar[:, 4], fpar[:, 5], fpar[:, 6])
+                top_ks = ipar[:, 0]
+
+                def one(carry, _):
+                    tokens, positions, cache, history, keys = carry
+                    pos_in = jnp.where(active, positions, self.S)
+                    h, k, v, ks, vs = forward(
+                        cfg, params, tokens[:, None], pos_in[:, None],
+                        cache.k, cache.v, positions,
+                        num_real_tokens=active.astype(jnp.int32),
+                        kernel_path=kp, k_scale=cache.k_scale,
+                        v_scale=cache.v_scale,
+                    )
+                    cache = dataclasses.replace(
+                        cache, k=k, v=v, k_scale=ks, v_scale=vs,
+                        lengths=cache.lengths + active.astype(jnp.int32))
+                    raw = model_logits(cfg, params, h, kp)[:, 0, :].astype(
+                        jnp.float32)
+                    nxt, _, new_keys = pooled_sample(
+                        raw, temps, top_ks, top_ps, min_ps, typ_ps, reps,
+                        freqs, press, bias_rows, history, keys,
+                        use_typical, use_bias)
+                    history = jnp.where(
+                        active[:, None],
+                        jnp.concatenate([history[:, 1:], nxt[:, None]],
+                                        axis=1),
+                        history)
+                    positions = positions + active.astype(positions.dtype)
+                    tokens = jnp.where(active, nxt, tokens)
+                    return (tokens, positions, cache, history,
+                            new_keys), nxt
+
+                (tokens, positions, cache, history, keys), nxt_seq = \
+                    jax.lax.scan(
+                        one, (tokens, positions, cache, history, keys),
+                        None, length=n_steps)
+                new_state = (tokens, positions, history, keys, active,
+                             fpar, ipar)
+                return nxt_seq, new_state, cache
+
+            self._decode_window = decode_window
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def state_admit(state, i, token, pos, hist_row, key,
+                            fpar_row, top_k):
+                (tokens, positions, history, keys, active, fpar,
+                 ipar) = state
+                return (tokens.at[i].set(token),
+                        positions.at[i].set(pos),
+                        history.at[i].set(hist_row),
+                        keys.at[i].set(key),
+                        active.at[i].set(True),
+                        fpar.at[i].set(fpar_row),
+                        ipar.at[i, 0].set(top_k))
+
+            self._state_admit = state_admit
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def state_finish(state, i):
+                (tokens, positions, history, keys, active, fpar,
+                 ipar) = state
+                return (tokens, positions, history, keys,
+                        active.at[i].set(False), fpar, ipar)
+
+            self._state_finish = state_finish
+
         if self.paged:
             from ..engine.paged_cache import PagedKVCache, paged_forward
 
@@ -611,16 +730,8 @@ class ContinuousBatchingScheduler:
                 B1, S = 1, self.S
                 # staging cache matches the POOL layout so splice is a
                 # straight dynamic_update_slice either way
-                if self.cache.k.ndim == 4:
-                    kc = jnp.zeros(
-                        (cfg.num_layers, B1, S,
-                         cfg.num_kv_heads * cfg.head_dim),
-                        self.cache.k.dtype)
-                else:
-                    kc = jnp.zeros(
-                        (cfg.num_layers, B1, S, cfg.num_kv_heads,
-                         cfg.head_dim),
-                        self.cache.k.dtype)
+                kc = jnp.zeros(staging_shape(cfg, S, self.cache),
+                               self.cache.k.dtype)
                 vc = jnp.zeros_like(kc)
                 ks = vs = None
                 if self.cache.k_scale is not None:
@@ -660,8 +771,7 @@ class ContinuousBatchingScheduler:
         def splice(cache: KVCache, kc, vc, ks, vs, slot, length):
             """Insert a prefilled B=1 sequence into pool slot ``slot``
             (kc/vc arrive in the pool's layout, 5D or flat)."""
-            at = ((0, slot, 0, 0) if cache.k.ndim == 4
-                  else (0, slot, 0, 0, 0))
+            at = splice_origin(cache, slot)
             k = jax.lax.dynamic_update_slice(
                 cache.k, kc.astype(cache.k.dtype), at)
             v = jax.lax.dynamic_update_slice(
@@ -877,15 +987,12 @@ class ContinuousBatchingScheduler:
                     self.cfg.num_kv_heads, self.cfg.head_dim)[:, :kv_len]
                 ks = vs = None
             else:
-                kr = np.asarray(self.cache.k[:, i, :kv_len])
-                vr = np.asarray(self.cache.v[:, i, :kv_len])
-                if kr.ndim == 3:    # flat pool -> canonical snapshot
-                    kr = kr.reshape(self.cfg.num_layers, kv_len,
-                                    self.cfg.num_kv_heads,
-                                    self.cfg.head_dim)
-                    vr = vr.reshape(self.cfg.num_layers, kv_len,
-                                    self.cfg.num_kv_heads,
-                                    self.cfg.head_dim)
+                # snapshots stay canonical [L, T, KV, D] whatever the
+                # pool layout (engine/cache.py layout seam)
+                kr = canonical_rows(np.asarray(self.cache.k[:, i, :kv_len]),
+                                    self.cfg, self.cache)
+                vr = canonical_rows(np.asarray(self.cache.v[:, i, :kv_len]),
+                                    self.cfg, self.cache)
                 ks = (np.asarray(self.cache.k_scale[:, i, :kv_len])
                       if self.cache.k_scale is not None else None)
                 vs = (np.asarray(self.cache.v_scale[:, i, :kv_len])
@@ -1036,18 +1143,11 @@ class ContinuousBatchingScheduler:
                     lengths=self.cache.lengths.at[slot_idx].set(
                         state.kv_len))
             else:
-                if self.cache.k.ndim == 4:
-                    kc = np.zeros((L, 1, self.S, KV * D), kd)
-                    vc = np.zeros_like(kc)
-                    kc[:, 0, : state.kv_len] = state.k.reshape(
-                        L, state.kv_len, KV * D)
-                    vc[:, 0, : state.kv_len] = state.v.reshape(
-                        L, state.kv_len, KV * D)
-                else:
-                    kc = np.zeros((L, 1, self.S, KV, D), kd)
-                    vc = np.zeros_like(kc)
-                    kc[:, 0, : state.kv_len] = state.k
-                    vc[:, 0, : state.kv_len] = state.v
+                kc = np.zeros(staging_shape(self.cfg, self.S, self.cache),
+                              kd)
+                vc = np.zeros_like(kc)
+                kc[:, 0, : state.kv_len] = pool_rows(state.k, self.cache)
+                vc[:, 0, : state.kv_len] = pool_rows(state.v, self.cache)
                 ks = vs = None
                 if self.cache.k_scale is not None:
                     ks = np.ones((L, 1, self.S, KV), np.float32)
@@ -1087,6 +1187,7 @@ class ContinuousBatchingScheduler:
             slot.deadline = None
             slot.admitted_at = time.time()
             slot.active = True
+            slot.epoch += 1
             # the interrupted pending token becomes the next decode input
             self._tokens[slot_idx] = state.generated_ids[-1]
             restored.append(req)
@@ -1397,6 +1498,7 @@ class ContinuousBatchingScheduler:
                     self.stats.get("chunked_admissions", 0) + 1)
                 continue
             slot.active = True
+            slot.epoch += 1
             first = self._sample_first(slot, lg)
             if first is None:                      # grammar dead end
                 self._finish(slot_idx, StopReason.EOS)
@@ -1500,6 +1602,7 @@ class ContinuousBatchingScheduler:
             slot.prefilling = False
             slot.pos = T
             slot.active = True
+            slot.epoch += 1
             first = self._sample_first(slot, lg)
             if first is None:                      # grammar dead end
                 self._finish(slot_idx, StopReason.EOS)
@@ -1881,16 +1984,21 @@ class ContinuousBatchingScheduler:
 
     def _loop_body(self) -> None:
         zero_keys = np.zeros((self.B, 2), np.uint32)
+        pipelined = self.pipeline_depth > 1
         while not self._stopping:
             if getattr(self, "_pause_req", False):
                 # quiesced between steps: cache/slots are stable for
                 # checkpoint_requests until unpause()
+                if pipelined and self._pl_inflight:
+                    self._pl_drain()
+                    self._pl_sync_host()
                 self._paused_at_barrier = True
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
             self._paused_at_barrier = False
-            if not self._step(zero_keys):
+            if not (self._step_pipelined() if pipelined
+                    else self._step(zero_keys)):
                 if (self._channel is not None
                         and time.time() - self._channel.last_send > 5.0):
                     # idle heartbeat: keep the followers' blocking
@@ -2068,3 +2176,193 @@ class ContinuousBatchingScheduler:
             s.pos += 1
             self._emit(i, tok)
         return True
+
+    # ------------------------------------------------------ pipelined mode
+    def _pl_fpar_row(self, slot: _Slot) -> np.ndarray:
+        g = slot.req.gen
+        greedy = g.is_greedy
+        return np.asarray([
+            0.0 if greedy else g.temperature, g.top_p, g.min_p,
+            g.typical_p, g.repetition_penalty, g.frequency_penalty,
+            g.presence_penalty], np.float32)
+
+    def _pl_rebuild_state(self) -> None:
+        """(Re)build the device decode state from the host slot view —
+        on first use and when returning from a sync-mode excursion."""
+        B = self.B
+        toks = np.asarray(self._tokens, np.int32)
+        pos = np.zeros(B, np.int32)
+        hist = np.full((B, HISTORY_W), -1, np.int32)
+        keys = np.zeros((B, 2), np.uint32)
+        active = np.zeros(B, bool)
+        fpar = np.zeros((B, 7), np.float32)
+        fpar[:, 1] = 1.0   # top_p
+        fpar[:, 3] = 1.0   # typical_p
+        fpar[:, 4] = 1.0   # repetition_penalty
+        ipar = np.zeros((B, 1), np.int32)
+        for i, s in enumerate(self.slots):
+            if not s.active or s.req is None:
+                continue
+            active[i] = True
+            pos[i] = s.pos
+            hist[i] = self._slot_history(s)
+            keys[i] = np.asarray(s.key, np.uint32)
+            fpar[i] = self._pl_fpar_row(s)
+            ipar[i, 0] = s.req.gen.top_k
+        self._pl_state = (jnp.asarray(toks), jnp.asarray(pos),
+                          jnp.asarray(hist), jnp.asarray(keys),
+                          jnp.asarray(active), jnp.asarray(fpar),
+                          jnp.asarray(ipar))
+        self._pl_mirror = [bool(a) for a in active]
+        self._pl_mirror_epoch = [s.epoch if a else -1
+                                 for s, a in zip(self.slots, active)]
+
+    def _pl_sync_host(self) -> None:
+        """Pull tokens/keys back to the host slot view (before a sync-mode
+        excursion or a checkpoint pause).  Inflight must be drained."""
+        assert not self._pl_inflight
+        if self._pl_state is None:
+            return
+        toks, _pos, _hist, keys = self._pl_state[:4]
+        toks_np = np.asarray(toks)
+        keys_np = np.asarray(keys)
+        for i, s in enumerate(self.slots):
+            # only slots whose CURRENT occupancy actually ran on the
+            # device — a just-admitted slot (mirror epoch behind) holds
+            # its fresh host token/key, which must not be clobbered
+            if (s.active and s.req is not None and self._pl_mirror[i]
+                    and self._pl_mirror_epoch[i] == s.epoch):
+                self._tokens[i] = toks_np[i]
+                s.key = jnp.asarray(keys_np[i])
+
+    def _pl_apply_lifecycle(self) -> None:
+        """Diff host slot activity against the device mirror and issue
+        per-slot state updates (tiny async dispatches, never read).
+        Keyed by occupancy EPOCH, not just activity: a slot freed and
+        re-admitted inside one loop iteration shows no inactive interval
+        but its epoch moved."""
+        for i, s in enumerate(self.slots):
+            if s.active and s.req is not None and (
+                    not self._pl_mirror[i]
+                    or self._pl_mirror_epoch[i] != s.epoch):
+                self._pl_state = self._state_admit(
+                    self._pl_state, jnp.asarray(i, jnp.int32),
+                    jnp.asarray(int(self._tokens[i]), jnp.int32),
+                    jnp.asarray(s.pos, jnp.int32),
+                    jnp.asarray(self._slot_history(s)),
+                    jnp.asarray(np.asarray(s.key, np.uint32)),
+                    jnp.asarray(self._pl_fpar_row(s)),
+                    jnp.asarray(s.req.gen.top_k, jnp.int32))
+                self._pl_mirror[i] = True
+                self._pl_mirror_epoch[i] = s.epoch
+                # the old occupant's in-flight windows no longer speak
+                # for this slot (epoch guard discards their tokens)
+                self._pl_issued[i] = 0
+            elif not s.active and self._pl_mirror[i]:
+                self._pl_state = self._state_finish(
+                    self._pl_state, jnp.asarray(i, jnp.int32))
+                self._pl_mirror[i] = False
+
+    def _pl_can_issue(self) -> bool:
+        """Issue another window only if some slot still has tokens to
+        emit beyond what is already in flight."""
+        for i, s in enumerate(self.slots):
+            if not (s.active and s.req is not None and self._pl_mirror[i]):
+                continue
+            remaining = s.req.gen.max_new_tokens - s.generated
+            if remaining > self._pl_issued[i] \
+                    and s.pos + self._pl_issued[i] < self.S:
+                return True
+        return False
+
+    def _pl_issue(self) -> None:
+        k = self.decode_steps_per_dispatch
+        use_typical = any(
+            s.active and s.req is not None
+            and s.req.gen.typical_p < 1.0 and not s.req.gen.is_greedy
+            for s in self.slots)
+        use_bias = any(self._bias_live[i] for i in range(self.B)
+                       if self.slots[i].active)
+        bias_rows = self._bias_rows if use_bias else self._dummy_bias
+        nxt, self._pl_state, self.cache = self._decode_window(
+            self.params, self._pl_state, self.cache, bias_rows,
+            use_typical=use_typical, use_bias=use_bias, n_steps=k)
+        snap = [(i, s.epoch) for i, s in enumerate(self.slots)
+                if s.active and s.req is not None and self._pl_mirror[i]]
+        for i, _ in snap:
+            self._pl_issued[i] += k
+        self._pl_inflight.append((nxt, k, snap))
+
+    def _pl_read_one(self) -> None:
+        nxt, k, snap = self._pl_inflight.popleft()
+        nxt_np = np.asarray(nxt)                      # [k, B] — ONE read
+        for i, _ in snap:
+            self._pl_issued[i] = max(0, self._pl_issued[i] - k)
+        self.stats["decode_steps"] += k
+        for step in range(k):
+            for i, ep in snap:
+                s = self.slots[i]
+                if not s.active or s.req is None or s.epoch != ep:
+                    continue            # stopped or re-occupied: discard
+                s.pos += 1
+                self._emit(i, int(nxt_np[step, i]))
+
+    def _pl_drain(self) -> None:
+        while self._pl_inflight:
+            self._pl_read_one()
+
+    def _pl_hostside(self) -> bool:
+        return any(s.occupied and (s.hostside or s.min_ban)
+                   for s in self.slots)
+
+    def _step_pipelined(self) -> bool:
+        """One pipelined scheduler iteration.  Returns False when idle."""
+        now = time.time()
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                continue
+            if s.req is not None and s.req.cancelled:
+                self._finish(i, StopReason.CANCELLED)
+            elif s.deadline is not None and now > s.deadline:
+                self._finish(i, StopReason.TIMEOUT)
+        # priority preemption needs a quiesced pool (it snapshots host
+        # slot state); only worth draining for when it would trigger
+        if not self.pending.empty() \
+                and all(s.occupied for s in self.slots):
+            self._pl_drain()
+            self._maybe_preempt()
+        self._admit()
+        chunk_worked = (self._advance_prefills()
+                        if self.chunked_prefill is not None else False)
+
+        if self._pl_hostside():
+            # mirostat/grammar/logprobs/min-ban slots need per-step host
+            # sampling: drain, push state back to the host view, and run
+            # the sync step until those slots finish
+            self._pl_drain()
+            self._pl_sync_host()
+            self._pl_state = None          # forces rebuild on return
+            worked = self._step()
+            self.stats["pipeline_fallback_steps"] = (
+                self.stats.get("pipeline_fallback_steps", 0) + 1)
+            return worked or chunk_worked
+
+        if self._pl_state is None:
+            self._pl_rebuild_state()
+            self._pl_issued[:] = 0
+        self._pl_apply_lifecycle()
+
+        self.stats["active_slots"] = sum(1 for s in self.slots if s.active)
+        self.stats["queue_depth"] = self.pending.qsize()
+
+        issued = False
+        while (len(self._pl_inflight) < self.pipeline_depth
+               and self._pl_can_issue()):
+            self._pl_issue()
+            issued = True
+        if self._pl_inflight and (
+                len(self._pl_inflight) >= self.pipeline_depth
+                or not self._pl_can_issue()):
+            self._pl_read_one()
+            return True
+        return issued or chunk_worked

@@ -1301,7 +1301,9 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
           model_dirs: list[str] | None = None, paged: bool = False,
           num_pages: int | None = None, page_size: int = 16,
           chunked_prefill: int | None = None,
-          speculative_k: int = 0) -> None:
+          speculative_k: int = 0,
+          decode_steps_per_dispatch: int = 1,
+          pipeline_depth: int = 1) -> None:
     """Load model + start the server (blocking)."""
     from aiohttp import web
 
@@ -1366,7 +1368,10 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8080,
                                         page_size=page_size,
                                         channel=channel,
                                         chunked_prefill=chunked_prefill,
-                                        speculative_k=speculative_k)
+                                        speculative_k=speculative_k,
+                                        decode_steps_per_dispatch=(
+                                            decode_steps_per_dispatch),
+                                        pipeline_depth=pipeline_depth)
     from .model_manager import ModelManager
 
     manager = ModelManager(ecfg, num_slots=num_slots, mesh=mesh)

@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--seq-len", type=int, default=1024)
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    ap.add_argument("--pipeline-depth", type=int, default=1)
     args = ap.parse_args()
 
     import numpy as np
@@ -46,7 +47,8 @@ def main() -> None:
     sched = ContinuousBatchingScheduler(
         cfg, params, None, ecfg, num_slots=args.slots,
         max_admissions_per_step=2,
-        decode_steps_per_dispatch=args.steps_per_dispatch)
+        decode_steps_per_dispatch=args.steps_per_dispatch,
+        pipeline_depth=args.pipeline_depth)
     rng = np.random.default_rng(0)
     gen = GenerationConfig(max_new_tokens=args.new_tokens, greedy=True)
     prompts = [rng.integers(1, cfg.vocab_size,
@@ -105,6 +107,7 @@ def main() -> None:
                        if ttfts else None),
         "decode_steps": sched.stats["decode_steps"],
         "steps_per_dispatch": args.steps_per_dispatch,
+        "pipeline_depth": args.pipeline_depth,
     }))
 
 
