@@ -146,6 +146,28 @@ def _request_seed(gen: GenerationConfig) -> int:
     return time.time_ns() % (2 ** 31)
 
 
+def _host_key(seed: int) -> np.ndarray:
+    """jax.random.PRNGKey computed ON THE HOST CPU, returned as numpy.
+
+    Slot keys used to live as TPU device arrays; fetching one back
+    (np.asarray per slot per dispatch) costs a full relay round-trip —
+    measured ~25 ms x B slots ≈ 400 ms/window at B=16, the round-5
+    serving bottleneck.  Threefry is platform-independent, so host keys
+    are bit-identical to device keys."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(jax.random.PRNGKey(seed), np.uint32)
+
+
+def _host_split(key) -> tuple[np.ndarray, np.ndarray]:
+    """jax.random.split on the host CPU (numpy in, numpy out)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ks = jax.random.split(jnp.asarray(np.asarray(key, np.uint32)))
+    ks = np.asarray(ks, np.uint32)
+    return ks[0], ks[1]
+
+
 class ContinuousBatchingScheduler:
     """Owns the model + pool cache; runs the decode loop in its own thread."""
 
@@ -522,7 +544,12 @@ class ContinuousBatchingScheduler:
                 jax.lax.scan(
                     one, (tokens, positions, cache, history, keys),
                     None, length=n_steps)
-            return rep(nxt_seq), rep(keys), cache
+            # ONE packed [n_steps+2, B] int32 output: tokens then the
+            # bitcast key rows — each extra device→host read through the
+            # relay costs a full round-trip (round-5 probe: 49.5 ms for
+            # two reads vs 25.8 for one packed)
+            keys_i32 = jax.lax.bitcast_convert_type(keys, jnp.int32).T
+            return rep(jnp.concatenate([nxt_seq, keys_i32], axis=0)), cache
 
         self._decode_multi = decode_multi
 
@@ -678,7 +705,9 @@ class ContinuousBatchingScheduler:
                     jax.lax.scan(
                         one, (tokens, positions, cache, history, keys),
                         None, length=n_steps)
-                return nxt_seq, keys, cache
+                keys_i32 = jax.lax.bitcast_convert_type(
+                    keys, jnp.int32).T
+                return jnp.concatenate([nxt_seq, keys_i32], axis=0), cache
 
             self._decode_multi_paged = decode_multi_paged
 
@@ -1175,7 +1204,7 @@ class ContinuousBatchingScheduler:
             slot.generated = 0
             slot.pos = state.kv_len
             slot.out_ids = list(state.generated_ids)
-            slot.key = jax.random.PRNGKey(_request_seed(gen))
+            slot.key = _host_key(_request_seed(gen))
             slot.mirostat = (MirostatState.from_config(gen)
                              if gen.mirostat else None)
             slot.grammar = self._grammar_matcher(gen)
@@ -1370,6 +1399,38 @@ class ContinuousBatchingScheduler:
             1 for s in self.slots if s.active)
 
     def _admit(self) -> None:
+        """Admit pending requests into free slots.
+
+        Pipelined mode defers each admission's first-token sampling: the
+        prefill-logits fetch queues behind the in-flight windows (in-
+        order device execution), so N immediate fetches pay N pipeline
+        drains — instead the lg handles are stacked and fetched ONCE
+        after the loop (``_flush_first_samples``)."""
+        defer: list | None = ([] if self.pipeline_depth > 1
+                              and self._channel is None else None)
+        try:
+            self._admit_loop(defer)
+        finally:
+            if defer:
+                self._flush_first_samples(defer)
+
+    def _flush_first_samples(self, batch: list) -> None:
+        if len(batch) == 1:
+            rows = np.asarray(batch[0][1])            # [1, V]
+        else:
+            rows = np.asarray(jnp.concatenate(
+                [lg for _, lg in batch], axis=0))     # [n, V] — ONE read
+        for (slot_idx, _), row in zip(batch, rows):
+            slot = self.slots[slot_idx]
+            if not slot.active:                       # raced a cancel
+                continue
+            first = self._sample_first(slot, row[None, :])
+            if first is None:                         # grammar dead end
+                self._finish(slot_idx, StopReason.EOS)
+            else:
+                self._emit(slot_idx, first)
+
+    def _admit_loop(self, defer: list | None) -> None:
         admitted = 0
         for slot_idx, slot in enumerate(self.slots):
             if slot.occupied:
@@ -1455,7 +1516,7 @@ class ContinuousBatchingScheduler:
             slot.generated = 0
             slot.pos = T
             slot.out_ids = []
-            slot.key = jax.random.PRNGKey(_request_seed(req.gen))
+            slot.key = _host_key(_request_seed(req.gen))
             slot.mirostat = (MirostatState.from_config(req.gen)
                              if req.gen.mirostat else None)
             slot.grammar = self._grammar_matcher(req.gen)
@@ -1499,6 +1560,9 @@ class ContinuousBatchingScheduler:
                 continue
             slot.active = True
             slot.epoch += 1
+            if defer is not None and not isinstance(lg, np.ndarray):
+                defer.append((slot_idx, lg))
+                continue
             first = self._sample_first(slot, lg)
             if first is None:                      # grammar dead end
                 self._finish(slot_idx, StopReason.EOS)
@@ -1876,8 +1940,21 @@ class ContinuousBatchingScheduler:
         prompt-tail history — exactly the engine's first decode-loop
         iteration (engine.py generate_stream)."""
         gen = slot.req.gen
-        slot.key, sub = jax.random.split(slot.key)
+        slot.key, sub = _host_split(slot.key)
         raw = lg
+        if (gen.is_greedy and slot.grammar is None
+                and slot.mirostat is None and not slot.min_ban
+                and gen.logprobs is None
+                and gen.repetition_penalty == 1.0
+                and gen.frequency_penalty == 0.0
+                and gen.presence_penalty == 0.0
+                and not gen.logit_bias):
+            # pure-argmax requests sample on HOST numpy — the device
+            # chain would cost one dispatch + one fetch round-trip per
+            # admission (identical result: with neutral penalties the
+            # compiled chain reduces to argmax; both argmaxes take the
+            # first maximum)
+            return int(np.asarray(lg)[0].argmax())
         if slot.grammar is not None:
             masked = self._grammar_mask(slot, lg)
             if masked is None:
@@ -2091,7 +2168,7 @@ class ContinuousBatchingScheduler:
                     use_bias, k_eff))
             multi_fn = (self._decode_multi_paged if self.paged
                         else self._decode_multi)
-            nxt_seq, new_keys, self.cache = multi_fn(
+            packed, self.cache = multi_fn(
                 self.params, jnp.asarray(self._tokens),
                 jnp.asarray(positions), self.cache,
                 jnp.asarray(active), jnp.asarray(temps),
@@ -2101,18 +2178,21 @@ class ContinuousBatchingScheduler:
                 jnp.asarray(press), bias_rows, jnp.asarray(hist),
                 jnp.asarray(keys), use_typical=use_typical,
                 use_bias=use_bias, n_steps=k_eff)
-            nxt_np = np.asarray(nxt_seq)          # [k, B]
-            new_keys_np = np.asarray(new_keys)
+            packed_np = np.asarray(packed)        # [k+2, B] — ONE read
+            nxt_list = packed_np[:k_eff].tolist()
+            new_keys_np = np.ascontiguousarray(
+                packed_np[k_eff:].T).view(np.uint32)
             self.stats["decode_steps"] += k_eff
             for i in active_idx:
-                self.slots[i].key = jnp.asarray(new_keys_np[i])
+                self.slots[i].key = new_keys_np[i]
             for step in range(k_eff):
+                row = nxt_list[step]
                 for i in active_idx:
                     s = self.slots[i]
                     if not s.active:
                         continue      # stopped earlier in the window
                     s.pos += 1
-                    self._emit(i, int(nxt_np[step, i]))
+                    self._emit(i, row[i])
             return True
         step_fn = (self._decode_step_paged if self.paged
                    else self._decode_step)
@@ -2145,7 +2225,7 @@ class ContinuousBatchingScheduler:
         self.stats["decode_steps"] += 1
         for i in active_idx:
             s = self.slots[i]
-            s.key = jnp.asarray(new_keys_np[i])
+            s.key = new_keys_np[i]
             tok = int(nxt_np[i])
             if s.hostside:
                 # stateful per-sequence sampling from the raw logits
@@ -2233,7 +2313,7 @@ class ContinuousBatchingScheduler:
             if (s.active and s.req is not None and self._pl_mirror[i]
                     and self._pl_mirror_epoch[i] == s.epoch):
                 self._tokens[i] = toks_np[i]
-                s.key = jnp.asarray(keys_np[i])
+                s.key = keys_np[i]
 
     def _pl_apply_lifecycle(self) -> None:
         """Diff host slot activity against the device mirror and issue
@@ -2295,17 +2375,18 @@ class ContinuousBatchingScheduler:
 
     def _pl_read_one(self) -> None:
         nxt, k, snap = self._pl_inflight.popleft()
-        nxt_np = np.asarray(nxt)                      # [k, B] — ONE read
+        nxt_list = np.asarray(nxt).tolist()           # [k, B] — ONE read
         for i, _ in snap:
             self._pl_issued[i] = max(0, self._pl_issued[i] - k)
         self.stats["decode_steps"] += k
         for step in range(k):
+            row = nxt_list[step]
             for i, ep in snap:
                 s = self.slots[i]
                 if not s.active or s.req is None or s.epoch != ep:
                     continue            # stopped or re-occupied: discard
                 s.pos += 1
-                self._emit(i, int(nxt_np[step, i]))
+                self._emit(i, row[i])
 
     def _pl_drain(self) -> None:
         while self._pl_inflight:
@@ -2331,7 +2412,17 @@ class ContinuousBatchingScheduler:
                 and all(s.occupied for s in self.slots):
             self._pl_drain()
             self._maybe_preempt()
-        self._admit()
+        # batched admission: every admission's first-token read queues
+        # BEHIND the in-flight windows (in-order device execution), so a
+        # lone admission flushes the whole pipeline for one slot.  Admit
+        # only when the pipe is empty or enough free slots accumulated
+        # to amortize the flush.
+        want = self.pending.qsize()
+        if want:
+            free = sum(1 for s in self.slots if not s.occupied)
+            if (not self._pl_inflight
+                    or free >= min(self.max_admissions_per_step, want)):
+                self._admit()
         chunk_worked = (self._advance_prefills()
                         if self.chunked_prefill is not None else False)
 

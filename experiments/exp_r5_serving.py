@@ -57,7 +57,7 @@ def run_config(cfg, params, slots: int, spd: int, requests: int,
                         kv_cache_dtype="auto")
     sched = ContinuousBatchingScheduler(
         cfg, params, None, ecfg, num_slots=slots,
-        max_admissions_per_step=4,
+        max_admissions_per_step=8,
         decode_steps_per_dispatch=spd,
         chunked_prefill=chunked,
         pipeline_depth=depth)
