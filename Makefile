@@ -39,6 +39,12 @@ gate:
 gate-2b:
 	$(PY) tools/gate_2b.py
 
+# adversarial fuzz loop (regenerates inputs every run — the committed
+# corpus in tests/fuzz_corpus replays first; findings are saved there
+# and fail the run).  FUZZ_N=1000 for a longer session.
+fuzz:
+	JAX_PLATFORMS=cpu $(PY) tools/fuzz.py --iterations $${FUZZ_N:-500}
+
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	  $(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
@@ -47,4 +53,4 @@ clean:
 	$(MAKE) -C native clean
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
 
-.PHONY: test test-fast bench native preflight gate gate-2b dryrun clean
+.PHONY: test test-fast bench native preflight gate gate-2b fuzz dryrun clean

@@ -319,10 +319,19 @@ def bench_sharded(cfg, params, kernel_path: str, dp: int, tp: int,
     eff = (B / t_mesh) / (n_dev * (1.0 / t_single)) * 100.0
     # on a virtual (time-shared) mesh the honest yardstick is the
     # SERIALIZED time: n_dev devices' work on one host — ideal t_mesh =
-    # n_dev * t_single there, not t_single
+    # n_dev * t_single there, not t_single.  Readings above 100% are
+    # NOISE (the single-device baseline ran slow on the shared host,
+    # e.g. 189.9% in BENCH_r04) — the reported value is capped at 100
+    # and the raw reading kept alongside so it can't be misread as
+    # super-linear scaling (VERDICT r4 weak #6).
     eff_serial = (n_dev * t_single) / t_mesh * 100.0
     return {
-        "scaling_efficiency_vs_serialized_pct": round(eff_serial, 1),
+        "scaling_efficiency_vs_serialized_pct": round(
+            min(eff_serial, 100.0), 1),
+        "scaling_efficiency_vs_serialized_raw_pct": round(eff_serial, 1),
+        "yardstick_note": (
+            "virtual time-shared mesh: ideal t_mesh = n_dev*t_single; "
+            "raw > 100% means a noisy serialized baseline, capped"),
         "metric": "bitnet-2B sharded decode scaling "
                   f"(dp={dp} tp={tp}, weak scaling vs 1 device)",
         "value": round(B / t_mesh, 2),

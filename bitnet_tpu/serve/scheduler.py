@@ -2178,6 +2178,10 @@ class ContinuousBatchingScheduler:
                 jnp.asarray(press), bias_rows, jnp.asarray(hist),
                 jnp.asarray(keys), use_typical=use_typical,
                 use_bias=use_bias, n_steps=k_eff)
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
             packed_np = np.asarray(packed)        # [k+2, B] — ONE read
             nxt_list = packed_np[:k_eff].tolist()
             new_keys_np = np.ascontiguousarray(
@@ -2355,8 +2359,32 @@ class ContinuousBatchingScheduler:
                 return True
         return False
 
-    def _pl_issue(self) -> None:
-        k = self.decode_steps_per_dispatch
+    def _pl_window_k(self) -> int:
+        """Adaptive window length: a full spd window issued at a cohort's
+        tail decodes mostly-dead slots (uniform 64-token requests at
+        spd=32 measured 448 decode steps for 192 useful).  Size the
+        window to the pool's largest per-slot remaining budget, rounded
+        down to a power of two (bounded recompile set)."""
+        k_cfg = self.decode_steps_per_dispatch
+        rem_max = 0
+        for i, s in enumerate(self.slots):
+            if not (s.active and s.req is not None and self._pl_mirror[i]):
+                continue
+            rem = (s.req.gen.max_new_tokens - s.generated
+                   - self._pl_issued[i])
+            rem = min(rem, self.S - s.pos - self._pl_issued[i])
+            rem_max = max(rem_max, rem)
+        if rem_max <= 0:
+            return 0
+        k = 1
+        while k * 2 <= min(k_cfg, rem_max):
+            k *= 2
+        return k
+
+    def _pl_issue(self) -> bool:
+        k = self._pl_window_k()
+        if k <= 0:
+            return False
         use_typical = any(
             s.active and s.req is not None
             and s.req.gen.typical_p < 1.0 and not s.req.gen.is_greedy
@@ -2371,22 +2399,58 @@ class ContinuousBatchingScheduler:
                 if s.active and s.req is not None and self._pl_mirror[i]]
         for i, _ in snap:
             self._pl_issued[i] += k
+        try:
+            # start the device→host copy as soon as the window completes:
+            # the reader's np.asarray then finds the bytes already on the
+            # host instead of paying the transfer round-trip per window
+            nxt.copy_to_host_async()
+        except Exception:
+            pass
         self._pl_inflight.append((nxt, k, snap))
+        return True
 
-    def _pl_read_one(self) -> None:
-        nxt, k, snap = self._pl_inflight.popleft()
-        nxt_list = np.asarray(nxt).tolist()           # [k, B] — ONE read
+    def _emit_window(self, rows: list, k: int, snap: list) -> None:
         for i, _ in snap:
             self._pl_issued[i] = max(0, self._pl_issued[i] - k)
         self.stats["decode_steps"] += k
         for step in range(k):
-            row = nxt_list[step]
+            row = rows[step]
             for i, ep in snap:
                 s = self.slots[i]
                 if not s.active or s.req is None or s.epoch != ep:
                     continue            # stopped or re-occupied: discard
                 s.pos += 1
                 self._emit(i, row[i])
+
+    def _pl_read_one(self) -> None:
+        nxt, k, snap = self._pl_inflight.popleft()
+        nxt_list = np.asarray(nxt).tolist()           # [k, B] — ONE read
+        self._emit_window(nxt_list, k, snap)
+
+    def _pl_read(self, max_batch: int) -> None:
+        """Read 1..max_batch in-flight windows with ONE device fetch:
+        each fetch through the relay costs a full round-trip whether the
+        result is ready or not, so when the pipe is full, consecutive
+        windows are concatenated on device and fetched together."""
+        # batch only EQUAL-length windows: adaptive tails produce many k
+        # values and every distinct concat shape is a fresh (slow, ~30 s
+        # through the relay) compile — m×spd is the only shape family
+        # worth caching
+        k0 = self._pl_inflight[0][1]
+        take = 1
+        while (take < max_batch and take < len(self._pl_inflight)
+               and self._pl_inflight[take][1] == k0):
+            take += 1
+        if take < 2:
+            self._pl_read_one()
+            return
+        wins = [self._pl_inflight.popleft() for _ in range(take)]
+        packed = jnp.concatenate([w[0] for w in wins], axis=0)
+        rows = np.asarray(packed).tolist()
+        off = 0
+        for nxt, k, snap in wins:
+            self._emit_window(rows[off:off + k], k, snap)
+            off += k
 
     def _pl_drain(self) -> None:
         while self._pl_inflight:
@@ -2449,11 +2513,16 @@ class ContinuousBatchingScheduler:
         issued = False
         while (len(self._pl_inflight) < self.pipeline_depth
                and self._pl_can_issue()):
-            self._pl_issue()
+            if not self._pl_issue():
+                break
             issued = True
         if self._pl_inflight and (
                 len(self._pl_inflight) >= self.pipeline_depth
                 or not self._pl_can_issue()):
-            self._pl_read_one()
+            # pipe full → batch-read half the depth in one fetch (each
+            # fetch pays a relay round-trip); pipe draining → one at a
+            # time for lifecycle responsiveness
+            full = len(self._pl_inflight) >= self.pipeline_depth
+            self._pl_read(max(1, self.pipeline_depth // 2) if full else 1)
             return True
         return issued or chunk_worked

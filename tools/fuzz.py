@@ -205,9 +205,9 @@ def gen_template(rng) -> bytes:
 
 
 def run_template(rng, case: bytes) -> None:
-    from bitnet_tpu.templates import TemplateType, render_chat
+    from bitnet_tpu.templates import Message, TemplateType, render_chat
 
-    msgs = json.loads(case)
+    msgs = [Message(m["role"], m["content"]) for m in json.loads(case)]
     types = list(TemplateType)
     t = types[int(rng.integers(0, len(types)))]
     try:
@@ -251,6 +251,10 @@ def main() -> int:
     ap.add_argument("--corpus", default=os.path.join(
         REPO, "tests", "fuzz_corpus"))
     ap.add_argument("--targets", default=",".join(sorted(TARGETS)))
+    ap.add_argument("--save-corpus", type=int, default=0, metavar="N",
+                    help="write N generated cases per target into the "
+                         "corpus dir (the committed regression replay "
+                         "set) before running")
     args = ap.parse_args()
 
     seed = args.seed if args.seed is not None else time.time_ns() % 2**31
@@ -263,6 +267,18 @@ def main() -> int:
     for name in args.targets.split(","):
         gen, run = TARGETS[name]
         rng = np.random.default_rng(seed ^ hash(name) % 2**31)
+
+        if args.save_corpus:
+            ndir = os.path.join(args.corpus, name)
+            os.makedirs(ndir, exist_ok=True)
+            crng = np.random.default_rng(
+                sum(name.encode()))          # stable corpus, any seed
+            n_save = (min(args.save_corpus, 5) if name == "gguf"
+                      else args.save_corpus)   # GGUF mutants are ~200 KB
+            for i in range(n_save):
+                with open(os.path.join(ndir, f"seed_{i:03d}.bin"),
+                          "wb") as f:
+                    f.write(gen(crng))
 
         # 1. replay the committed corpus (past findings stay fixed)
         ndir = os.path.join(args.corpus, name)
