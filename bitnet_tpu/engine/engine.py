@@ -173,6 +173,14 @@ class InferenceEngine:
         self.kernel_recorder: list[str] = []
         if tl_quantized:
             self.kernel_recorder.append(f"weight_quant_{tl_quantized}")
+        blk = getattr(self.params.blocks, "wqkv", None)
+        if (blk is not None and blk.kind in ("tl", "bitnet32")
+                and self._kernel_path == "w2a8"):
+            import os as _os
+
+            if (_os.environ.get("BITNET_TL_W2A8", "1") == "1"
+                    and blk.k % 256 == 0):
+                self.kernel_recorder.append("ternary_matmul_tl_w2a8_stacked")
         if fuse_fell_back:
             # surfaced in honest-compute receipts: the engine asked for
             # fused projections but runs the unfused 7-call path

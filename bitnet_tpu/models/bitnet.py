@@ -436,14 +436,27 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
         from ..ops.ternary_matmul import (
             ternary_matmul_stacked_tl,
             ternary_matmul_stacked_tl_fused,
+            ternary_matmul_stacked_tl_w2a8,
         )
 
+        aligned = all(getattr(b, n).k % 256 == 0
+                      for n in ("wqkv", "wo", "w_gateup", "w_down"))
+        # Round 5 default: the int8-MXU per-K-block kernel (the "no W2A8
+        # recipe for per-32-row scales" claim was wrong — the reduction
+        # factors over the scale blocks; see _tl_w2a8_fused_kernel).
+        # BITNET_TL_W2A8=0 falls back to the round-4 bf16 fused kernel.
+        tl_w2a8 = (_os.environ.get("BITNET_TL_W2A8", "1") == "1"
+                   and aligned)
         tl_fused = (_os.environ.get("BITNET_TL_FUSED", "1") == "1"
-                    and all(getattr(b, n).k % 256 == 0
-                            for n in ("wqkv", "wo", "w_gateup", "w_down")))
+                    and aligned)
 
         def mm(l, h, name, gamma, glu=False, resid=None):
             lin = getattr(b, name)
+            if tl_w2a8:
+                return ternary_matmul_stacked_tl_w2a8(
+                    l, h, lin.packed, lin.scales, gamma, k_dim=lin.k,
+                    n_dim=lin.n, eps=eps, glu=glu, resid=resid,
+                    lut_bias=kind == "bitnet32", interpret=interp)
             if tl_fused:
                 return ternary_matmul_stacked_tl_fused(
                     l, h, lin.packed, lin.scales, gamma, k_dim=lin.k,

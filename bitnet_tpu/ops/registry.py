@@ -37,6 +37,9 @@ REGISTRY: list[KernelSpec] = [
                "fused 2-bit unpack + MXU matmul, QK256 no-scale"),
     KernelSpec("ternary_matmul_bitnet32_pallas", "matmul", "pallas", True,
                "fused 2-bit unpack + per-32-block scale + MXU matmul"),
+    KernelSpec("ternary_matmul_tl_w2a8_stacked", "matmul", "pallas", True,
+               "per-32-block int8-MXU W2A8 matmul for bitnet32/TL "
+               "(block-factored scale fma; shipped TL decode default)"),
     KernelSpec("decode_attention_pallas", "attention", "pallas", True,
                "fused flash-decode attention (online softmax over "
                "S-chunks, T=1)"),

@@ -728,6 +728,197 @@ def ternary_matmul_stacked_tl_fused(
     return out[:M, :n_dim]
 
 
+def _tl_w2a8_fused_kernel(x_ref, g_ref, w_ref, s_ref, *rest,
+                          n_k: int, bkt: int, eps: float, has_norm: bool,
+                          glu: bool, has_resid: bool, lut_bias: bool,
+                          interpret: bool):
+    """bitnet32/TL decode kernel on the **int8 MXU** (round 5).
+
+    Round 4's fused TL kernel (`_bitnet32_fused_kernel`) claimed "there
+    is no W2A8 recipe for per-32-row scales: the int8 MXU dot cannot
+    absorb a scale that varies along K at granularity 32".  The dot
+    can't — but the K-reduction factors EXACTLY over the scale blocks:
+
+        y[m,n] = sx[m] · Σ_b s[b,n] · ( Σ_{k∈b} xq[m,k]·c[k,n] − 2·Σ_{k∈b} xq[m,k] )
+
+    i.e. one int8 MXU dot per 32-row block (int32 partials), the
+    zero-point-2 identity applied per block, and the f32 scale riding a
+    VPU fma on the [M, bn] partial instead of a [256, bn] broadcast
+    multiply on dequantized weights.  vs the bf16 kernel this (a) moves
+    the matmuls to the int8 MXU (2× throughput), (b) cuts the per-weight
+    VPU dequant work ~4× (fma on M=8 partial rows, not 256 weight rows),
+    and (c) int8-quantizes the activations exactly like the qk256 W2A8
+    path.  Per-block int32 partials are exact (|xq|·4·32 < 2^15); the
+    f32 block-scale accumulation matches the reference's per-block
+    dequant semantics (crates/bitnet-quantization/src/i2s.rs:27-50 —
+    f16 scale per 32-element block).
+
+    Preamble (norm/SwiGLU/quantize) and epilogue (residual) are the
+    qk256 `_qk256_w2a8_normed_kernel` verbatim.  Decode shapes only:
+    one M block, K == Kp.
+    """
+    if has_resid:
+        resid_ref, out_ref, acc_ref, xq_scr, sx_scr = rest
+    else:
+        out_ref, acc_ref, xq_scr, sx_scr = rest
+        resid_ref = None
+    n = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when((n == 0) & (k == 0))
+    def _():
+        xf = x_ref[:].astype(jnp.float32)              # [M, Kp] / [M, 2Kp]
+        if glu:
+            Kp = xf.shape[1] // 2
+            gate = xf[:, :Kp]
+            xf = gate * jax.lax.logistic(gate) * xf[:, Kp:]   # silu(g)·up
+        if has_norm:
+            var = jnp.mean(xf * xf, axis=1, keepdims=True)
+            xf = xf * jax.lax.rsqrt(var + jnp.float32(eps))
+            xf = xf * g_ref[:].astype(jnp.float32)     # [1, Kp] broadcast
+        absmax = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8)
+        sx = absmax / 127.0
+        q = jnp.clip(jnp.round(xf / sx), -127, 127)
+        M = xf.shape[0]
+        xq_scr[0:M, :] = q.astype(jnp.int8)
+        sx_scr[0:M, :] = sx
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    base = k * bkt * KT
+    for t in range(bkt):
+        p32 = w_ref[pl.ds(t * (KT // 16), KT // 16), :]
+        w = _unpack_words_biased_i8(p32, interpret, lut_bias)
+        for b in range(KT // 32):
+            xq_blk = xq_scr[:, pl.ds(base + t * KT + b * 32, 32)]
+            w_blk = jax.lax.slice_in_dim(w, b * 32, (b + 1) * 32, axis=0)
+            p = jnp.dot(xq_blk, w_blk,
+                        preferred_element_type=jnp.int32)      # [bm, bn]
+            sq = jnp.sum(xq_blk.astype(jnp.int32), axis=1,
+                         keepdims=True)                        # [bm, 1]
+            sb = s_ref[pl.ds(t * (KT // 32) + b, 1), :]        # [1, bn]
+            acc_ref[:] += (p - 2 * sq).astype(jnp.float32) \
+                * sb.astype(jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        y = acc_ref[:] * sx_scr[:].astype(jnp.float32)
+        if has_resid:
+            M = resid_ref.shape[0]
+            out_ref[0:M, :] = (
+                y[0:M, :] + resid_ref[:].astype(jnp.float32)
+            ).astype(out_ref.dtype)
+        else:
+            out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _tl_w2a8_fused_stacked_kernel(l_ref, x_ref, g_ref, w_ref, s_ref,
+                                  *rest, n_k: int, bkt: int, eps: float,
+                                  has_norm: bool, glu: bool,
+                                  has_resid: bool, lut_bias: bool,
+                                  interpret: bool):
+    """Stacked-layer wrapper of `_tl_w2a8_fused_kernel` (weights + scale
+    planes as full [L, ...] stacks indexed via scalar prefetch)."""
+    del l_ref  # consumed by the BlockSpec index maps
+    _tl_w2a8_fused_kernel(
+        x_ref, g_ref.at[0], w_ref.at[0], s_ref.at[0], *rest,
+        n_k=n_k, bkt=bkt, eps=eps, has_norm=has_norm, glu=glu,
+        has_resid=has_resid, lut_bias=lut_bias, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_dim", "n_dim", "eps", "glu", "lut_bias",
+                     "interpret", "blocks"),
+)
+def ternary_matmul_stacked_tl_w2a8(
+    l: jnp.ndarray,            # [] / [1] int32 layer index (traced)
+    x: jnp.ndarray,            # [M, K] raw (or [M, 2K] when glu)
+    packed: jnp.ndarray,       # [L, Kp/16, Np] stacked int32 words
+    scales: jnp.ndarray,       # [L, Kp/32, Np] f32 per-32-row scales
+    gamma: jnp.ndarray | None, # [L, Kp] RMSNorm weights (None = no norm)
+    k_dim: int,
+    n_dim: int,
+    eps: float = 1e-5,
+    glu: bool = False,
+    resid: jnp.ndarray | None = None,   # [M, n_dim]
+    lut_bias: bool = False,    # True: bitnet32 LUT {-2,-1,1,2}; False: TL
+    interpret: bool = False,
+    blocks: tuple[int, int, int] | None = None,
+) -> jnp.ndarray:
+    """Decode-shaped W2A8 bitnet32/TL matmul over one layer of stacked
+    weight + scale arrays (see `_tl_w2a8_fused_kernel`).  Caller
+    guarantees K == Kp (k_dim % 256 == 0), one M block."""
+    M = x.shape[0]
+    Kp = packed.shape[1] * 16
+    Np = packed.shape[2]
+    if k_dim != Kp:
+        raise KernelError(
+            f"TL w2a8 kernel needs k_dim == Kp ({k_dim} != {Kp}); "
+            "use ternary_matmul_stacked_tl")
+    bm, bn, bkt = blocks or _pick_blocks_stacked(M, Kp, Np)
+    bk = bkt * KT
+    n_k = Kp // bk
+    grid = (1, Np // bn, n_k)
+
+    s = jnp.asarray(scales, jnp.float32)
+    if s.shape[1] * 32 != Kp or s.shape[2] != Np:
+        s = jnp.pad(s, ((0, 0), (0, Kp // 32 - s.shape[1]),
+                        (0, Np - s.shape[2])))
+
+    has_norm = gamma is not None
+    g = (gamma.reshape(-1, 1, Kp).astype(jnp.float32) if has_norm
+         else jnp.ones((1, 1, Kp), jnp.float32))
+    g_map = ((lambda m, n, k, lr: (lr[0], 0, 0)) if has_norm
+             else (lambda m, n, k, lr: (0, 0, 0)))
+    in_specs = [
+        pl.BlockSpec((M, x.shape[1]), lambda m, n, k, lr: (0, 0)),
+        pl.BlockSpec((1, 1, Kp), g_map),
+        pl.BlockSpec((1, bk // 16, bn), lambda m, n, k, lr: (lr[0], k, n)),
+        pl.BlockSpec((1, bk // 32, bn), lambda m, n, k, lr: (lr[0], k, n)),
+    ]
+    operands = [x, g, packed, s]
+    has_resid = resid is not None
+    if has_resid:
+        if resid.shape[1] != Np:
+            resid = jnp.pad(resid, ((0, 0), (0, Np - resid.shape[1])))
+        in_specs.append(pl.BlockSpec((M, bn), lambda m, n, k, lr: (0, n)))
+        operands.append(resid)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, lr: (m, n)),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),      # accumulator
+            pltpu.VMEM((bm, Kp), jnp.int8),         # quantized activations
+            pltpu.VMEM((bm, 1), jnp.float32),       # per-token scale
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _tl_w2a8_fused_stacked_kernel, n_k=n_k, bkt=bkt, eps=eps,
+            has_norm=has_norm, glu=glu, has_resid=has_resid,
+            lut_bias=lut_bias, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((bm, Np), x.dtype),
+        grid_spec=gs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * Kp * Np,
+            bytes_accessed=(Kp // 4) * Np + (Kp // 32) * Np * 4
+            + bm * Np * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(l, jnp.int32).reshape(1), *operands)
+    return out[:M, :n_dim]
+
+
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     size = x.shape[axis]
     target = -(-size // mult) * mult

@@ -60,7 +60,8 @@ def check_cast():
 
     out = decode_attention_quant_batched_v2(
         q, kn, vn, kq.reshape(B, S, KV * D), vq.reshape(B, S, KV * D),
-        jnp.asarray(ks, jnp.float32), jnp.asarray(vs, jnp.float32), pos)
+        jnp.asarray(ks, jnp.float32), jnp.asarray(vs, jnp.float32), pos,
+        n_kv=KV)
     out = np.asarray(out, np.float32).reshape(B, H, D)
 
     # XLA reference from the SAME quantized values

@@ -241,6 +241,81 @@ class TestTLStackedDecode:
                         / (np.linalg.norm(g) * np.linalg.norm(r) + 1e-12))
             assert cos > 0.9999, cos
 
+    @pytest.mark.parametrize("lut_bias", [False, True])
+    @pytest.mark.parametrize("mode", ["norm", "nonorm", "glu_resid"])
+    def test_tl_w2a8_kernel_exact(self, lut_bias, mode):
+        """The round-5 int8-MXU TL kernel must match an EXACT float64
+        reference implementing the same semantics (SwiGLU/norm → per-token
+        absmax int8 → per-32-block integer dot → f32 block-scale fma):
+        the per-block factorization is exact, so the gate is tight
+        (relerr < 1e-4), unlike the bf16 kernels' rounding-tolerance
+        gates."""
+        import jax
+
+        from bitnet_tpu.ops.linear import _repack_words, unpack_words_host
+        from bitnet_tpu.ops.ternary_matmul import (
+            ternary_matmul_stacked_tl_w2a8,
+        )
+
+        rng = np.random.default_rng(31 + int(lut_bias))
+        L, M, K, N = 2, 2, 512, 256
+        glu = mode == "glu_resid"
+        packs, scs = [], []
+        for _ in range(L):
+            codes = rng.integers(0, 4, (K, N)).astype(np.uint8)
+            packs.append(_repack_words(codes))
+            scs.append(rng.uniform(0.5, 1.5, (K // 32, N)).astype(
+                np.float32))
+        packed = jnp.stack([jnp.asarray(p) for p in packs])
+        scales = jnp.stack([jnp.asarray(s) for s in scs])
+        gamma = (None if mode == "nonorm" else jnp.asarray(
+            rng.uniform(0.5, 1.5, (L, K)), jnp.float32))
+        x = jnp.asarray(rng.standard_normal((M, 2 * K if glu else K)),
+                        jnp.float32)
+        resid = (jnp.asarray(rng.standard_normal((M, N)), jnp.float32)
+                 if glu else None)
+        eps = 1e-5
+        for li in range(L):
+            x2 = np.asarray(x, np.float64)
+            if glu:
+                g_ = x2[:, :K]
+                x2 = g_ / (1 + np.exp(-g_)) * x2[:, K:]
+            if gamma is not None:
+                var = (x2 * x2).mean(1, keepdims=True)
+                x2 = x2 / np.sqrt(var + eps) * np.asarray(
+                    gamma[li], np.float64)
+            absmax = np.maximum(np.abs(x2).max(1, keepdims=True), 1e-8)
+            sx = absmax / 127.0
+            q = np.clip(np.round(x2 / sx), -127, 127)
+            c = unpack_words_host(np.asarray(packs[li]),
+                                  K)[:, :N].astype(np.int64)
+            v = (c + (c >= 2) - 2) if lut_bias else (c - 2)
+            w = v * np.repeat(np.asarray(scs[li], np.float64), 32, axis=0)
+            ref = (q @ w) * sx
+            if resid is not None:
+                ref = ref + np.asarray(resid, np.float64)
+            got = ternary_matmul_stacked_tl_w2a8(
+                jnp.int32(li), x, packed, scales, gamma, k_dim=K,
+                n_dim=N, eps=eps, glu=glu, resid=resid, lut_bias=lut_bias,
+                interpret=True, blocks=(16, 128, 1))
+            g = np.asarray(got, np.float64)
+            relerr = np.abs(g - ref).max() / (np.abs(ref).max() + 1e-9)
+            assert relerr < 1e-4, (lut_bias, mode, li, relerr)
+
+    def test_tl_w2a8_rejects_unaligned_k(self):
+        from bitnet_tpu.errors import KernelError
+        from bitnet_tpu.ops.ternary_matmul import (
+            ternary_matmul_stacked_tl_w2a8,
+        )
+
+        packed = jnp.zeros((1, 16, 128), jnp.int32)   # Kp = 256
+        scales = jnp.ones((1, 8, 128), jnp.float32)
+        x = jnp.zeros((1, 200), jnp.float32)
+        with pytest.raises(KernelError):
+            ternary_matmul_stacked_tl_w2a8(
+                jnp.int32(0), x, packed, scales, None, k_dim=200,
+                n_dim=128, interpret=True)
+
     def test_fused_tl_rejects_unaligned_k(self):
         from bitnet_tpu.errors import KernelError
         from bitnet_tpu.ops.ternary_matmul import (
