@@ -39,6 +39,12 @@ REFERENCE_BASELINE_TOK_S = 55.0  # RTX 4090 measured (BASELINE.md)
 # weight stream + int8 tied-logits head read + KV cache read/write.
 # For 2B-4T at S=1024 that is ≈ 521 + 82 + 79 MB.
 _HBM_GBPS = 819.0
+# v5e MXU peaks (per chip): 393.7 int8 TOPS, 196.9 bf16 TFLOPS.  Prefill
+# MFU is measured against a MIXED floor: the ternary W2A8 matmuls + int8
+# logits head ride the int8 MXU, attention rides bf16 (see
+# _prefill_floor_s; derivation in docs/perf/round5-serving-log.md).
+_INT8_OPS = 393.7e12
+_BF16_FLOPS = 196.9e12
 
 # Synthetic model parameterizations (no checkpoints in this environment;
 # the compute/memory profile is exact). "2b" = bitnet-b1.58-2B-4T
@@ -72,6 +78,24 @@ def _decode_bytes(cfg, S: int = 1024, kind: str = "qk256") -> float:
     # K+V bf16 full-cache read; the one-row write is negligible
     kv = cfg.num_layers * S * cfg.num_kv_heads * cfg.head_dim * 2 * 2
     return weights + head + kv
+
+
+def _prefill_floor_s(cfg, T: int = 512) -> float:
+    """Compute-bound seconds for a B=1 T-token prefill: MAC ops split by
+    the MXU mode each op actually runs in (W2A8 matmuls and the int8
+    tied-logits head are int8×int8→int32; attention QK/AV are bf16).
+    Causal attention halves the T² score work."""
+    H, F = cfg.hidden_size, cfg.intermediate_size
+    nh, D = cfg.num_heads, cfg.head_dim
+    qkvo = H * (nh * D) * 2 + H * (cfg.num_kv_heads * D) * 2
+    ffn = 3 * H * F
+    elems = cfg.num_layers * (qkvo + ffn)
+    int8_ops = 2.0 * elems * T + 2.0 * cfg.vocab_size * H * T
+    bf16_ops = cfg.num_layers * 2 * (2.0 * T * T * nh * D) * 0.5
+    # weight stream is read once per prefill — HBM floor, usually ≪ MXU
+    hbm_s = _decode_bytes(cfg, S=T) / (_HBM_GBPS * 1e9)
+    mxu_s = int8_ops / _INT8_OPS + bf16_ops / _BF16_FLOPS
+    return max(mxu_s, hbm_s)
 
 
 def build_synthetic_2b(seed: int = 0, fuse: bool = True):
@@ -456,11 +480,15 @@ def main() -> None:
         print(f"# batched decode bench failed: {e}", file=sys.stderr)
 
     prefill_tok_s = None
+    prefill_mfu_pct = None
     try:
         dt_prefill = bench_prefill(cfg, params, kernel_path)
         prefill_tok_s = 512 / dt_prefill
+        prefill_mfu_pct = _prefill_floor_s(cfg, 512) / dt_prefill * 100.0
         print(f"# prefill: {dt_prefill*1e3:.1f} ms/512 tokens → "
-              f"{prefill_tok_s:.0f} tok/s", file=sys.stderr)
+              f"{prefill_tok_s:.0f} tok/s "
+              f"({prefill_mfu_pct:.0f}% of the mixed int8/bf16 MXU floor)",
+              file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# prefill bench failed: {e}", file=sys.stderr)
 
@@ -479,6 +507,8 @@ def main() -> None:
         "decode_tok_s_b8": None if b8_tok_s is None else round(b8_tok_s, 1),
         "prefill_tok_s": (None if prefill_tok_s is None
                           else round(prefill_tok_s, 1)),
+        "prefill_mfu_pct": (None if prefill_mfu_pct is None
+                            else round(prefill_mfu_pct, 1)),
         "kernel_path": kernel_path,
     }))
 

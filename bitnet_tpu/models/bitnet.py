@@ -338,10 +338,14 @@ def decode_attn_plan(B: int, kv_dtype=None, flat: bool = False) -> str:
     batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "v2")
     attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
     # whole-batch v2 kernels keep per-slot VMEM scratch (q_wide + wide
-    # ctx ≈ 2·[H, KV·D] f32 ≈ 512 KB/slot at 2B shapes): B=32 blows the
-    # 16 MB scoped-vmem limit (measured round 5) — above this cap pools
-    # fall back to XLA einsum, which tiles freely
+    # ctx ≈ 2·[H, KV·D] f32 ≈ 512 KB/slot at 2B shapes): B=32 in ONE
+    # grid step blows the 16 MB scoped-vmem limit (measured round 5:
+    # einsum fallback ran 13.6 ms/step vs B=16's 3.2).  The plain
+    # batched_v2 wrappers now split B>16 over a batch-group grid axis
+    # (_pick_group — scratch sized per group), so the cap only gates
+    # batch sizes the grouping can't divide (odd B>16).
     v2_max_b = int(_os.environ.get("BITNET_V2_WHOLEBATCH_MAX_B", "16"))
+    v2_ok_b = B <= v2_max_b or (B % 2 == 0 and B <= 64)
     dt_ok = (not quantized or kv_dtype == jnp.int8
              or (fp8_kernel and kv_dtype == jnp.float8_e4m3fn))
     if rope_fused and batched_env == "v2qkv" and 2 < B <= v2_max_b \
@@ -360,7 +364,7 @@ def decode_attn_plan(B: int, kv_dtype=None, flat: bool = False) -> str:
         return "qkv_quant" if quantized else "qkv"
     if B <= attn_max_b and dt_ok:
         return "flash_quant" if quantized else "flash"
-    if batched_env == "v2" and dt_ok and flat and B <= v2_max_b:
+    if batched_env == "v2" and dt_ok and flat and v2_ok_b:
         # DEFAULT for B>2 pools WITH a flat-layout cache: plain v2
         # whole-batch kernel, rope in XLA — the rope-fused per-b
         # preamble costs ~17 µs/layer at B=8 (76.5 vs 59.0 µs/layer

@@ -86,13 +86,18 @@ def _select_own_lanes(wide: jnp.ndarray, n_kv: int, G: int,
 
 def _v2_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, out_ref,
                *scr, scale: float, n_kv: int, G: int, D: int, B: int,
-               chunk: int, n_chunks: int, quant: bool):
+               chunk: int, n_chunks: int, quant: bool,
+               chunk_axis: int = 0):
     """Whole-batch flash-decode body; ``quant`` adds the in-VMEM scale
-    fold (k_ref/v_ref int8 + trailing ks/vs operands)."""
+    fold (k_ref/v_ref int8 + trailing ks/vs operands).  ``chunk_axis``
+    names the grid axis that sweeps the S chunks — the batch-grouped
+    wrappers put a batch-group axis in front of it (chunks iterate
+    innermost, so the per-group online-softmax scratch re-initializes at
+    c == 0 of each group)."""
     if quant:
         ks_ref, vs_ref = scr[0], scr[1]
         scr = scr[2:]
-    c = pl.program_id(0)
+    c = pl.program_id(chunk_axis)
     HH = n_kv * G
     KVD = n_kv * D
 
@@ -639,7 +644,7 @@ def decode_attention_qkv_quant_batched_v2(
 
 def _v2_stacked_kernel(l_ref, pos_ref, q_ref, kn_ref, vn_ref, k_ref,
                        v_ref, *rest, scale, n_kv, G, D, B, chunk,
-                       n_chunks, quant):
+                       n_chunks, quant, chunk_axis=0):
     """_v2_kernel with a scalar-prefetch layer index: the cache operands
     are the FULL [L, B, S, KV*D] stacks block-indexed by ``l_ref`` —
     under the decode scan a per-layer xs slice feeding a pallas operand
@@ -656,13 +661,14 @@ def _v2_stacked_kernel(l_ref, pos_ref, q_ref, kn_ref, vn_ref, k_ref,
         _v2_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref.at[0], v_ref.at[0],
                    out_ref, ks_ref, vs_ref, *scr, scale=scale,
                    n_kv=n_kv, G=G, D=D, B=B, chunk=chunk,
-                   n_chunks=n_chunks, quant=True)
+                   n_chunks=n_chunks, quant=True, chunk_axis=chunk_axis)
     else:
         out_ref = rest[0]
         scr = rest[1:]
         _v2_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref.at[0], v_ref.at[0],
                    out_ref, *scr, scale=scale, n_kv=n_kv, G=G, D=D, B=B,
-                   chunk=chunk, n_chunks=n_chunks, quant=False)
+                   chunk=chunk, n_chunks=n_chunks, quant=False,
+                   chunk_axis=chunk_axis)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "chunk", "n_kv"))
@@ -696,26 +702,30 @@ def decode_attention_batched_v2_stacked(
     vn = v_new.astype(dt).reshape(B, 1, KV * D)
     pos2 = pos.reshape(B, 1).astype(jnp.int32)
 
-    chunk = _pick_chunk(chunk, S, B, dt.itemsize)
+    BG, n_groups = _pick_group(B)
+    chunk = _pick_chunk(chunk, S, BG, dt.itemsize)
     n_chunks = S // chunk
 
-    cache_spec = pl.BlockSpec((1, B, chunk, KV * D),
-                              lambda c, lr: (lr[0], 0, c, 0))
+    # batch-group major, chunks innermost (see _pick_group): B=32 pools
+    # blew the 16 MB VMEM scope with whole-batch per-slot scratch
+    cache_spec = pl.BlockSpec((1, BG, chunk, KV * D),
+                              lambda g, c, lr: (lr[0], g, c, 0))
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        grid=(n_groups, n_chunks),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda c, lr: (0, 0),
+            pl.BlockSpec((BG, 1), lambda g, c, lr: (g, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, KV, G, D), lambda c, lr: (0, 0, 0, 0)),
-            pl.BlockSpec((B, 1, KV * D), lambda c, lr: (0, 0, 0)),
-            pl.BlockSpec((B, 1, KV * D), lambda c, lr: (0, 0, 0)),
+            pl.BlockSpec((BG, KV, G, D), lambda g, c, lr: (g, 0, 0, 0)),
+            pl.BlockSpec((BG, 1, KV * D), lambda g, c, lr: (g, 0, 0)),
+            pl.BlockSpec((BG, 1, KV * D), lambda g, c, lr: (g, 0, 0)),
             cache_spec,
             cache_spec,
         ],
-        out_specs=pl.BlockSpec((B, KV, G, D), lambda c, lr: (0, 0, 0, 0)),
+        out_specs=pl.BlockSpec((BG, KV, G, D),
+                               lambda g, c, lr: (g, 0, 0, 0)),
         scratch_shapes=[
-            s for _ in range(B)
+            s for _ in range(BG)
             for s in (pltpu.VMEM((KV * G, KV * D), jnp.float32),
                       pltpu.VMEM((KV * G, 1), jnp.float32),
                       pltpu.VMEM((KV * G, 1), jnp.float32),
@@ -724,12 +734,12 @@ def decode_attention_batched_v2_stacked(
     )
     out = pl.pallas_call(
         functools.partial(_v2_stacked_kernel, scale=float(D) ** -0.5,
-                          n_kv=KV, G=G, D=D, B=B, chunk=chunk,
-                          n_chunks=n_chunks, quant=False),
+                          n_kv=KV, G=G, D=D, B=BG, chunk=chunk,
+                          n_chunks=n_chunks, quant=False, chunk_axis=1),
         out_shape=jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
         grid_spec=gs,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * KV * D,
@@ -774,30 +784,33 @@ def decode_attention_quant_batched_v2_stacked(
     vn = v_new.astype(act).reshape(B, 1, KV * D)
     pos2 = pos.reshape(B, 1).astype(jnp.int32)
 
-    chunk = _pick_chunk(chunk, S, B, 1)
+    BG, n_groups = _pick_group(B)
+    chunk = _pick_chunk(chunk, S, BG, 1)
     n_chunks = S // chunk
 
-    cache_spec = pl.BlockSpec((1, B, chunk, KV * D),
-                              lambda c, lr: (lr[0], 0, c, 0))
-    scale_spec = pl.BlockSpec((1, B, KV, chunk),
-                              lambda c, lr: (lr[0], 0, 0, c))
+    # batch-group major, chunks innermost — see the dense stacked wrapper
+    cache_spec = pl.BlockSpec((1, BG, chunk, KV * D),
+                              lambda g, c, lr: (lr[0], g, c, 0))
+    scale_spec = pl.BlockSpec((1, BG, KV, chunk),
+                              lambda g, c, lr: (lr[0], g, 0, c))
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        grid=(n_groups, n_chunks),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda c, lr: (0, 0),
+            pl.BlockSpec((BG, 1), lambda g, c, lr: (g, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, KV, G, D), lambda c, lr: (0, 0, 0, 0)),
-            pl.BlockSpec((B, 1, KV * D), lambda c, lr: (0, 0, 0)),
-            pl.BlockSpec((B, 1, KV * D), lambda c, lr: (0, 0, 0)),
+            pl.BlockSpec((BG, KV, G, D), lambda g, c, lr: (g, 0, 0, 0)),
+            pl.BlockSpec((BG, 1, KV * D), lambda g, c, lr: (g, 0, 0)),
+            pl.BlockSpec((BG, 1, KV * D), lambda g, c, lr: (g, 0, 0)),
             cache_spec,
             cache_spec,
             scale_spec,
             scale_spec,
         ],
-        out_specs=pl.BlockSpec((B, KV, G, D), lambda c, lr: (0, 0, 0, 0)),
+        out_specs=pl.BlockSpec((BG, KV, G, D),
+                               lambda g, c, lr: (g, 0, 0, 0)),
         scratch_shapes=[
-            s for _ in range(B)
+            s for _ in range(BG)
             for s in (pltpu.VMEM((KV * G, KV * D), jnp.float32),
                       pltpu.VMEM((KV * G, 1), jnp.float32),
                       pltpu.VMEM((KV * G, 1), jnp.float32),
@@ -806,12 +819,12 @@ def decode_attention_quant_batched_v2_stacked(
     )
     out = pl.pallas_call(
         functools.partial(_v2_stacked_kernel, scale=float(D) ** -0.5,
-                          n_kv=KV, G=G, D=D, B=B, chunk=chunk,
-                          n_chunks=n_chunks, quant=True),
+                          n_kv=KV, G=G, D=D, B=BG, chunk=chunk,
+                          n_chunks=n_chunks, quant=True, chunk_axis=1),
         out_shape=jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
         grid_spec=gs,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * KV * D,
@@ -1114,6 +1127,21 @@ def scatter_kv_rows(
     return kc2, vc2
 
 
+def _pick_group(B: int) -> tuple[int, int]:
+    """Batch-group size for the whole-batch kernels: per-slot scratch is
+    ~512 KB at 2B shapes, so whole-batch scratch blows the ~16 MB VMEM
+    scope above B=16 (measured round 5: B=32 fell back to einsum at
+    13.6 ms/step vs B=16's 3.2).  Group the batch on a second grid axis
+    instead — largest divisor of B that keeps scratch ≤ 8 slots when
+    grouping is needed."""
+    if B <= 16:
+        return B, 1
+    for bg in (8, 4, 2, 1):
+        if B % bg == 0:
+            return bg, B // bg
+    return 1, B
+
+
 def _pick_chunk(chunk, S, B, itemsize):
     if chunk is None:
         # VMEM: 2 caches x 2 pipeline buffers x B x chunk x KV*D bytes;
@@ -1158,40 +1186,44 @@ def decode_attention_batched_v2(
     vn = v_new.astype(dt).reshape(B, 1, KV * D)
     pos2 = pos.reshape(B, 1).astype(jnp.int32)
 
-    chunk = _pick_chunk(chunk, S, B, dt.itemsize)
+    BG, n_groups = _pick_group(B)
+    chunk = _pick_chunk(chunk, S, BG, dt.itemsize)
     n_chunks = S // chunk
 
     out = pl.pallas_call(
         functools.partial(_v2_kernel, scale=float(D) ** -0.5,
-                          n_kv=KV, G=G, D=D, B=B, chunk=chunk,
-                          n_chunks=n_chunks, quant=False),
+                          n_kv=KV, G=G, D=D, B=BG, chunk=chunk,
+                          n_chunks=n_chunks, quant=False, chunk_axis=1),
         out_shape=jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
-        grid=(n_chunks,),
+        # batch-group major, chunks innermost: the per-group scratch
+        # (q_wide/m/d/ctx ≈ 512 KB/slot at 2B shapes) is sized for BG
+        # slots instead of B, so B=32+ pools fit the ~16 MB VMEM scope
+        grid=(n_groups, n_chunks),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda c: (0, 0),
+            pl.BlockSpec((BG, 1), lambda g, c: (g, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, KV, G, D), lambda c: (0, 0, 0, 0),
+            pl.BlockSpec((BG, KV, G, D), lambda g, c: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, KV * D), lambda c: (0, 0, 0),
+            pl.BlockSpec((BG, 1, KV * D), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, KV * D), lambda c: (0, 0, 0),
+            pl.BlockSpec((BG, 1, KV * D), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+            pl.BlockSpec((BG, chunk, KV * D), lambda g, c: (g, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+            pl.BlockSpec((BG, chunk, KV * D), lambda g, c: (g, c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, KV, G, D), lambda c: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((BG, KV, G, D), lambda g, c: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            s for _ in range(B)
+            s for _ in range(BG)
             for s in (pltpu.VMEM((KV * G, KV * D), jnp.float32),   # q_wide
                       pltpu.VMEM((KV * G, 1), jnp.float32),        # m
                       pltpu.VMEM((KV * G, 1), jnp.float32),        # d
                       pltpu.VMEM((KV * G, KV * D), jnp.float32))   # ctx wide
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * KV * D,
@@ -1245,49 +1277,51 @@ def decode_attention_quant_batched_v2(
     vs = jnp.swapaxes(v_scale.astype(jnp.float32), 1, 2)
     pos2 = pos.reshape(B, 1).astype(jnp.int32)
 
-    chunk = _pick_chunk(chunk, S, B, 1)
+    BG, n_groups = _pick_group(B)
+    chunk = _pick_chunk(chunk, S, BG, 1)
     n_chunks = S // chunk
 
     def kern(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, ks_ref, vs_ref,
              out_ref, *scr):
         _v2_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, out_ref,
                    ks_ref, vs_ref, *scr, scale=float(D) ** -0.5,
-                   n_kv=KV, G=G, D=D, B=B, chunk=chunk,
-                   n_chunks=n_chunks, quant=True)
+                   n_kv=KV, G=G, D=D, B=BG, chunk=chunk,
+                   n_chunks=n_chunks, quant=True, chunk_axis=1)
 
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
-        grid=(n_chunks,),
+        # batch-group major, chunks innermost — see the dense wrapper
+        grid=(n_groups, n_chunks),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda c: (0, 0),
+            pl.BlockSpec((BG, 1), lambda g, c: (g, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, KV, G, D), lambda c: (0, 0, 0, 0),
+            pl.BlockSpec((BG, KV, G, D), lambda g, c: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, KV * D), lambda c: (0, 0, 0),
+            pl.BlockSpec((BG, 1, KV * D), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, KV * D), lambda c: (0, 0, 0),
+            pl.BlockSpec((BG, 1, KV * D), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+            pl.BlockSpec((BG, chunk, KV * D), lambda g, c: (g, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, chunk, KV * D), lambda c: (0, c, 0),
+            pl.BlockSpec((BG, chunk, KV * D), lambda g, c: (g, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, KV, chunk), lambda c: (0, 0, c),
+            pl.BlockSpec((BG, KV, chunk), lambda g, c: (g, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, KV, chunk), lambda c: (0, 0, c),
+            pl.BlockSpec((BG, KV, chunk), lambda g, c: (g, 0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, KV, G, D), lambda c: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((BG, KV, G, D), lambda g, c: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            s for _ in range(B)
+            s for _ in range(BG)
             for s in (pltpu.VMEM((KV * G, KV * D), jnp.float32),
                       pltpu.VMEM((KV * G, 1), jnp.float32),
                       pltpu.VMEM((KV * G, 1), jnp.float32),
                       pltpu.VMEM((KV * G, KV * D), jnp.float32))
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * KV * D,

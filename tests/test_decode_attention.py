@@ -620,6 +620,116 @@ class TestBatchedV2:
                                    np.asarray(ref, np.float32),
                                    atol=2e-3, rtol=2e-3)
 
+    @pytest.mark.parametrize("B", [24, 32])
+    def test_batched_v2_grouped_matches_per_b(self, B):
+        """B>16 rides the batch-group grid axis (round-5 _pick_group:
+        per-group scratch instead of whole-batch, so B=32 pools no
+        longer fall back to einsum)."""
+        from bitnet_tpu.ops.decode_attention import decode_attention
+        from bitnet_tpu.ops.decode_attention_v2 import (
+            decode_attention_batched_v2,
+        )
+
+        rng = np.random.default_rng(31 + B)
+        H, KV, D, S = 4, 2, 64, 64
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.bfloat16)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        ref = decode_attention(q, kn, vn, kc, vc, pos, interpret=True,
+                               chunk=32)
+        got = decode_attention_batched_v2(q, kn, vn, kc, vc, pos,
+                                          interpret=True, chunk=32)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_batched_v2_stacked_grouped_matches_per_b(self):
+        """The STACKED whole-batch wrapper (the in-model B>2 path) must
+        also ride the batch-group axis — B=32 OOMed the VMEM scope in
+        the round-5 serving sweep before grouping."""
+        from bitnet_tpu.ops.decode_attention import decode_attention
+        from bitnet_tpu.ops.decode_attention_v2 import (
+            decode_attention_batched_v2_stacked,
+        )
+
+        rng = np.random.default_rng(41)
+        B, H, KV, D, S, L = 32, 4, 2, 64, 64, 3
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((L, B, S, KV, D)),
+                         jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((L, B, S, KV, D)),
+                         jnp.bfloat16)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        for layer in (0, 2):
+            ref = decode_attention(q, kn, vn, kc[layer], vc[layer], pos,
+                                   interpret=True, chunk=32)
+            got = decode_attention_batched_v2_stacked(
+                jnp.int32(layer), q, kn, vn, kc, vc, pos,
+                interpret=True, chunk=32)
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(ref, np.float32),
+                                       atol=2e-3, rtol=2e-3)
+
+    def test_quant_batched_v2_stacked_grouped_matches_per_b(self):
+        from bitnet_tpu.models.bitnet import _quantize_kv
+        from bitnet_tpu.ops.decode_attention import decode_attention_quant
+        from bitnet_tpu.ops.decode_attention_v2 import (
+            decode_attention_quant_batched_v2_stacked,
+        )
+
+        rng = np.random.default_rng(43)
+        B, H, KV, D, S, L = 32, 4, 2, 64, 64, 2
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kf = jnp.asarray(rng.standard_normal((L, B, S, KV, D)),
+                         jnp.float32)
+        vf = jnp.asarray(rng.standard_normal((L, B, S, KV, D)),
+                         jnp.float32)
+        kc, ks = _quantize_kv(kf, jnp.int8)
+        vc, vs = _quantize_kv(vf, jnp.int8)
+        ks_t = jnp.swapaxes(ks, 2, 3)
+        vs_t = jnp.swapaxes(vs, 2, 3)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        ref = decode_attention_quant(q, kn, vn, kc[1], vc[1], ks[1],
+                                     vs[1], pos, interpret=True, chunk=32)
+        got = decode_attention_quant_batched_v2_stacked(
+            jnp.int32(1), q, kn, vn, kc, vc, ks_t, vs_t, pos,
+            interpret=True, chunk=32)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_quant_batched_v2_grouped_matches_per_b(self):
+        from bitnet_tpu.models.bitnet import _quantize_kv
+        from bitnet_tpu.ops.decode_attention import decode_attention_quant
+        from bitnet_tpu.ops.decode_attention_v2 import (
+            decode_attention_quant_batched_v2,
+        )
+
+        rng = np.random.default_rng(37)
+        B, H, KV, D, S = 32, 4, 2, 64, 64
+        q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+        kf = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        vf = jnp.asarray(rng.standard_normal((B, S, KV, D)), jnp.float32)
+        kc, ks = _quantize_kv(kf, jnp.int8)
+        vc, vs = _quantize_kv(vf, jnp.int8)
+        pos = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        ref = decode_attention_quant(q, kn, vn, kc, vc, ks, vs, pos,
+                                     interpret=True, chunk=32)
+        got = decode_attention_quant_batched_v2(
+            q, kn, vn, kc, vc, ks, vs, pos, interpret=True, chunk=32)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-3, rtol=2e-3)
+
     def test_qkv_batched_v2_matches_per_b(self):
         from bitnet_tpu.ops.decode_attention import decode_attention_qkv
         from bitnet_tpu.ops.decode_attention_v2 import (
