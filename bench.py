@@ -356,7 +356,7 @@ def bench_sharded(cfg, params, kernel_path: str, dp: int, tp: int,
         "yardstick_note": (
             "virtual time-shared mesh: ideal t_mesh = n_dev*t_single; "
             "raw > 100% means a noisy serialized baseline, capped"),
-        "metric": "bitnet-2B sharded decode scaling "
+        "metric": f"bitnet-{cfg.hidden_size}h sharded decode scaling "
                   f"(dp={dp} tp={tp}, weak scaling vs 1 device)",
         "value": round(B / t_mesh, 2),
         "unit": "tok/s",
@@ -492,6 +492,37 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"# prefill bench failed: {e}", file=sys.stderr)
 
+    # embedded multi-chip scaling row (VERDICT r4 #5b: a --mesh row in
+    # every capture): re-invoke this script on a virtual 8-device CPU
+    # mesh (mini shapes — the scaling harness, not a perf claim) and
+    # attach its JSON.  BITNET_BENCH_MESH=0 skips.
+    mesh_row = None
+    if os.environ.get("BITNET_BENCH_MESH", "1") == "1":
+        try:
+            import subprocess
+
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)   # sitecustomize latch
+            env.update(JAX_PLATFORMS="cpu",
+                       XLA_FLAGS="--xla_force_host_platform_device_count=8",
+                       BITNET_BENCH_MODEL=os.environ.get(
+                           "BITNET_BENCH_MESH_SIZE", "mini"),
+                       BITNET_BENCH_MESH="0")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mesh",
+                 "4x2"], capture_output=True, text=True, timeout=600,
+                env=env)
+            for line in reversed(r.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    mesh_row = json.loads(line)
+                    break
+            if mesh_row is None:
+                mesh_row = {"error": (r.stdout + r.stderr)[-300:]}
+        except Exception as e:  # pragma: no cover
+            mesh_row = {"error": repr(e)[:300]}
+        print(f"# mesh scaling row (virtual CPU, mini shapes): "
+              f"{json.dumps(mesh_row)[:200]}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"bitnet-{size.upper()} decode tokens/s/chip "
                   f"({qkind.upper()} fused Pallas "
@@ -509,6 +540,7 @@ def main() -> None:
                           else round(prefill_tok_s, 1)),
         "prefill_mfu_pct": (None if prefill_mfu_pct is None
                             else round(prefill_mfu_pct, 1)),
+        "mesh_scaling": mesh_row,
         "kernel_path": kernel_path,
     }))
 
