@@ -261,9 +261,14 @@ def _stacked_decode_ok(cfg: ModelConfig, params: BitNetParams, T: int,
                        B: int, k_scale, kv_positions, window, write_slots,
                        kernel_path: str) -> bool:
     """Trace-time eligibility for the stacked decode loop."""
-    # B cap = the normed kernel's one-M-block limit (M ≤ 32); pools of
-    # 17-32 slots previously fell to the generic per-layer path
-    if not (T == 1 and B <= 32 and kernel_path == "w2a8"):
+    from ..ops.ternary_matmul import stacked_decode_max_m
+
+    # B cap = the normed kernel's one-M-block VMEM limit — shared with
+    # decode_attn_plan so the cache-layout chooser and this gate can
+    # never disagree (a 48-slot pool once planned quant_batched_v2 but
+    # fell here to the generic per-layer path at 19x the step time)
+    if not (T == 1 and B <= stacked_decode_max_m()
+            and kernel_path == "w2a8"):
         return False
     if kv_positions is not None or window is not None:
         return False
@@ -345,7 +350,14 @@ def decode_attn_plan(B: int, kv_dtype=None, flat: bool = False) -> str:
     # (_pick_group — scratch sized per group), so the cap only gates
     # batch sizes the grouping can't divide (odd B>16).
     v2_max_b = int(_os.environ.get("BITNET_V2_WHOLEBATCH_MAX_B", "16"))
-    v2_ok_b = B <= v2_max_b or (B % 2 == 0 and B <= 64)
+    from ..ops.ternary_matmul import stacked_decode_max_m
+
+    # bound the whole-batch window by the stacked-loop eligibility cap:
+    # above it the model runs the generic per-layer path, where a flat
+    # cache (chosen because this plan landed in _FLAT_PLANS) costs a
+    # per-step flat->5D relayout storm (the round-5 B=48 cliff)
+    v2_ok_b = B <= v2_max_b or (
+        B % 2 == 0 and B <= min(64, stacked_decode_max_m()))
     dt_ok = (not quantized or kv_dtype == jnp.int8
              or (fp8_kernel and kv_dtype == jnp.float8_e4m3fn))
     if rope_fused and batched_env == "v2qkv" and 2 < B <= v2_max_b \

@@ -49,6 +49,28 @@ MASK2 = 0x03030303
 MASK1 = 0x01010101
 
 
+def stacked_decode_max_m() -> int:
+    """M cap for the one-M-block fused decode kernels (normed W2A8, TL):
+    the whole [M, K(·2)] activation block plus the [M, Kp] int8 scratch
+    must fit VMEM beside the weight and accumulator blocks, so the cap
+    is a VMEM budget, not an algorithmic limit.  v5e (round 5): M=64
+    compiles and holds per-row throughput — before the cap was raised
+    from 32, a 48-slot serving pool silently fell off the stacked
+    decode loop onto the generic per-layer path at 19x the device step
+    time (67.6 vs 3.5 ms, docs/perf/round5-serving-log.md).  M=512
+    (prefill-sized) fails to compile; prefill rides the M-blocked
+    kernels instead.  BITNET_STACKED_DECODE_MAX_M overrides.
+
+    Shared by the model eligibility gate (_stacked_decode_ok), the
+    attention-plan whole-batch bound (decode_attn_plan), and the fused
+    normed-kernel dispatch below — ONE predicate, so the cache-layout
+    chooser can never again plan a kernel the model refuses to run.
+    """
+    import os
+
+    return int(os.environ.get("BITNET_STACKED_DECODE_MAX_M", "64"))
+
+
 def _bitcast_i32_to_i8(x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     """[R, N] i32 → [4R, N] i8, row ``4s+j`` = byte ``j`` of word ``s``.
 
@@ -1177,7 +1199,7 @@ def _pick_blocks(M: int, Kp: int, Np: int, variant: str
     M block so each weight tile is unpacked exactly once.
     """
     nk = Kp // KT
-    if M <= 32:
+    if M <= max(32, stacked_decode_max_m()):
         bm = max(16, -(-M // 8) * 8)
         # w2a8 decode sweep favored much wider N blocks than bf16
         bn_cap = 7168 if variant == "w2a8" else 2560
@@ -1240,8 +1262,8 @@ def ternary_matmul_pallas(lin, x: jnp.ndarray,
     # decode shapes only (M ≤ 32): the fused preamble holds the whole
     # [M, K(·2)] activation row in VMEM — a prefill-sized M would blow
     # the VMEM budget (observed: M=512 × 2F f32 failed to compile)
-    if (variant == "w2a8" and lin.kind == "qk256" and M <= 32 and M <= bm
-            and K == Kp):
+    if (variant == "w2a8" and lin.kind == "qk256"
+            and M <= stacked_decode_max_m() and M <= bm and K == Kp):
         # norm (if any) + quantize (+ SwiGLU / residual) fused in-kernel —
         # decode is launch-overhead bound (exp_fixed_ops.py S1)
         y = _ternary_matmul_2d(

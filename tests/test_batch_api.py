@@ -100,14 +100,18 @@ class TestBatchW2A8:
         for i, (r, g) in enumerate(zip(results, golden)):
             assert r.token_ids == g, f"slot {i}: {r.token_ids} != {g}"
 
-    def test_w2a8_batch20_matches_single(self, mini_gguf_qk256):
-        """B=20 (17-32 range newly eligible for the stacked loop) must
-        equal B=1 decode token-for-token."""
+    @pytest.mark.parametrize("B", [20, 48])
+    def test_w2a8_big_batch_matches_single(self, mini_gguf_qk256, B):
+        """Pools above the old one-M-block caps must equal B=1 decode
+        token-for-token: B=20 (17-32, eligible since round 3) and B=48
+        (33-64, eligible since the round-5 stacked_decode_max_m raise —
+        before it, 48-slot pools silently fell to the generic per-layer
+        path at 19x the device step time)."""
         cfg, params, _ = load_model(mini_gguf_qk256.path,
                                     param_dtype=jnp.float32)
         gen = GenerationConfig(max_new_tokens=6, greedy=True)
         prompts = [[(3 * i + 2) % 40 + 1, (7 * i) % 50 + 1]
-                   for i in range(20)]
+                   for i in range(B)]
 
         def mk(batch):
             return InferenceEngine(
@@ -118,6 +122,6 @@ class TestBatchW2A8:
 
         single = mk(1)
         golden = [single.generate(p, gen).token_ids for p in prompts]
-        results = mk(20).generate_batch(prompts, gen)
+        results = mk(B).generate_batch(prompts, gen)
         for i, (r, g) in enumerate(zip(results, golden)):
             assert r.token_ids == g, f"slot {i}: {r.token_ids} != {g}"

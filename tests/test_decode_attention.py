@@ -620,7 +620,7 @@ class TestBatchedV2:
                                    np.asarray(ref, np.float32),
                                    atol=2e-3, rtol=2e-3)
 
-    @pytest.mark.parametrize("B", [24, 32])
+    @pytest.mark.parametrize("B", [24, 32, 48, 64])
     def test_batched_v2_grouped_matches_per_b(self, B):
         """B>16 rides the batch-group grid axis (round-5 _pick_group:
         per-group scratch instead of whole-batch, so B=32 pools no
