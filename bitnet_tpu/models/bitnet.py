@@ -330,8 +330,15 @@ def decode_attn_plan(B: int, kv_dtype=None, flat: bool = False) -> str:
       v1 kernels, =v2qkv the rope-fused whole-batch variant (loses at
       B=8: the per-b rope preamble costs more than the XLA rope glue);
     - the per-b kernel grid loses to einsum above max_b (default 2);
-    - quantized caches ride the quant kernels when the dtype is int8
-      (fp8 behind BITNET_FP8_KERNEL until Mosaic-cast-verified).
+    - quantized caches ride the quant kernels when the dtype is int8 or
+      fp8_e4m3.  fp8 was Mosaic-cast-verified on-chip in round 5
+      (kernel-vs-XLA cosine 0.99999 from identical fp8 cache values,
+      experiments/exp_r5_fp8.py) and is measured in the round-5 matrix —
+      it loses to int8 everywhere on v5e (the e4m3→bf16 cast costs more
+      VPU work than int8 convert×scale: 2.06 vs 1.61 ms/step at B=1
+      S=1024, 3.77 vs 1.78 at B=8), so ``kv_cache_dtype="auto"`` never
+      selects it; BITNET_FP8_KERNEL=0 restores the einsum fallback for
+      explicitly-fp8 caches.
     """
     import os as _os
 
@@ -339,7 +346,7 @@ def decode_attn_plan(B: int, kv_dtype=None, flat: bool = False) -> str:
     rows_mode = _os.environ.get("BITNET_CACHE_YS", "0") != "1"
     rope_fused = _os.environ.get(
         "BITNET_ROPE_FUSED", "1" if rows_mode else "0") == "1"
-    fp8_kernel = _os.environ.get("BITNET_FP8_KERNEL", "0") == "1"
+    fp8_kernel = _os.environ.get("BITNET_FP8_KERNEL", "1") == "1"
     batched_env = _os.environ.get("BITNET_BATCHED_ATTN", "v2")
     attn_max_b = int(_os.environ.get("BITNET_DECODE_ATTN_MAX_B", "2"))
     # whole-batch v2 kernels keep per-slot VMEM scratch (q_wide + wide

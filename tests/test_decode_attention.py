@@ -860,8 +860,11 @@ class TestDecodeAttnPlan:
         (2, "int8", {}, "qkv_quant_v2s"),
         (1, None, {"BITNET_B1_ATTN": "v1"}, "qkv"),
         (2, "int8", {"BITNET_B1_ATTN": "v1"}, "qkv_quant"),
-        (1, "fp8", {}, "einsum"),                      # fp8 gated off
+        # fp8 default ON since the round-5 on-chip cast verify
+        # (exp_r5_fp8.py cosine 0.99999); =0 restores the einsum fallback
+        (1, "fp8", {}, "qkv_quant_v2s"),
         (1, "fp8", {"BITNET_FP8_KERNEL": "1"}, "qkv_quant_v2s"),
+        (1, "fp8", {"BITNET_FP8_KERNEL": "0"}, "einsum"),
         # B>2 default: the v2 whole-batch kernels on FLAT caches, einsum
         # on 5D (where the pallas path pays the relayout copy storm)
         (8, None, {"_flat": "1"}, "batched_v2"),
