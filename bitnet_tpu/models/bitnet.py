@@ -464,12 +464,14 @@ def _decode_stacked(cfg: ModelConfig, params: BitNetParams,
 
         aligned = all(getattr(b, n).k % 256 == 0
                       for n in ("wqkv", "wo", "w_gateup", "w_down"))
-        # Round 5 default: the int8-MXU per-K-block kernel (the "no W2A8
-        # recipe for per-32-row scales" claim was wrong — the reduction
-        # factors over the scale blocks; see _tl_w2a8_fused_kernel).
-        # BITNET_TL_W2A8=0 falls back to the round-4 bf16 fused kernel.
+        # Round 5 default for B≤2: the int8-MXU per-K-block kernel (the
+        # "no W2A8 recipe for per-32-row scales" claim was wrong — the
+        # reduction factors over the scale blocks; see
+        # _tl_w2a8_fused_kernel).  B>2 TL pools ride the bf16 fused
+        # kernel (the block-masked rows 8·M must fit one 32-row i8
+        # tile).  BITNET_TL_W2A8=0 falls back to the bf16 kernel always.
         tl_w2a8 = (_os.environ.get("BITNET_TL_W2A8", "1") == "1"
-                   and aligned)
+                   and aligned and B <= 2)
         tl_fused = (_os.environ.get("BITNET_TL_FUSED", "1") == "1"
                     and aligned)
 

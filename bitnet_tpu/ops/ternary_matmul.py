@@ -763,37 +763,55 @@ def _tl_w2a8_fused_kernel(x_ref, g_ref, w_ref, s_ref, *rest,
 
         y[m,n] = sx[m] · Σ_b s[b,n] · ( Σ_{k∈b} xq[m,k]·c[k,n] − 2·Σ_{k∈b} xq[m,k] )
 
-    i.e. one int8 MXU dot per 32-row block (int32 partials), the
-    zero-point-2 identity applied per block, and the f32 scale riding a
-    VPU fma on the [M, bn] partial instead of a [256, bn] broadcast
-    multiply on dequantized weights.  vs the bf16 kernel this (a) moves
-    the matmuls to the int8 MXU (2× throughput), (b) cuts the per-weight
-    VPU dequant work ~4× (fma on M=8 partial rows, not 256 weight rows),
-    and (c) int8-quantizes the activations exactly like the qk256 W2A8
-    path.  Per-block int32 partials are exact (|xq|·4·32 < 2^15); the
-    f32 block-scale accumulation matches the reference's per-block
-    dequant semantics (crates/bitnet-quantization/src/i2s.rs:27-50 —
-    f16 scale per 32-element block).
+    The first on-chip attempt sliced xq per 32-row block — Mosaic
+    rejects 32-wide LANE slices ("cannot statically prove that index in
+    dimension 1 is a multiple of 128"), and 8 tiny [M,32] dots per tile
+    would be MXU-latency-bound anyway.  This version keeps the identity
+    but restructures for the hardware:
 
-    Preamble (norm/SwiGLU/quantize) and epilogue (residual) are the
-    qk256 `_qk256_w2a8_normed_kernel` verbatim.  Decode shapes only:
-    one M block, K == Kp.
+    - **Preamble** builds a block-masked activation matrix in VMEM
+      scratch ONCE: row ``r = m·8 + b`` of ``x_scr`` [32, Kp] holds
+      ``xq[m, k]`` on exactly the lanes whose within-tile scale block
+      ``(k mod 256)//32 == b`` and zeros elsewhere (pure iota select —
+      no slicing, no transpose).
+    - **Per K-tile**: ONE full-contraction int8 MXU dot
+      ``x_scr[:, tile] [32, 256] @ w [256, bn] → int32 [32, bn]`` whose
+      row ``m·8+b`` IS the per-block partial Σ_{k∈b} xq·c; the
+      zero-point-2 identity and the f32 block scale ride a VPU fma on
+      the [32, bn] partials (st tiled down the 32 rows), accumulated
+      into a WIDE [32, bn] f32 accumulator.  vs the bf16 kernel this
+      cuts the per-weight VPU dequant work to ~unpack-only (no
+      per-weight scale broadcast/multiply/convert — the scale work is
+      per PARTIAL, 32 rows instead of 256 weight rows).
+    - **Epilogue** reduces each row group of 8 to one output row and
+      applies the per-token activation scale + residual.
+
+    All slice offsets are multiples of 256 (lanes) or 8 (f32 sublanes);
+    int8 scratch rows are the i8 sublane tile (32).  Per-block int32
+    partials are exact (|xq|·4·32 < 2^15); the f32 block-scale
+    accumulation matches the reference's per-block dequant semantics
+    (crates/bitnet-quantization/src/i2s.rs:27-50 — f16 scale per
+    32-element block).  Decode shapes only: one M block, M ≤ 2 (the
+    masked rows 8·M must fit the 32-row i8 tile with headroom; B>2 TL
+    pools ride the bf16 fused kernel), K == Kp.
     """
     if has_resid:
-        resid_ref, out_ref, acc_ref, xq_scr, sx_scr = rest
+        resid_ref, out_ref, acc_ref, x_scr, sx_scr = rest
     else:
-        out_ref, acc_ref, xq_scr, sx_scr = rest
+        out_ref, acc_ref, x_scr, sx_scr = rest
         resid_ref = None
     n = pl.program_id(1)
     k = pl.program_id(2)
+    Kp = x_scr.shape[1]
+    M = x_ref.shape[0]
 
     @pl.when((n == 0) & (k == 0))
     def _():
         xf = x_ref[:].astype(jnp.float32)              # [M, Kp] / [M, 2Kp]
         if glu:
-            Kp = xf.shape[1] // 2
-            gate = xf[:, :Kp]
-            xf = gate * jax.lax.logistic(gate) * xf[:, Kp:]   # silu(g)·up
+            Kg = xf.shape[1] // 2
+            gate = xf[:, :Kg]
+            xf = gate * jax.lax.logistic(gate) * xf[:, Kg:]   # silu(g)·up
         if has_norm:
             var = jnp.mean(xf * xf, axis=1, keepdims=True)
             xf = xf * jax.lax.rsqrt(var + jnp.float32(eps))
@@ -801,40 +819,53 @@ def _tl_w2a8_fused_kernel(x_ref, g_ref, w_ref, s_ref, *rest,
         absmax = jnp.maximum(
             jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8)
         sx = absmax / 127.0
-        q = jnp.clip(jnp.round(xf / sx), -127, 127)
-        M = xf.shape[0]
-        xq_scr[0:M, :] = q.astype(jnp.int8)
+        q = jnp.clip(jnp.round(xf / sx), -127.0, 127.0)   # [M, Kp] f32
         sx_scr[0:M, :] = sx
+        # block-masked rows: row m·8+b = q[m] masked to scale block b
+        row = jax.lax.broadcasted_iota(jnp.int32, (32, Kp), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (32, Kp), 1)
+        base = jnp.broadcast_to(q[0:1, :], (32, Kp))
+        if M == 2:
+            # extract row 1 without a sub-tile sublane slice: masked
+            # column reduce of the [2, Kp] block
+            q1 = jnp.sum(
+                jnp.where(jax.lax.broadcasted_iota(
+                    jnp.int32, (M, Kp), 0) == 1, q, 0.0),
+                axis=0, keepdims=True)
+            base = jnp.where(row >= 8, jnp.broadcast_to(q1, (32, Kp)),
+                             base)
+        live = ((lane % KT) // 32 == row % 8) & (row < 8 * M)
+        x_scr[:] = jnp.where(live, base, 0.0).astype(jnp.int8)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    base = k * bkt * KT
+    base_k = k * bkt * KT
     for t in range(bkt):
         p32 = w_ref[pl.ds(t * (KT // 16), KT // 16), :]
         w = _unpack_words_biased_i8(p32, interpret, lut_bias)
-        for b in range(KT // 32):
-            xq_blk = xq_scr[:, pl.ds(base + t * KT + b * 32, 32)]
-            w_blk = jax.lax.slice_in_dim(w, b * 32, (b + 1) * 32, axis=0)
-            p = jnp.dot(xq_blk, w_blk,
-                        preferred_element_type=jnp.int32)      # [bm, bn]
-            sq = jnp.sum(xq_blk.astype(jnp.int32), axis=1,
-                         keepdims=True)                        # [bm, 1]
-            sb = s_ref[pl.ds(t * (KT // 32) + b, 1), :]        # [1, bn]
-            acc_ref[:] += (p - 2 * sq).astype(jnp.float32) \
-                * sb.astype(jnp.float32)
+        xt = x_scr[:, pl.ds(base_k + t * KT, KT)]          # [32, KT] i8
+        p = jnp.dot(xt, w, preferred_element_type=jnp.int32)  # [32, bn]
+        sq = jnp.sum(xt.astype(jnp.int32), axis=1, keepdims=True)
+        st = s_ref[pl.ds(t * (KT // 32), KT // 32), :].astype(
+            jnp.float32)                                   # [8, bn]
+        s_full = jnp.concatenate([st, st, st, st], axis=0)  # [32, bn]
+        acc_ref[:] += (p - 2 * sq).astype(jnp.float32) * s_full
 
     @pl.when(k == n_k - 1)
     def _():
-        y = acc_ref[:] * sx_scr[:].astype(jnp.float32)
+        # rows m·8 .. m·8+8 of the wide accumulator sum to output row m;
+        # rows ≥ 8·M were zero-masked activations → zero partials.
+        # rows ≥ M of out_ref stay unwritten and the caller slices them
+        # away (same contract as the qk256 normed kernel).
+        ys = [jnp.sum(acc_ref[8 * m:8 * m + 8, :], axis=0, keepdims=True)
+              for m in range(M)]
+        y = jnp.concatenate(ys, axis=0) if M > 1 else ys[0]
+        y = y * sx_scr[0:M, :].astype(jnp.float32)
         if has_resid:
-            M = resid_ref.shape[0]
-            out_ref[0:M, :] = (
-                y[0:M, :] + resid_ref[:].astype(jnp.float32)
-            ).astype(out_ref.dtype)
-        else:
-            out_ref[:] = y.astype(out_ref.dtype)
+            y = y + resid_ref[:].astype(jnp.float32)
+        out_ref[0:M, :] = y.astype(out_ref.dtype)
 
 
 def _tl_w2a8_fused_stacked_kernel(l_ref, x_ref, g_ref, w_ref, s_ref,
@@ -873,7 +904,8 @@ def ternary_matmul_stacked_tl_w2a8(
 ) -> jnp.ndarray:
     """Decode-shaped W2A8 bitnet32/TL matmul over one layer of stacked
     weight + scale arrays (see `_tl_w2a8_fused_kernel`).  Caller
-    guarantees K == Kp (k_dim % 256 == 0), one M block."""
+    guarantees K == Kp (k_dim % 256 == 0), one M block, M ≤ 2 (the
+    block-masked activation rows 8·M live in one 32-row i8 tile)."""
     M = x.shape[0]
     Kp = packed.shape[1] * 16
     Np = packed.shape[2]
@@ -881,6 +913,10 @@ def ternary_matmul_stacked_tl_w2a8(
         raise KernelError(
             f"TL w2a8 kernel needs k_dim == Kp ({k_dim} != {Kp}); "
             "use ternary_matmul_stacked_tl")
+    if M > 2:
+        raise KernelError(
+            f"TL w2a8 kernel is decode-shaped (M <= 2, got {M}); "
+            "use ternary_matmul_stacked_tl_fused")
     bm, bn, bkt = blocks or _pick_blocks_stacked(M, Kp, Np)
     bk = bkt * KT
     n_k = Kp // bk
@@ -916,9 +952,9 @@ def ternary_matmul_stacked_tl_w2a8(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, lr: (m, n)),
         scratch_shapes=[
-            pltpu.VMEM((bm, bn), jnp.float32),      # accumulator
-            pltpu.VMEM((bm, Kp), jnp.int8),         # quantized activations
-            pltpu.VMEM((bm, 1), jnp.float32),       # per-token scale
+            pltpu.VMEM((32, bn), jnp.float32),      # WIDE per-block acc
+            pltpu.VMEM((32, Kp), jnp.int8),         # block-masked rows
+            pltpu.VMEM((8, 1), jnp.float32),        # per-token scale
         ],
     )
     out = pl.pallas_call(
